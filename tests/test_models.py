@@ -1,0 +1,102 @@
+"""Model-layer tests: the fused forward value+jacobian propagation must
+agree with JAX autodiff (values, input jacobians, AND parameter gradients
+through the whole weak-form-style objective)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from varnet_tpu.models.mlp import (
+    init_mlp,
+    make_input_scaling,
+    mlp_apply,
+    mlp_value_and_jac,
+    mlp_value_and_jac_auto,
+    param_count,
+)
+
+
+@pytest.fixture()
+def x64():
+    """Exact-math comparisons run in f64; saturated tanh makes BOTH forward
+    -mode and reverse-mode input jacobians ~1e-3 ill-conditioned in f32, so
+    tight f32 comparisons would test conditioning, not correctness."""
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
+
+
+@pytest.mark.parametrize("activation", ["tanh", "sigmoid"])
+@pytest.mark.parametrize("scaled", [False, True])
+def test_value_and_jac_matches_autodiff(activation, scaled, x64):
+    key = jax.random.PRNGKey(0)
+    n_in = 3
+    params = init_mlp(key, n_in, [8, 8], dtype=jnp.float64)
+    x = jax.random.uniform(
+        jax.random.PRNGKey(1), (17, n_in), minval=-1, maxval=2, dtype=jnp.float64
+    )
+    if scaled:
+        scale, shift = make_input_scaling(
+            [-1.0, -1.0, 0.0], [2.0, 2.0, 1.0], dtype=jnp.float64
+        )
+    else:
+        scale = shift = None
+    u1, j1 = mlp_value_and_jac(params, x, activation, scale, shift)
+    u2, j2 = mlp_value_and_jac_auto(params, x, activation, scale, shift)
+    np.testing.assert_allclose(u1, u2, rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(j1, j2, rtol=1e-12, atol=1e-13)
+    u3 = mlp_apply(params, x, activation, scale, shift)
+    np.testing.assert_allclose(u1, u3, rtol=1e-12, atol=1e-13)
+
+
+def test_value_and_jac_f32_sane():
+    """f32 agreement between forward- and reverse-mode at the conditioning
+    floor (inputs pre-scaled to [-1, 1], the production configuration)."""
+    params = init_mlp(jax.random.PRNGKey(0), 2, [16, 16])
+    x = jax.random.uniform(jax.random.PRNGKey(1), (33, 2), minval=-1, maxval=1)
+    u1, j1 = mlp_value_and_jac(params, x)
+    u2, j2 = mlp_value_and_jac_auto(params, x)
+    np.testing.assert_allclose(u1, u2, rtol=1e-5, atol=1e-6)
+    # forward- vs reverse-mode in f32 agree only to ~1e-2 relative through
+    # stacked tanh layers (exact math is pinned by the f64 test above);
+    # this guards against gross dtype/shape regressions only.
+    np.testing.assert_allclose(j1, j2, rtol=2e-2, atol=5e-3)
+
+
+def test_parameter_gradients_through_jacobian(x64):
+    """grad wrt params of an objective using (u, du) must match autodiff of
+    the same objective built on the auto path."""
+    key = jax.random.PRNGKey(2)
+    params = init_mlp(key, 2, [6], dtype=jnp.float64)
+    x = jax.random.normal(jax.random.PRNGKey(3), (9, 2), dtype=jnp.float64)
+
+    def obj(fn, p):
+        u, du = fn(p, x, "tanh", None, None)
+        return jnp.sum(u**2) + jnp.sum(du**2)
+
+    g1 = jax.grad(lambda p: obj(mlp_value_and_jac, p))(params)
+    g2 = jax.grad(lambda p: obj(mlp_value_and_jac_auto, p))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)
+
+
+def test_input_scaling_maps_to_unit_box():
+    scale, shift = make_input_scaling([0.0, -2.0], [4.0, 2.0])
+    lo = (jnp.array([0.0, -2.0]) - shift) * scale
+    hi = (jnp.array([4.0, 2.0]) - shift) * scale
+    np.testing.assert_allclose(lo, [-1.0, -1.0])
+    np.testing.assert_allclose(hi, [1.0, 1.0])
+
+
+def test_param_count():
+    params = init_mlp(jax.random.PRNGKey(0), 3, [10, 20])
+    # (3*10+10) + (10*20+20) + (20*1+1)
+    assert param_count(params) == 40 + 220 + 21
+
+
+def test_jit_and_vmap_compatible():
+    params = init_mlp(jax.random.PRNGKey(0), 2, [5])
+    x = jnp.ones((4, 2))
+    u, du = jax.jit(lambda p, x: mlp_value_and_jac(p, x, "tanh", None, None))(params, x)
+    assert u.shape == (4,) and du.shape == (4, 2)

@@ -1,0 +1,36 @@
+"""varnet_tpu — TPU-native variational PDE framework.
+
+A ground-up JAX/XLA re-design with the capabilities of the reference
+RizaXudayi/VarNet library (SURVEY.md): solves advection-diffusion PDEs with
+a neural trial function trained on a variational (weak-form) loss built
+from compactly-supported FEM test functions and Gauss-Legendre quadrature,
+data-parallel over a TPU device mesh.
+"""
+
+from .fem.assembly import FixedData, PointData, ProblemStatic, QuadData, build_fixed_data
+from .fem.element import HatQuadrature, MasterElement
+from .geometry.domain import Domain1D, PolygonDomain2D, RectangleDomain2D
+from .models.mlp import init_mlp, mlp_apply, mlp_value_and_jac
+from .problems.adpde import ADPDE, MORVar
+from .train.loss import make_loss_fn
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ADPDE",
+    "MORVar",
+    "Domain1D",
+    "PolygonDomain2D",
+    "RectangleDomain2D",
+    "MasterElement",
+    "HatQuadrature",
+    "build_fixed_data",
+    "FixedData",
+    "QuadData",
+    "PointData",
+    "ProblemStatic",
+    "init_mlp",
+    "mlp_apply",
+    "mlp_value_and_jac",
+    "make_loss_fn",
+]

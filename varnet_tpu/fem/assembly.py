@@ -1,0 +1,276 @@
+"""Fixed-data assembly: from problem + discretization to device constants.
+
+TPU-native re-implementation of the reference trainer's setup path
+(reference: ``VarNet.py`` fixed-data construction — SURVEY.md §2.1 #1 and
+§3.1): for every hat test function v_k it precomputes the quadrature-point
+coordinates over supp(v_k), the test-function values N and spatial
+gradients dN, the quadrature weights w (Gauss weight x detJ), and the PDE
+coefficient fields kappa, v, s evaluated at those points.  At train time
+the weak-form residual is a fixed contraction of these constants against
+network outputs (SURVEY.md §0 item 4).
+
+Key TPU-first departures from the reference layout:
+  * N / dN / w are [nQ] tables shared by ALL nodes (uniform grid), not
+    replicated per node — smaller memory, broadcast in the einsum.
+  * Everything is assembled once and kept device-resident; the reference
+    re-fed this data host->device every step via feed dicts (SURVEY.md
+    §3.2) — do not copy that.
+  * Leading axes are padded to a multiple of the data-parallel shard count
+    with mask vectors, so arrays shard cleanly over the device mesh.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+from ..problems.adpde import ADPDE
+from ..utils.helpers import pair_mats
+from .element import HatQuadrature
+
+
+class QuadData(NamedTuple):
+    """Interior (weak-form) fixed data.  All entries are arrays.
+
+    coords [K, nQ, n_in]  network inputs at quad points: (x[, t][, mu])
+    N      [nQ]           test-function values (shared across nodes)
+    dN     [nQ, d]        spatial test-function gradients
+    w      [nQ]           Gauss weight x Jacobian determinant
+    kappa  [K, nQ]        diffusivity at quad points
+    vel    [K, nQ, d]     velocity at quad points
+    src    [K, nQ]        source at quad points
+    mask   [K]            1.0 for real test functions, 0.0 for padding
+    """
+
+    coords: np.ndarray
+    N: np.ndarray
+    dN: np.ndarray
+    w: np.ndarray
+    kappa: np.ndarray
+    vel: np.ndarray
+    src: np.ndarray
+    mask: np.ndarray
+
+
+class PointData(NamedTuple):
+    """Penalty-point fixed data (BC / IC / observations).
+
+    coords [N, n_in]  network inputs
+    values [N]        target values (g on boundary, u0 at t=0, ...)
+    mask   [N]        1.0 real / 0.0 padding
+    """
+
+    coords: np.ndarray
+    values: np.ndarray
+    mask: np.ndarray
+
+
+@dataclass(frozen=True)
+class ProblemStatic:
+    """Static (non-array) description of the assembled problem."""
+
+    n_space: int
+    time_dependent: bool
+    n_mor: int
+    n_inputs: int
+    n_test: int            # real (unpadded) test-function count
+    n_quad_per_test: int
+    n_bc: int
+    n_ic: int
+    input_lo: np.ndarray   # [n_inputs] for input scaling
+    input_hi: np.ndarray
+
+
+class FixedData(NamedTuple):
+    quad: QuadData
+    bc: PointData
+    ic: Optional[PointData]
+    static: ProblemStatic
+
+
+def _pad_axis0(a: np.ndarray, target: int) -> np.ndarray:
+    if a.shape[0] == target:
+        return a
+    pad = target - a.shape[0]
+    filler = np.repeat(a[:1], pad, axis=0)
+    return np.concatenate([a, filler], axis=0)
+
+
+def _pad_to_multiple(n: int, m: int) -> int:
+    return int(-(-n // m) * m)
+
+
+def _append_mu(coords: np.ndarray, mu_samples: np.ndarray) -> np.ndarray:
+    """Cartesian pairing of point coords with MOR samples.
+
+    coords [..., c]; mu_samples [M, P] -> [M * K, ..., c + P] with the
+    sample index varying slowest (reference UF.pairMats semantics,
+    SURVEY.md §3.5).
+    """
+    k = coords.shape[0]
+    m, p = mu_samples.shape
+    tiled = np.tile(coords, (m,) + (1,) * (coords.ndim - 1))  # [M*K, ..., c]
+    mu_rep = np.repeat(mu_samples, k, axis=0)  # [M*K, P], row m*K+k = mu[m]
+    mu_full = np.broadcast_to(
+        mu_rep.reshape((m * k,) + (1,) * (coords.ndim - 2) + (p,)),
+        (m * k,) + coords.shape[1:-1] + (p,),
+    )
+    return np.concatenate([tiled, mu_full], axis=-1)
+
+
+def build_fixed_data(
+    pde: ADPDE,
+    disc_num,
+    b_disc_num: int = 10,
+    t_disc_num: Optional[int] = None,
+    integ_p_num: int = 2,
+    pad_multiple: int = 1,
+) -> FixedData:
+    """Assemble all device constants for a problem + discretization.
+
+    disc_num:    spatial elements per dimension (int or per-dim sequence)
+    b_disc_num:  boundary points per segment edge
+    t_disc_num:  time elements (required iff pde is time-dependent)
+    integ_p_num: Gauss-Legendre points per dimension per element
+    pad_multiple: pad leading axes to a multiple of this (shard count)
+    """
+    d = pde.dim
+    td = pde.time_dependent
+    if td and t_disc_num is None:
+        raise ValueError("time-dependent problems require t_disc_num")
+
+    mesh = pde.domain.mesh(disc_num)
+    centers_x = mesh.interior_nodes  # [Ks, d]
+    if centers_x.shape[0] == 0:
+        raise ValueError("no interior test-function centres; refine disc_num")
+    h = mesh.spacing.copy()
+
+    if td:
+        t0, t1 = pde.t_interval
+        nt = int(t_disc_num)
+        t_nodes = np.linspace(t0, t1, nt + 1)
+        if nt < 2:
+            raise ValueError("t_disc_num must be >= 2")
+        t_centers = t_nodes[1:-1][:, None]  # interior time nodes
+        h_full = np.concatenate([h, [(t1 - t0) / nt]])
+        centers = pair_mats(centers_x, t_centers)  # [Ks*(nt-1), d+1]
+    else:
+        h_full = h
+        centers = centers_x
+
+    hq = HatQuadrature.build(h_full, integ_p_num)
+    coords = centers[:, None, :] + hq.offsets[None, :, :]  # [K, nQ, D]
+    k_real, nq = coords.shape[0], coords.shape[1]
+
+    # ---- MOR pairing (parametric inputs appended to network coords) ----
+    n_mor = 0
+    if pde.mor is not None:
+        n_mor = pde.mor.n_params
+        coords = _append_mu(coords, pde.mor.samples)  # [M*K, nQ, D+P]
+        k_real = coords.shape[0]
+
+    flat = coords.reshape(-1, coords.shape[-1])
+    x_f = flat[:, :d]
+    t_f = flat[:, d] if td else None
+    mu_f = flat[:, (d + 1 if td else d):] if n_mor else None
+    kappa = pde.eval_diff(x_f, t_f, mu_f).reshape(k_real, nq)
+    vel = pde.eval_vel(x_f, t_f, mu_f).reshape(k_real, nq, d)
+    src = pde.eval_source(x_f, t_f, mu_f).reshape(k_real, nq)
+
+    # ---- boundary condition points --------------------------------------
+    bc_coords_list: List[np.ndarray] = []
+    bc_vals_list: List[np.ndarray] = []
+    seg_points = pde.domain.boundary_points(b_disc_num)
+    for seg, pts in enumerate(seg_points):
+        if pde.bcs[seg] is None:
+            continue
+        if td:
+            pts_t = pair_mats(pts, np.linspace(*pde.t_interval, int(t_disc_num) + 1)[:, None])
+        else:
+            pts_t = pts
+        if pde.mor is not None:
+            pts_t = _append_mu(pts_t, pde.mor.samples)
+        xs = pts_t[:, :d]
+        ts = pts_t[:, d] if td else None
+        mus = pts_t[:, (d + 1 if td else d):] if pde.mor is not None else None
+        vals = pde.eval_bc(seg, xs, ts, mus)
+        bc_coords_list.append(pts_t)
+        bc_vals_list.append(vals)
+    if not bc_coords_list:
+        raise ValueError("no Dirichlet BC data on any segment")
+    bc_coords = np.concatenate(bc_coords_list, axis=0)
+    bc_vals = np.concatenate(bc_vals_list, axis=0)
+
+    # ---- initial condition points ---------------------------------------
+    ic: Optional[PointData] = None
+    if td:
+        in_dom = pde.domain.in_domain(mesh.nodes)
+        ic_x = mesh.nodes[in_dom]
+        ic_pts = np.concatenate(
+            [ic_x, np.full((ic_x.shape[0], 1), pde.t_interval[0])], axis=-1
+        )
+        if pde.mor is not None:
+            ic_pts = _append_mu(ic_pts, pde.mor.samples)
+        mus = ic_pts[:, d + 1:] if pde.mor is not None else None
+        ic_vals = pde.eval_ic(ic_pts[:, :d], mus)
+        n_ic_real = ic_pts.shape[0]
+        n_ic_pad = _pad_to_multiple(n_ic_real, pad_multiple)
+        ic_mask = np.zeros(n_ic_pad)
+        ic_mask[:n_ic_real] = 1.0
+        ic = PointData(
+            coords=_pad_axis0(ic_pts, n_ic_pad),
+            values=_pad_axis0(ic_vals, n_ic_pad),
+            mask=ic_mask,
+        )
+
+    # ---- padding for clean sharding --------------------------------------
+    k_pad = _pad_to_multiple(k_real, pad_multiple)
+    quad_mask = np.zeros(k_pad)
+    quad_mask[:k_real] = 1.0
+    quad = QuadData(
+        coords=_pad_axis0(coords, k_pad),
+        N=hq.N,
+        dN=hq.dN[:, :d],
+        w=hq.w,
+        kappa=_pad_axis0(kappa, k_pad),
+        vel=_pad_axis0(vel, k_pad),
+        src=_pad_axis0(src, k_pad),
+        mask=quad_mask,
+    )
+
+    nb_real = bc_coords.shape[0]
+    nb_pad = _pad_to_multiple(nb_real, pad_multiple)
+    bc_mask = np.zeros(nb_pad)
+    bc_mask[:nb_real] = 1.0
+    bc = PointData(
+        coords=_pad_axis0(bc_coords, nb_pad),
+        values=_pad_axis0(bc_vals, nb_pad),
+        mask=bc_mask,
+    )
+
+    # ---- input scaling ranges (network preconditioning) ------------------
+    lo, hi = pde.domain.bounds
+    lo = list(np.asarray(lo, dtype=np.float64))
+    hi = list(np.asarray(hi, dtype=np.float64))
+    if td:
+        lo.append(pde.t_interval[0])
+        hi.append(pde.t_interval[1])
+    if pde.mor is not None:
+        lo.extend(pde.mor.bounds[:, 0])
+        hi.extend(pde.mor.bounds[:, 1])
+
+    static = ProblemStatic(
+        n_space=d,
+        time_dependent=td,
+        n_mor=n_mor,
+        n_inputs=coords.shape[-1],
+        n_test=k_real,
+        n_quad_per_test=nq,
+        n_bc=nb_real,
+        n_ic=0 if ic is None else int(ic.mask.sum()),
+        input_lo=np.asarray(lo),
+        input_hi=np.asarray(hi),
+    )
+    return FixedData(quad=quad, bc=bc, ic=ic, static=static)

@@ -1,0 +1,216 @@
+"""Computational domains: meshes, interiors, boundary discretization.
+
+TPU-native re-implementation of the reference geometry layer
+(reference: ``Domain.py`` — classes ``Domain1D`` and ``PolygonDomain2D``,
+SURVEY.md §2.1 #4): produces the interior node grid (test-function centres),
+per-segment boundary point sets for the Dirichlet BC penalty, and
+point-in-domain queries for masking plots.  All host-side NumPy — this is
+setup-time code; its outputs become device-resident constants.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Tuple
+
+import numpy as np
+
+from ..utils.helpers import cartesian_grid
+
+
+@dataclass(frozen=True)
+class Mesh:
+    """A uniform node grid over the domain's bounding box.
+
+    nodes     [N, dim]  all grid nodes
+    shape     per-dim node counts
+    spacing   [dim] grid spacing h
+    interior_mask  [N] True where a node is a valid hat test-function
+                   centre: the FULL support patch (node +/- h box) must lie
+                   inside the domain so the hat quadrature tables apply
+                   unmodified and integration-by-parts boundary terms vanish.
+    """
+
+    nodes: np.ndarray
+    shape: Tuple[int, ...]
+    spacing: np.ndarray
+    interior_mask: np.ndarray
+
+    @property
+    def interior_nodes(self) -> np.ndarray:
+        return self.nodes[self.interior_mask]
+
+
+class Domain1D:
+    """Interval domain [lo, hi] (reference Domain1D, SURVEY.md §2.1 #4)."""
+
+    dim = 1
+
+    def __init__(self, lo: float = 0.0, hi: float = 1.0):
+        if not hi > lo:
+            raise ValueError("Domain1D requires hi > lo")
+        self.lo = float(lo)
+        self.hi = float(hi)
+
+    @property
+    def bounds(self):
+        return np.array([self.lo]), np.array([self.hi])
+
+    def in_domain(self, pts: np.ndarray) -> np.ndarray:
+        pts = np.atleast_2d(pts)
+        return (pts[:, 0] > self.lo) & (pts[:, 0] < self.hi)
+
+    def mesh(self, disc_num: int) -> Mesh:
+        """Uniform grid with ``disc_num`` elements (disc_num + 1 nodes)."""
+        n = int(disc_num) + 1
+        nodes, _, spacing = cartesian_grid([self.lo], [self.hi], [n])
+        interior = np.zeros(n, dtype=bool)
+        interior[1:-1] = True
+        return Mesh(nodes=nodes, shape=(n,), spacing=spacing, interior_mask=interior)
+
+    def boundary_points(self, b_disc_num: int = 1) -> List[np.ndarray]:
+        """Two segments: the endpoints (one point each)."""
+        del b_disc_num
+        return [np.array([[self.lo]]), np.array([[self.hi]])]
+
+    @property
+    def n_boundary_segments(self) -> int:
+        return 2
+
+
+class PolygonDomain2D:
+    """Polygonal 2-D domain, convex or not (reference PolygonDomain2D).
+
+    vertices: [V, 2] in order (either orientation); the polygon is closed
+    implicitly (last vertex connects back to the first).  Boundary segment i
+    is the edge vertices[i] -> vertices[i+1], so per-segment Dirichlet data
+    can be attached edge by edge (SURVEY.md §0 item 8).
+    """
+
+    dim = 2
+
+    def __init__(self, vertices: np.ndarray):
+        vertices = np.asarray(vertices, dtype=np.float64)
+        if vertices.ndim != 2 or vertices.shape[1] != 2 or vertices.shape[0] < 3:
+            raise ValueError("vertices must be [V>=3, 2]")
+        self.vertices = vertices
+
+    @property
+    def bounds(self):
+        return self.vertices.min(axis=0), self.vertices.max(axis=0)
+
+    @property
+    def n_boundary_segments(self) -> int:
+        return self.vertices.shape[0]
+
+    def in_domain(self, pts: np.ndarray) -> np.ndarray:
+        """Vectorized even-odd (ray casting) point-in-polygon test.
+
+        Handles non-convex polygons.  Points on an edge are classified by
+        the half-open edge convention; mesh interiors additionally require a
+        margin via the support check, so edge ambiguity is harmless.
+        """
+        pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
+        x, y = pts[:, 0], pts[:, 1]
+        v = self.vertices
+        x1, y1 = v[:, 0], v[:, 1]
+        x2, y2 = np.roll(v[:, 0], -1), np.roll(v[:, 1], -1)
+        inside = np.zeros(pts.shape[0], dtype=bool)
+        for i in range(v.shape[0]):
+            crosses = (y1[i] > y) != (y2[i] > y)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                x_int = x1[i] + (y - y1[i]) / (y2[i] - y1[i]) * (x2[i] - x1[i])
+            inside ^= crosses & (x < x_int)
+        return inside
+
+    def mesh(self, disc_num) -> Mesh:
+        """Uniform bounding-box grid; interior mask keeps nodes whose full
+        hat support lies inside the polygon.
+
+        disc_num: int (elements per dim) or pair (nx_elems, ny_elems).
+        """
+        if np.isscalar(disc_num):
+            counts = (int(disc_num) + 1, int(disc_num) + 1)
+        else:
+            counts = tuple(int(d) + 1 for d in disc_num)
+        lo, hi = self.bounds
+        nodes, _, spacing = cartesian_grid(lo, hi, counts)
+        interior = self._support_inside(nodes, spacing)
+        return Mesh(nodes=nodes, shape=counts, spacing=spacing, interior_mask=interior)
+
+    def _support_inside(self, nodes: np.ndarray, h: np.ndarray) -> np.ndarray:
+        """True where node and all 8 support-patch sample points are inside.
+
+        Checks the 3x3 stencil {node + (i*h_x, j*h_y), i,j in {-1,0,1}}.
+        This keeps only hats whose support box is (up to sampling) inside
+        the polygon — the conservative choice that keeps the uniform
+        quadrature tables exact; coverage near the boundary is provided by
+        the BC penalty points (SURVEY.md §7 "hard parts" item 3).
+        """
+        # The support may TOUCH the boundary (the hat vanishes there, which
+        # is the standard FEM interior basis), so probes are shrunk slightly
+        # inward to avoid excluding nodes exactly one spacing from an edge.
+        shrink = 1.0 - 1e-9
+        ok = np.ones(nodes.shape[0], dtype=bool)
+        for di in (-1.0, 0.0, 1.0):
+            for dj in (-1.0, 0.0, 1.0):
+                probe = nodes + shrink * np.array([di * h[0], dj * h[1]])
+                ok &= self.in_domain(probe)
+        return ok
+
+    def boundary_points(self, b_disc_num: int = 10) -> List[np.ndarray]:
+        """Per-edge uniform boundary points (including both edge endpoints).
+
+        Returns a list of [b_disc_num + 1, 2] arrays, one per edge, in the
+        same order as ``vertices`` so per-segment BC callables line up.
+        """
+        n = int(b_disc_num)
+        pts = []
+        v = self.vertices
+        for i in range(v.shape[0]):
+            a, b = v[i], v[(i + 1) % v.shape[0]]
+            t = np.linspace(0.0, 1.0, n + 1)[:, None]
+            pts.append(a[None, :] * (1 - t) + b[None, :] * t)
+        return pts
+
+    def grid_in_domain(self, counts) -> Tuple[np.ndarray, np.ndarray]:
+        """Uniform evaluation grid masked to the polygon (for viz/eval)."""
+        lo, hi = self.bounds
+        nodes, _, _ = cartesian_grid(lo, hi, counts)
+        return nodes, self.in_domain(nodes)
+
+
+class RectangleDomain2D(PolygonDomain2D):
+    """Axis-aligned rectangle convenience domain.
+
+    Segments are ordered bottom, right, top, left (counter-clockwise from
+    (x_lo, y_lo)).
+    """
+
+    def __init__(self, lo=(0.0, 0.0), hi=(1.0, 1.0)):
+        lo = np.asarray(lo, dtype=np.float64)
+        hi = np.asarray(hi, dtype=np.float64)
+        if not np.all(hi > lo):
+            raise ValueError("RectangleDomain2D requires hi > lo per dim")
+        super().__init__(
+            np.array(
+                [
+                    [lo[0], lo[1]],
+                    [hi[0], lo[1]],
+                    [hi[0], hi[1]],
+                    [lo[0], hi[1]],
+                ]
+            )
+        )
+
+    def in_domain(self, pts: np.ndarray) -> np.ndarray:
+        pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
+        lo, hi = self.bounds
+        return np.all((pts > lo) & (pts < hi), axis=1)
+
+    def _support_inside(self, nodes, h):
+        lo, hi = self.bounds
+        eps = 1e-12 * np.maximum(np.abs(hi - lo), 1.0)
+        return np.all(
+            (nodes - h >= lo - eps) & (nodes + h <= hi + eps), axis=1
+        )

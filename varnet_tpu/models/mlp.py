@@ -1,0 +1,152 @@
+"""Trial-function network: MLP with fused value + input-jacobian forward.
+
+TPU-native re-implementation of the reference NN backend
+(reference: ``TFModel.py``, class ``TFNN`` — SURVEY.md §2.1 #2).  The
+reference builds a TF1 graph MLP and calls ``tf.gradients(u, inputs)`` for
+grad(u) and u_t (SURVEY.md §3.1).  Here the input jacobian is propagated in
+FORWARD mode alongside the activations, expressed as batched matmuls:
+
+    state per point = [(1 + n_in), H] block: row 0 is the activation, rows
+    1..n_in are the jacobian rows d(activation)/d(x_j).
+
+Each layer is then ONE matmul of shape [P*(1+n_in), H_in] @ [H_in, H_out]
+plus elementwise work — exactly the large, batched, static-shape form the
+MXU wants, and fully differentiable by JAX for the parameter gradients.
+This is the correct-by-construction path; ``varnet_tpu.ops.pallas_mlp``
+provides a fused Pallas kernel behind the same signature (SURVEY.md §7
+step 6).
+
+Params are a plain pytree: a list of {'w': [in, out], 'b': [out]} dicts.
+Inputs may be affinely scaled to [-1, 1] (jacobians are chain-ruled back to
+the ORIGINAL coordinates, so the PDE machinery never sees the scaling).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = List[dict]
+
+
+def _activation_pair(name: str) -> Tuple[Callable, Callable]:
+    """Return (act, act_prime_from_output): derivative computed from the
+    ACTIVATION OUTPUT so the forward value is reused (one transcendental)."""
+    if name == "tanh":
+        return jnp.tanh, lambda a: 1.0 - a * a
+    if name == "sigmoid":
+        return jax.nn.sigmoid, lambda a: a * (1.0 - a)
+    raise ValueError(f"unknown activation '{name}' (expected tanh|sigmoid)")
+
+
+def init_mlp(
+    key: jax.Array,
+    n_in: int,
+    hidden: Sequence[int],
+    n_out: int = 1,
+    dtype=jnp.float32,
+) -> Params:
+    """Glorot-normal initialized MLP parameters.
+
+    ``hidden`` mirrors the reference's ``layerWidth`` constructor argument
+    (SURVEY.md §1 public-surface table).
+    """
+    sizes = [int(n_in)] + [int(h) for h in hidden] + [int(n_out)]
+    params: Params = []
+    for fan_in, fan_out in zip(sizes[:-1], sizes[1:]):
+        key, sub = jax.random.split(key)
+        std = math.sqrt(2.0 / (fan_in + fan_out))
+        params.append(
+            {
+                "w": std * jax.random.normal(sub, (fan_in, fan_out), dtype=dtype),
+                "b": jnp.zeros((fan_out,), dtype=dtype),
+            }
+        )
+    return params
+
+
+def make_input_scaling(lo, hi, dtype=jnp.float32):
+    """Affine map of inputs onto [-1, 1]: x_n = (x - shift) * scale."""
+    lo = jnp.asarray(lo, dtype=dtype)
+    hi = jnp.asarray(hi, dtype=dtype)
+    scale = 2.0 / jnp.where(hi > lo, hi - lo, 1.0)
+    shift = (lo + hi) / 2.0
+    return scale, shift
+
+
+def mlp_apply(
+    params: Params,
+    x: jax.Array,
+    activation: str = "tanh",
+    scale: Optional[jax.Array] = None,
+    shift: Optional[jax.Array] = None,
+) -> jax.Array:
+    """u_theta(x) for x: [P, n_in] -> [P]."""
+    act, _ = _activation_pair(activation)
+    a = x if scale is None else (x - shift) * scale
+    a = a.astype(params[0]["w"].dtype)
+    for layer in params[:-1]:
+        a = act(a @ layer["w"] + layer["b"])
+    out = a @ params[-1]["w"] + params[-1]["b"]
+    return out[..., 0]
+
+
+def mlp_value_and_jac(
+    params: Params,
+    x: jax.Array,
+    activation: str = "tanh",
+    scale: Optional[jax.Array] = None,
+    shift: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """(u, du/dx) at x: [P, n_in] -> ([P], [P, n_in]).
+
+    Forward-mode jacobian propagation as one fused matmul chain.  The
+    jacobian is with respect to the ORIGINAL (unscaled) inputs.
+    """
+    act, act_prime = _activation_pair(activation)
+    p, n_in = x.shape
+    dtype = params[0]["w"].dtype
+    a = (x if scale is None else (x - shift) * scale).astype(dtype)
+    # Jacobian of the (scaled) input wrt the original input.
+    eye = jnp.eye(n_in, dtype=dtype)
+    if scale is not None:
+        eye = eye * scale[None, :].astype(dtype)
+    jac = jnp.broadcast_to(eye, (p, n_in, n_in))
+    for layer in params[:-1]:
+        w, b = layer["w"], layer["b"]
+        # State matmul: [P*(1+n_in), H_in] @ [H_in, H_out] in one shot.
+        state = jnp.concatenate([a[:, None, :], jac], axis=1)
+        state = (state.reshape(p * (1 + n_in), -1) @ w).reshape(p, 1 + n_in, -1)
+        a = act(state[:, 0, :] + b)
+        jac = state[:, 1:, :] * act_prime(a)[:, None, :]
+    w, b = params[-1]["w"], params[-1]["b"]
+    state = jnp.concatenate([a[:, None, :], jac], axis=1)
+    state = (state.reshape(p * (1 + n_in), -1) @ w).reshape(p, 1 + n_in, -1)
+    u = state[:, 0, 0] + b[0]
+    du = state[:, 1:, 0]
+    return u, du
+
+
+def mlp_value_and_jac_auto(
+    params: Params,
+    x: jax.Array,
+    activation: str = "tanh",
+    scale: Optional[jax.Array] = None,
+    shift: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Autodiff reference for :func:`mlp_value_and_jac` (tests/golden)."""
+
+    def single(xi):
+        return mlp_apply(params, xi[None, :], activation, scale, shift)[0]
+
+    u = jax.vmap(single)(x)
+    du = jax.vmap(jax.grad(single))(x)
+    return u, du
+
+
+def param_count(params: Params) -> int:
+    return int(sum(np.prod(p["w"].shape) + np.prod(p["b"].shape) for p in params))

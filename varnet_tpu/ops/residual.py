@@ -1,0 +1,54 @@
+"""Weak-form residual contraction.
+
+TPU-native re-implementation of the reference's in-graph residual ops
+(reference: ``TFModel.py`` residual contraction — SURVEY.md §3.1):
+
+    r_k = sum_q w_q * [ u_t N_q + (v . grad u) N_q + kappa grad u . dN_q
+                        - s N_q ]
+
+All test-function data (N, dN, w) are constants shared across nodes; the
+contraction is pure elementwise + reduction work that XLA fuses into the
+surrounding computation (BASELINE.json north star: "batched einsums").
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+def weak_residual(
+    grad_u: jnp.ndarray,          # [K, nQ, d]  spatial gradient of the net
+    n: jnp.ndarray,               # [nQ]        test-function values
+    dn: jnp.ndarray,              # [nQ, d]     spatial test-fn gradients
+    w: jnp.ndarray,               # [nQ]        Gauss weight x detJ
+    kappa: jnp.ndarray,           # [K, nQ]
+    vel: jnp.ndarray,             # [K, nQ, d]
+    src: jnp.ndarray,             # [K, nQ]
+    u_t: Optional[jnp.ndarray] = None,  # [K, nQ] (time-dependent only)
+) -> jnp.ndarray:
+    """Per-test-function weak residual r_k -> [K].
+
+    Integration by parts has been applied only to the diffusion term
+    (SURVEY.md §0 item 3), so only FIRST derivatives of the network appear.
+    """
+    adv = jnp.einsum("kqd,kqd->kq", vel, grad_u)
+    integrand = (adv - src) * n[None, :]
+    if u_t is not None:
+        integrand = integrand + u_t * n[None, :]
+    diff = kappa * jnp.einsum("kqd,qd->kq", grad_u, dn)
+    integrand = integrand + diff
+    return jnp.einsum("kq,q->k", integrand, w)
+
+
+def masked_sum_sq(r: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """sum_k mask_k * r_k^2 (padding-safe interior loss term)."""
+    return jnp.sum(mask * r * r)
+
+
+def masked_mse(pred: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Padding-safe mean squared error for BC/IC/observation penalties."""
+    err = (pred - target) * mask
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum(err * err) / denom

@@ -1,0 +1,91 @@
+"""Device mesh + sharding layout.
+
+TPU-native replacement for the reference's multi-tower data parallelism
+(reference: ``TFModel.py`` ``processors``/``controller`` tower replication
+with in-graph gradient averaging — SURVEY.md §2.2): one
+``jax.sharding.Mesh`` with a ``data`` axis over all chips; the
+test-function axis of every fixed-data array is sharded over it, model
+parameters are replicated, and XLA lowers the single gradient reduction to
+an ICI all-reduce (SURVEY.md §5.8).  No other parallelism is structurally
+required: weak-form residuals are local to each test-function support
+(SURVEY.md §5.7), so tensor/pipeline/sequence/expert axes are documented
+non-goals; the mesh keeps a trivial ``model`` axis so one could be added
+without re-plumbing.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """A (data, model=1) mesh over the available (or given) devices."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    dev_array = np.asarray(devices).reshape(len(devices), 1)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (test-function / point) axis over ``data``."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_quad(quad, mesh: Mesh, dtype=None):
+    """Place QuadData: per-test-function arrays sharded on ``data``; the
+    shared [nQ]-sized tables (N, dN, w) replicated."""
+    import jax.numpy as jnp
+
+    dsh, rsh = data_sharding(mesh), replicated_sharding(mesh)
+
+    def cast(a):
+        a = jnp.asarray(a)
+        return a.astype(dtype) if dtype is not None else a
+
+    return type(quad)(
+        coords=jax.device_put(cast(quad.coords), dsh),
+        N=jax.device_put(cast(quad.N), rsh),
+        dN=jax.device_put(cast(quad.dN), rsh),
+        w=jax.device_put(cast(quad.w), rsh),
+        kappa=jax.device_put(cast(quad.kappa), dsh),
+        vel=jax.device_put(cast(quad.vel), dsh),
+        src=jax.device_put(cast(quad.src), dsh),
+        mask=jax.device_put(cast(quad.mask), dsh),
+    )
+
+
+def shard_points(points, mesh: Mesh, dtype=None):
+    """Place PointData: every array sharded on ``data`` along axis 0."""
+    import jax.numpy as jnp
+
+    dsh = data_sharding(mesh)
+
+    def cast(a):
+        a = jnp.asarray(a)
+        return a.astype(dtype) if dtype is not None else a
+
+    return type(points)(
+        coords=jax.device_put(cast(points.coords), dsh),
+        values=jax.device_put(cast(points.values), dsh),
+        mask=jax.device_put(cast(points.mask), dsh),
+    )
+
+
+def replicate(tree, mesh: Mesh):
+    rsh = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(jax.numpy.asarray(leaf), rsh), tree
+    )

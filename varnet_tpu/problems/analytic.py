@@ -1,0 +1,180 @@
+"""Analytic advection-diffusion solutions.
+
+The reference validates by closed-form solutions (SURVEY.md §4: "analytic
+-solution examples as end-to-end tests"); this module is the shared library
+behind our examples AND the unit tests — in particular the
+residual-of-analytic-solution test, "the single most valuable test"
+(SURVEY.md §4), which validates mesh, quadrature, N/dN and field evaluation
+jointly without any training.
+
+Each factory returns a dict with the ADPDE field callables plus ``c_ex``
+and the analytic spatial gradient / time derivative (for residual tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..geometry.domain import Domain1D, RectangleDomain2D
+from .adpde import ADPDE
+
+
+def steady_ad_1d(kappa: float = 0.05, vel: float = 1.0):
+    """1-D steady advection-diffusion boundary layer (BASELINE config 1).
+
+        v u_x - kappa u_xx = 0 on (0, 1),  u(0) = 0, u(1) = 1
+        u(x) = (exp(v x / kappa) - 1) / (exp(v / kappa) - 1)
+
+    Advection-dominated for small kappa — the sharp-front regime the
+    weak-form loss is designed for (SURVEY.md §0 item 3).
+    """
+    pe = vel / kappa
+
+    def c_ex(x, t=None):
+        x = np.atleast_2d(x)[:, 0]
+        return np.expm1(pe * x) / np.expm1(pe)
+
+    def c_ex_grad(x, t=None):
+        x = np.atleast_2d(x)[:, 0]
+        return (pe * np.exp(pe * x) / np.expm1(pe))[:, None]
+
+    domain = Domain1D(0.0, 1.0)
+    pde = ADPDE(domain, diff=kappa, vel=vel, source=0.0, bcs=[0.0, 1.0], c_ex=c_ex)
+    return {"pde": pde, "c_ex": c_ex, "c_ex_grad": c_ex_grad, "c_ex_dt": None}
+
+
+def transient_ad_1d(kappa: float = 0.02, vel: float = 1.0, x0: float = 0.2,
+                    t_final: float = 0.5, t_eps: float = 0.01):
+    """1-D transient AD with a moving smoothed front (BASELINE config 2).
+
+        u_t + v u_x - kappa u_xx = 0
+        u(x, t) = 1/2 erfc((x - x0 - v t) / (2 sqrt(kappa (t + t_eps))))
+
+    The erfc similarity solution of the infinite-domain problem; Dirichlet
+    data on both ends and the IC are taken from the exact solution, so it
+    remains exact on the truncated domain.
+    """
+    from scipy.special import erfc
+
+    # t_eps shifts the similarity solution off its t=0 singularity; the
+    # initial front width is ~2 sqrt(kappa * t_eps).
+
+    def _u(x, t):
+        sig = 2.0 * np.sqrt(kappa * (t + t_eps))
+        return 0.5 * erfc((x - x0 - vel * t) / sig)
+
+    def c_ex(x, t):
+        return _u(np.atleast_2d(x)[:, 0], np.asarray(t))
+
+    def c_ex_grad(x, t):
+        x1 = np.atleast_2d(x)[:, 0]
+        t = np.asarray(t)
+        sig = 2.0 * np.sqrt(kappa * (t + t_eps))
+        z = (x1 - x0 - vel * t) / sig
+        return (-np.exp(-z * z) / (np.sqrt(np.pi) * sig))[:, None]
+
+    def c_ex_dt(x, t):
+        x1 = np.atleast_2d(x)[:, 0]
+        t = np.asarray(t)
+        sig = 2.0 * np.sqrt(kappa * (t + t_eps))
+        z = (x1 - x0 - vel * t) / sig
+        dz_dt = -vel / sig - (x1 - x0 - vel * t) * kappa / (sig**3) * 2.0
+        return -np.exp(-z * z) / np.sqrt(np.pi) * dz_dt
+
+    domain = Domain1D(0.0, 1.0)
+    pde = ADPDE(
+        domain,
+        diff=kappa,
+        vel=vel,
+        source=0.0,
+        t_interval=(0.0, t_final),
+        bcs=[lambda x, t: c_ex(x, t), lambda x, t: c_ex(x, t)],
+        ic=lambda x: _u(np.atleast_2d(x)[:, 0], 0.0),
+        c_ex=c_ex,
+    )
+    return {"pde": pde, "c_ex": c_ex, "c_ex_grad": c_ex_grad, "c_ex_dt": c_ex_dt}
+
+
+def steady_ad_2d(kappa: float = 0.1, vel=(1.0, 0.5)):
+    """2-D steady AD on the unit square with a manufactured solution
+    (BASELINE config 3).
+
+        u(x, y) = sin(pi x) sin(pi y)
+        s = v . grad(u) - kappa lap(u)   (manufactured)
+    """
+    vx, vy = float(vel[0]), float(vel[1])
+
+    def c_ex(x, t=None):
+        x = np.atleast_2d(x)
+        return np.sin(np.pi * x[:, 0]) * np.sin(np.pi * x[:, 1])
+
+    def c_ex_grad(x, t=None):
+        x = np.atleast_2d(x)
+        sx, cx = np.sin(np.pi * x[:, 0]), np.cos(np.pi * x[:, 0])
+        sy, cy = np.sin(np.pi * x[:, 1]), np.cos(np.pi * x[:, 1])
+        return np.stack([np.pi * cx * sy, np.pi * sx * cy], axis=-1)
+
+    def source(x, t=None):
+        g = c_ex_grad(x)
+        lap = -2.0 * np.pi**2 * c_ex(x)
+        return vx * g[:, 0] + vy * g[:, 1] - kappa * lap
+
+    domain = RectangleDomain2D((0.0, 0.0), (1.0, 1.0))
+    pde = ADPDE(
+        domain, diff=kappa, vel=np.array([vx, vy]), source=source,
+        bcs=0.0, c_ex=c_ex,
+    )
+    return {"pde": pde, "c_ex": c_ex, "c_ex_grad": c_ex_grad, "c_ex_dt": None}
+
+
+def transient_ad_2d(kappa: float = 0.05, vel=(0.5, 0.25), t_final: float = 0.5):
+    """2-D transient AD with a translating-decaying exact solution
+    (BASELINE config 4 analytic variant; the flagship benchmark problem).
+
+        u(x, y, t) = exp(-2 kappa pi^2 t) sin(pi (x - vx t)) sin(pi (y - vy t))
+
+    satisfies u_t + v . grad(u) - kappa lap(u) = 0 with constant v; BCs on
+    the unit square and the IC come from the exact solution.
+    """
+    vx, vy = float(vel[0]), float(vel[1])
+
+    def _parts(x, t):
+        x = np.atleast_2d(x)
+        t = np.asarray(t, dtype=np.float64)
+        wx = x[:, 0] - vx * t
+        wy = x[:, 1] - vy * t
+        amp = np.exp(-2.0 * kappa * np.pi**2 * t)
+        return wx, wy, amp
+
+    def c_ex(x, t):
+        wx, wy, amp = _parts(x, t)
+        return amp * np.sin(np.pi * wx) * np.sin(np.pi * wy)
+
+    def c_ex_grad(x, t):
+        wx, wy, amp = _parts(x, t)
+        gx = amp * np.pi * np.cos(np.pi * wx) * np.sin(np.pi * wy)
+        gy = amp * np.pi * np.sin(np.pi * wx) * np.cos(np.pi * wy)
+        return np.stack([gx, gy], axis=-1)
+
+    def c_ex_dt(x, t):
+        wx, wy, amp = _parts(x, t)
+        s_x, c_x = np.sin(np.pi * wx), np.cos(np.pi * wx)
+        s_y, c_y = np.sin(np.pi * wy), np.cos(np.pi * wy)
+        return amp * (
+            -2.0 * kappa * np.pi**2 * s_x * s_y
+            - np.pi * vx * c_x * s_y
+            - np.pi * vy * s_x * c_y
+        )
+
+    domain = RectangleDomain2D((0.0, 0.0), (1.0, 1.0))
+    pde = ADPDE(
+        domain,
+        diff=kappa,
+        vel=np.array([vx, vy]),
+        source=0.0,
+        t_interval=(0.0, t_final),
+        bcs=[lambda x, t: c_ex(x, t)] * 4,
+        ic=lambda x: c_ex(x, np.zeros(np.atleast_2d(x).shape[0])),
+        c_ex=c_ex,
+    )
+    return {"pde": pde, "c_ex": c_ex, "c_ex_grad": c_ex_grad, "c_ex_dt": c_ex_dt}

@@ -1,0 +1,98 @@
+"""Variational (weak-form) total loss.
+
+TPU-native re-implementation of the reference loss assembly
+(reference: ``TFModel.py`` loss ops — SURVEY.md §0 item 5):
+
+    L(theta) = w_int * sum_k |r_k|^2
+             + w_bc  * mean_bc |u - g|^2
+             + w_ic  * mean_ic |u - u0|^2
+             [+ w_obs * mean_obs |u - u_obs|^2   (inverse problems)]
+
+Built as a pure function of (trainable pytree, fixed data, weights) so it
+jits/shards/differentiates cleanly.  The network evaluation path
+(value-and-jacobian) is injected, letting the fused Pallas kernel replace
+the stock matmul chain behind the same signature (SURVEY.md §7 step 6).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+from ..fem.assembly import ProblemStatic
+from ..models.mlp import make_input_scaling, mlp_apply, mlp_value_and_jac
+from ..ops.residual import masked_mse, masked_sum_sq, weak_residual
+
+
+def make_loss_fn(
+    static: ProblemStatic,
+    activation: str = "tanh",
+    input_scaling: bool = True,
+    value_and_jac: Callable = mlp_value_and_jac,
+    apply_fn: Callable = mlp_apply,
+    source_fn: Optional[Callable] = None,
+    has_obs: bool = False,
+):
+    """Build the total-loss function for an assembled problem.
+
+    source_fn: optional trainable source hook ``source_fn(phi, x, t) -> [P]``
+        (x: [P, d] spatial coords, t: [P] or None).  When given, the
+        trainable pytree must be ``{'net': mlp_params, 'src': phi}`` and the
+        precomputed ``quad.src`` is ignored — this is the inverse
+        source-identification mode (BASELINE.json config 5).
+    has_obs: when True the loss takes an observations PointData and a
+        4-vector of weights (w_int, w_bc, w_ic, w_obs).
+
+    Returns ``loss_fn(theta, quad, bc, ic, obs, weights) -> (total, aux)``;
+    ``ic``/``obs`` may be None for steady / non-inverse problems (decided
+    statically here, not traced).
+    """
+    d = static.n_space
+    td = static.time_dependent
+    n_in = static.n_inputs
+    if input_scaling:
+        scale, shift = make_input_scaling(static.input_lo, static.input_hi)
+    else:
+        scale = shift = None
+
+    def net_params(theta):
+        return theta["net"] if isinstance(theta, dict) and "net" in theta else theta
+
+    def loss_fn(theta, quad, bc, ic=None, obs=None, weights=(1.0, 1.0, 1.0)):
+        net = net_params(theta)
+        weights = jnp.asarray(weights)
+        k, nq = quad.coords.shape[0], quad.coords.shape[1]
+        flat = quad.coords.reshape(k * nq, n_in)
+        u, du = value_and_jac(net, flat, activation, scale, shift)
+        grad_u = du[:, :d].reshape(k, nq, d)
+        u_t = du[:, d].reshape(k, nq) if td else None
+        if source_fn is not None:
+            t_flat = flat[:, d] if td else None
+            src = source_fn(theta["src"], flat[:, :d], t_flat).reshape(k, nq)
+        else:
+            src = quad.src
+        r = weak_residual(
+            grad_u, quad.N, quad.dN, quad.w, quad.kappa, quad.vel, src, u_t
+        )
+        loss_int = masked_sum_sq(r, quad.mask)
+
+        u_bc = apply_fn(net, bc.coords, activation, scale, shift)
+        loss_bc = masked_mse(u_bc, bc.values, bc.mask)
+
+        total = weights[0] * loss_int + weights[1] * loss_bc
+        aux = {"loss_int": loss_int, "loss_bc": loss_bc}
+        if ic is not None:
+            u_ic = apply_fn(net, ic.coords, activation, scale, shift)
+            loss_ic = masked_mse(u_ic, ic.values, ic.mask)
+            total = total + weights[2] * loss_ic
+            aux["loss_ic"] = loss_ic
+        if has_obs:
+            u_obs = apply_fn(net, obs.coords, activation, scale, shift)
+            loss_obs = masked_mse(u_obs, obs.values, obs.mask)
+            total = total + weights[3] * loss_obs
+            aux["loss_obs"] = loss_obs
+        aux["loss"] = total
+        return total, aux
+
+    return loss_fn
