@@ -8,9 +8,19 @@ Environment must be set before the first ``import jax`` anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session environment may preset JAX_PLATFORMS (e.g. "axon"
+# for the real-TPU tunnel), but unit tests must run on the 8-device virtual
+# CPU mesh — fast, deterministic, no tunnel round-trips.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The axon sitecustomize (TPU-tunnel images) calls register(), which
+# force-sets jax_platforms="axon,cpu" at interpreter start — AFTER env vars
+# are read.  Override at the config level before any backend initializes.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
