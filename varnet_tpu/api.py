@@ -1,0 +1,435 @@
+"""High-level orchestrator: the ``VarNet`` class.
+
+TPU-native re-implementation of the reference's user-facing trainer
+(reference: ``VarNet.py`` class ``VarNet`` — SURVEY.md §1 public-surface
+table: ``VarNet(pde, layerWidth, discNum, bDiscNum, tDiscNum, ...)``,
+``.train(epochNum, weight, batchNum, saveFreq, folderpath)``,
+``.loadModel()``, ``.evaluate()``, ``.simRes()``).  Same capability
+surface, TPU-first internals:
+
+  * fixed data assembled once on host, then sharded over the device mesh
+    and kept resident (the reference re-fed it every step — SURVEY.md §3.2);
+  * one jitted epoch step (optionally scanning mini-batches) with donated
+    parameter/optimizer buffers;
+  * gradients all-reduced by XLA across the ``data`` mesh axis — the
+    idiomatic replacement for the reference's TF1 multi-tower averaging
+    (SURVEY.md §2.2/§5.8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fem.assembly import (
+    FixedData,
+    PointData,
+    build_fixed_data,
+    pad_points,
+    pad_quad,
+)
+from .models.mlp import init_mlp, param_count
+from .parallel.mesh import (
+    DATA_AXIS,
+    batched_quad_sharding,
+    data_sharding,
+    make_mesh,
+    replicate,
+    shard_points,
+    shard_quad,
+)
+from .problems.adpde import ADPDE
+from .train.checkpoint import load_checkpoint, save_checkpoint
+from .train.loss import make_loss_fn
+from .train.optim import OptimizerConfig, make_optimizer
+from .train.trainer import (
+    TrainResult,
+    _tree_reshape_batches,
+    make_eval_fn,
+    make_train_step,
+)
+from .utils.helpers import pair_mats, rel_l2_error
+
+
+class VarNet:
+    """Variational PDE solver: neural trial function + weak-form loss.
+
+    Parameters mirror the reference constructor (SURVEY.md §1):
+      pde:          ADPDE problem definition
+      layer_width:  hidden-layer widths of the MLP trial function
+      disc_num:     spatial elements per dimension (int or per-dim seq)
+      b_disc_num:   boundary points per segment edge
+      t_disc_num:   time elements (time-dependent problems only)
+      integ_p_num:  Gauss-Legendre points per dim per element
+      activation:   'tanh' | 'sigmoid'
+      seed:         PRNG seed for parameter init
+      n_devices:    restrict the data-parallel mesh (default: all devices)
+      dtype:        parameter/compute dtype (float32 default; quadrature
+                    tables are cast to it on device placement)
+      optimizer:    OptimizerConfig (Adam by default, as the reference)
+      source_fn:    trainable source hook for inverse source identification
+                    (BASELINE config 5): ``source_fn(phi, x, t) -> [P]``
+      source_init:  initial pytree phi for source_fn
+      obs_data:     observation PointData for inverse problems
+    """
+
+    def __init__(
+        self,
+        pde: ADPDE,
+        layer_width: Sequence[int] = (20, 20),
+        disc_num=20,
+        b_disc_num: int = 10,
+        t_disc_num: Optional[int] = None,
+        integ_p_num: int = 2,
+        activation: str = "tanh",
+        seed: int = 0,
+        n_devices: Optional[int] = None,
+        dtype=jnp.float32,
+        optimizer: Optional[OptimizerConfig] = None,
+        input_scaling: bool = True,
+        source_fn: Optional[Callable] = None,
+        source_init: Any = None,
+        obs_data: Optional[PointData] = None,
+    ):
+        self.pde = pde
+        self.layer_width = tuple(int(w) for w in layer_width)
+        self.disc_num = disc_num
+        self.b_disc_num = int(b_disc_num)
+        self.t_disc_num = None if t_disc_num is None else int(t_disc_num)
+        self.integ_p_num = int(integ_p_num)
+        self.activation = activation
+        self.seed = int(seed)
+        self.dtype = dtype
+        self.optimizer_cfg = optimizer or OptimizerConfig()
+        self.input_scaling = bool(input_scaling)
+        self.source_fn = source_fn
+        self.obs_data = obs_data
+        if source_fn is not None and source_init is None:
+            raise ValueError("source_fn requires source_init")
+
+        self.mesh = make_mesh(n_devices)
+        self.n_shards = self.mesh.shape[DATA_AXIS]
+
+        self.fixed: FixedData = build_fixed_data(
+            pde,
+            disc_num,
+            b_disc_num=self.b_disc_num,
+            t_disc_num=self.t_disc_num,
+            integ_p_num=self.integ_p_num,
+            pad_multiple=1,
+        )
+        self.static = self.fixed.static
+
+        key = jax.random.PRNGKey(self.seed)
+        net = init_mlp(
+            key, self.static.n_inputs, self.layer_width, n_out=1, dtype=dtype
+        )
+        if source_fn is not None:
+            self.theta: Any = {"net": net, "src": source_init}
+        else:
+            self.theta = net
+        self.opt_state = None  # created lazily in train()/load_model()
+        self.train_result: Optional[TrainResult] = None
+        self._eval_fn = make_eval_fn(
+            self.static, self.activation, self.input_scaling
+        )
+
+    # ------------------------------------------------------------------ #
+    # training
+
+    def train(
+        self,
+        epoch_num: int,
+        weight: Optional[Sequence[float]] = None,
+        batch_num: int = 1,
+        save_freq: int = 500,
+        folderpath: Optional[str] = None,
+        resume: bool = False,
+        verbose: bool = True,
+        error_disc: int = 64,
+        error_times: int = 5,
+        value_and_jac: Optional[Callable] = None,
+        target_error: Optional[float] = None,
+    ) -> TrainResult:
+        """Run the training loop (reference ``VarNet.train`` — SURVEY.md §3.2).
+
+        weight:      (w_int, w_bc[, w_ic][, w_obs]) loss weights
+        batch_num:   interior mini-batches per epoch (scan inside the jit)
+        save_freq:   report/checkpoint period (epochs)
+        folderpath:  case directory for checkpoints + JSONL training log
+        resume:      restore the latest checkpoint from folderpath first
+        error_disc:  eval-grid resolution for rel-L2 error vs pde.c_ex
+        target_error: optional early-stop threshold on rel-L2 error
+        value_and_jac: override the network value+jacobian path (e.g. the
+                     fused Pallas kernel); default is the matmul-chain path
+        """
+        td = self.static.time_dependent
+        has_obs = self.obs_data is not None
+        if weight is None:
+            weight = (1.0, 1.0) + ((1.0,) if td else ()) + ((1.0,) if has_obs else ())
+        weight = tuple(float(w) for w in weight)
+        # Normalize to the 4-slot convention of the loss fn.
+        w_full = list(weight) + [0.0] * (4 - len(weight))
+        if not td:
+            w_full = [w_full[0], w_full[1], 0.0, w_full[2]]
+
+        multiple = int(batch_num) * self.n_shards
+        quad_h = pad_quad(self.fixed.quad, multiple)
+        bc_h = pad_points(self.fixed.bc, self.n_shards)
+        ic_h = None if self.fixed.ic is None else pad_points(self.fixed.ic, self.n_shards)
+        obs_h = None if not has_obs else pad_points(self.obs_data, self.n_shards)
+
+        if batch_num > 1:
+            quad_h = _tree_reshape_batches(quad_h, batch_num)
+            quad_d = shard_quad(quad_h, self.mesh, dtype=self.dtype, batched=True)
+        else:
+            quad_d = shard_quad(quad_h, self.mesh, dtype=self.dtype)
+        bc_d = shard_points(bc_h, self.mesh, dtype=self.dtype)
+        ic_d = None if ic_h is None else shard_points(ic_h, self.mesh, dtype=self.dtype)
+        obs_d = None if obs_h is None else shard_points(obs_h, self.mesh, dtype=self.dtype)
+
+        loss_kwargs = {}
+        if value_and_jac is not None:
+            loss_kwargs["value_and_jac"] = value_and_jac
+        loss_fn = make_loss_fn(
+            self.static,
+            activation=self.activation,
+            input_scaling=self.input_scaling,
+            source_fn=self.source_fn,
+            has_obs=has_obs,
+            n_obs_real=0 if not has_obs else int(self.obs_data.mask.sum()),
+            **loss_kwargs,
+        )
+        optimizer = make_optimizer(self.optimizer_cfg)
+
+        theta = replicate(self.theta, self.mesh)
+        opt_state = optimizer.init(theta)
+        start_epoch = 0
+        if resume and folderpath is not None:
+            state, step = load_checkpoint(
+                folderpath, {"theta": theta, "opt_state": opt_state}
+            )
+            theta = replicate(state["theta"], self.mesh)
+            opt_state = replicate(state["opt_state"], self.mesh)
+            start_epoch = step
+            if verbose:
+                print(f"[varnet] resumed from epoch {step} in {folderpath}")
+        opt_state = replicate(opt_state, self.mesh)
+
+        step_fn = make_train_step(
+            loss_fn, optimizer, mesh=self.mesh, batch_num=batch_num
+        )
+        weights_arr = jnp.asarray(w_full, dtype=self.dtype)
+
+        result = TrainResult()
+        log_path = None
+        if folderpath is not None:
+            os.makedirs(folderpath, exist_ok=True)
+            log_path = os.path.join(folderpath, "train_log.jsonl")
+
+        n_real_quad = self.static.n_test * self.static.n_quad_per_test
+        t_start = None  # set after first (compile) step
+        timed_epochs = 0
+        for epoch in range(start_epoch + 1, start_epoch + int(epoch_num) + 1):
+            theta, opt_state, aux = step_fn(
+                theta, opt_state, quad_d, bc_d, ic_d, obs_d, weights_arr
+            )
+            if t_start is None:
+                jax.block_until_ready(aux["loss"])
+                t_start = time.perf_counter()
+                timed_epochs = 0
+            else:
+                timed_epochs += 1
+
+            last = epoch == start_epoch + int(epoch_num)
+            if epoch % int(save_freq) == 0 or last:
+                aux_host = {k: float(v) for k, v in jax.device_get(aux).items()}
+                err = self.compute_error(
+                    theta, disc=error_disc, n_times=error_times
+                )
+                elapsed = time.perf_counter() - t_start
+                result.epochs.append(epoch)
+                result.losses.append(aux_host)
+                result.errors.append(err if err is not None else float("nan"))
+                result.wall_times.append(elapsed)
+                if verbose:
+                    err_s = f"{err:.3e}" if err is not None else "n/a"
+                    print(
+                        f"[varnet] epoch {epoch:7d}  loss {aux_host['loss']:.4e}"
+                        f"  int {aux_host['loss_int']:.3e}"
+                        f"  bc {aux_host['loss_bc']:.3e}"
+                        + (f"  ic {aux_host['loss_ic']:.3e}" if "loss_ic" in aux_host else "")
+                        + f"  relL2 {err_s}  ({elapsed:.1f}s)"
+                    )
+                if log_path is not None:
+                    with open(log_path, "a") as f:
+                        f.write(json.dumps({"epoch": epoch, "err": err, **aux_host}) + "\n")
+                if folderpath is not None:
+                    self.theta = jax.device_get(theta)
+                    save_checkpoint(
+                        folderpath,
+                        epoch,
+                        {"theta": self.theta, "opt_state": jax.device_get(opt_state)},
+                        config=self.config_dict(),
+                    )
+                if target_error is not None and err is not None and err < target_error:
+                    if verbose:
+                        print(f"[varnet] target error {target_error:.1e} reached")
+                    break
+
+        jax.block_until_ready(theta)
+        total_time = time.perf_counter() - t_start if t_start else 0.0
+        steps = timed_epochs * batch_num
+        result.total_steps = steps
+        result.steps_per_sec = steps / total_time if total_time > 0 else 0.0
+        # Driver metric: quadrature-point residual evaluations per second
+        # (each epoch evaluates every real quad point once, across batches).
+        result.quad_evals_per_sec = (
+            timed_epochs * n_real_quad / total_time if total_time > 0 else 0.0
+        )
+        self.theta = jax.device_get(theta)
+        self.opt_state = jax.device_get(opt_state)
+        self.train_result = result
+        return result
+
+    # ------------------------------------------------------------------ #
+    # evaluation / reporting
+
+    def evaluate(
+        self,
+        x: np.ndarray,
+        t: Optional[np.ndarray] = None,
+        mu: Optional[np.ndarray] = None,
+        theta: Any = None,
+    ) -> np.ndarray:
+        """u_theta at points (reference ``VarNet.evaluate``).
+
+        x: [P, d]; t: scalar or [P] (time-dependent problems);
+        mu: [P, n_mor] or [n_mor] (parametric problems).
+        """
+        theta = self.theta if theta is None else theta
+        coords = self._make_coords(x, t, mu)
+        out = self._eval_fn(replicate(theta, self.mesh), jnp.asarray(coords, self.dtype))
+        return np.asarray(jax.device_get(out), dtype=np.float64)
+
+    def _make_coords(self, x, t, mu) -> np.ndarray:
+        x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+        cols = [x]
+        if self.static.time_dependent:
+            if t is None:
+                raise ValueError("time-dependent problem: t required")
+            t = np.broadcast_to(np.asarray(t, dtype=np.float64), (x.shape[0],))
+            cols.append(t[:, None])
+        if self.static.n_mor:
+            if mu is None:
+                mu = self.pde.mor.samples[0]
+            mu = np.asarray(mu, dtype=np.float64)
+            if mu.ndim == 1:
+                mu = np.broadcast_to(mu[None, :], (x.shape[0], mu.shape[0]))
+            cols.append(mu)
+        return np.concatenate(cols, axis=-1)
+
+    def compute_error(
+        self, theta: Any = None, disc: int = 64, n_times: int = 5
+    ) -> Optional[float]:
+        """Relative L2 error vs the exact solution (reference error report).
+
+        Returns None when the problem has no ``c_ex``.
+        """
+        if self.pde.c_ex is None:
+            return None
+        theta = self.theta if theta is None else theta
+        pts, mask = self.pde.domain.grid_in_domain(
+            (disc + 1,) * self.pde.dim if self.pde.dim > 1 else disc + 1
+        )
+        pts = pts[mask]
+        mu0 = self.pde.mor.samples[0] if self.pde.mor is not None else None
+        if self.static.time_dependent:
+            t0, t1 = self.pde.t_interval
+            preds, exacts = [], []
+            for tv in np.linspace(t0, t1, int(n_times)):
+                tcol = np.full(pts.shape[0], tv)
+                coords = self._make_coords(pts, tcol, mu0)
+                u = self._eval_fn(
+                    replicate(theta, self.mesh), jnp.asarray(coords, self.dtype)
+                )
+                preds.append(np.asarray(jax.device_get(u)))
+                mu_b = (
+                    None
+                    if mu0 is None
+                    else np.broadcast_to(mu0[None, :], (pts.shape[0], mu0.shape[0]))
+                )
+                exacts.append(self.pde.eval_exact(pts, tcol, mu_b))
+            return rel_l2_error(np.concatenate(preds), np.concatenate(exacts))
+        coords = self._make_coords(pts, None, mu0)
+        u = self._eval_fn(replicate(theta, self.mesh), jnp.asarray(coords, self.dtype))
+        mu_b = (
+            None
+            if mu0 is None
+            else np.broadcast_to(mu0[None, :], (pts.shape[0], mu0.shape[0]))
+        )
+        exact = self.pde.eval_exact(pts, None, mu_b)
+        return rel_l2_error(np.asarray(jax.device_get(u)), exact)
+
+    # ------------------------------------------------------------------ #
+    # persistence
+
+    def config_dict(self) -> Dict[str, Any]:
+        """Problem/discretization fingerprint stored beside checkpoints."""
+        return {
+            "layer_width": list(self.layer_width),
+            "disc_num": self.disc_num
+            if np.isscalar(self.disc_num)
+            else list(self.disc_num),
+            "b_disc_num": self.b_disc_num,
+            "t_disc_num": self.t_disc_num,
+            "integ_p_num": self.integ_p_num,
+            "activation": self.activation,
+            "n_inputs": self.static.n_inputs,
+            "n_test": self.static.n_test,
+            "time_dependent": self.static.time_dependent,
+            "param_count": param_count(
+                self.theta["net"] if isinstance(self.theta, dict) else self.theta
+            ),
+        }
+
+    def load_model(self, folderpath: str, step: Optional[int] = None) -> int:
+        """Restore params (+opt state) from a case folder (reference
+        ``VarNet.loadModel`` — SURVEY.md §3.4).  Verifies the stored config
+        fingerprint matches this instance's discretization."""
+        from .train.checkpoint import load_config
+
+        stored = load_config(folderpath)
+        if stored is not None:
+            ours = self.config_dict()
+            for k in ("layer_width", "n_inputs", "activation", "time_dependent"):
+                if stored.get(k) != ours[k]:
+                    raise ValueError(
+                        f"checkpoint config mismatch on '{k}': "
+                        f"{stored.get(k)} != {ours[k]}"
+                    )
+        optimizer = make_optimizer(self.optimizer_cfg)
+        template = {
+            "theta": self.theta,
+            "opt_state": optimizer.init(replicate(self.theta, self.mesh)),
+        }
+        state, step = load_checkpoint(folderpath, jax.device_get(template), step)
+        self.theta = state["theta"]
+        self.opt_state = state["opt_state"]
+        return step
+
+    # ------------------------------------------------------------------ #
+    # visualization
+
+    def sim_res(self, folderpath: str, disc: int = 64, n_times: int = 5):
+        """Render solution plots into the case folder (reference
+        ``VarNet.simRes`` — SURVEY.md §3.3).  Imports matplotlib lazily."""
+        from .viz.plot import plot_solution
+
+        return plot_solution(self, folderpath, disc=disc, n_times=n_times)

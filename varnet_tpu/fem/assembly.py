@@ -120,6 +120,41 @@ def _append_mu(coords: np.ndarray, mu_samples: np.ndarray) -> np.ndarray:
     return np.concatenate([tiled, mu_full], axis=-1)
 
 
+def pad_quad(quad: QuadData, multiple: int) -> QuadData:
+    """Re-pad a QuadData's leading axis to a multiple (for sharding/batching).
+
+    Padding rows replicate row 0 and are masked out of the loss; existing
+    padding is first stripped using the mask.
+    """
+    real = int(quad.mask.sum())
+    target = _pad_to_multiple(real, multiple)
+    mask = np.zeros(target)
+    mask[:real] = 1.0
+    return QuadData(
+        coords=_pad_axis0(quad.coords[:real], target),
+        N=quad.N,
+        dN=quad.dN,
+        w=quad.w,
+        kappa=_pad_axis0(quad.kappa[:real], target),
+        vel=_pad_axis0(quad.vel[:real], target),
+        src=_pad_axis0(quad.src[:real], target),
+        mask=mask,
+    )
+
+
+def pad_points(points: PointData, multiple: int) -> PointData:
+    """Re-pad a PointData's leading axis to a multiple (mask-aware)."""
+    real = int(points.mask.sum())
+    target = _pad_to_multiple(real, multiple)
+    mask = np.zeros(target)
+    mask[:real] = 1.0
+    return PointData(
+        coords=_pad_axis0(points.coords[:real], target),
+        values=_pad_axis0(points.values[:real], target),
+        mask=mask,
+    )
+
+
 def build_fixed_data(
     pde: ADPDE,
     disc_num,

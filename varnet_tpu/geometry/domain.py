@@ -77,6 +77,12 @@ class Domain1D:
     def n_boundary_segments(self) -> int:
         return 2
 
+    def grid_in_domain(self, counts) -> Tuple[np.ndarray, np.ndarray]:
+        """Uniform evaluation grid with an all-true mask (for viz/eval)."""
+        n = int(counts) if np.isscalar(counts) else int(counts[0])
+        nodes, _, _ = cartesian_grid([self.lo], [self.hi], [n])
+        return nodes, np.ones(nodes.shape[0], dtype=bool)
+
 
 class PolygonDomain2D:
     """Polygonal 2-D domain, convex or not (reference PolygonDomain2D).

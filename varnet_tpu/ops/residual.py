@@ -47,8 +47,15 @@ def masked_sum_sq(r: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(mask * r * r)
 
 
-def masked_mse(pred: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Padding-safe mean squared error for BC/IC/observation penalties."""
+def masked_mse(
+    pred: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray, denom: float
+) -> jnp.ndarray:
+    """Padding-safe mean squared error for BC/IC/observation penalties.
+
+    ``denom`` is the GLOBAL real point count (a static value from assembly,
+    ``ProblemStatic.n_bc`` etc.), NOT sum(mask): under the shard_map train
+    step each device sees only its shard, and per-shard partial sums divided
+    by the global count psum to the exact global mean.
+    """
     err = (pred - target) * mask
-    denom = jnp.maximum(jnp.sum(mask), 1.0)
     return jnp.sum(err * err) / denom

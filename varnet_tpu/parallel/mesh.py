@@ -40,16 +40,24 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def batched_quad_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for batch-reshaped [B, Kb, ...] arrays: the scan axis B is
+    replicated, the per-test-function axis Kb shards over ``data``."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_quad(quad, mesh: Mesh, dtype=None):
+def shard_quad(quad, mesh: Mesh, dtype=None, batched: bool = False):
     """Place QuadData: per-test-function arrays sharded on ``data``; the
-    shared [nQ]-sized tables (N, dN, w) replicated."""
+    shared [nQ]-sized tables (N, dN, w) replicated.  ``batched=True`` for
+    [B, Kb, ...] arrays produced by the mini-batch reshape (axis 1 shards)."""
     import jax.numpy as jnp
 
-    dsh, rsh = data_sharding(mesh), replicated_sharding(mesh)
+    dsh = batched_quad_sharding(mesh) if batched else data_sharding(mesh)
+    rsh = replicated_sharding(mesh)
 
     def cast(a):
         a = jnp.asarray(a)

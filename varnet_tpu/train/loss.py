@@ -33,6 +33,7 @@ def make_loss_fn(
     apply_fn: Callable = mlp_apply,
     source_fn: Optional[Callable] = None,
     has_obs: bool = False,
+    n_obs_real: int = 1,
 ):
     """Build the total-loss function for an assembled problem.
 
@@ -51,6 +52,11 @@ def make_loss_fn(
     d = static.n_space
     td = static.time_dependent
     n_in = static.n_inputs
+    # Global real point counts: static denominators so that per-shard
+    # partial losses psum to the exact global value (see masked_mse).
+    n_bc = float(max(static.n_bc, 1))
+    n_ic = float(max(static.n_ic, 1))
+    n_obs = float(max(int(n_obs_real), 1))
     if input_scaling:
         scale, shift = make_input_scaling(static.input_lo, static.input_hi)
     else:
@@ -78,18 +84,18 @@ def make_loss_fn(
         loss_int = masked_sum_sq(r, quad.mask)
 
         u_bc = apply_fn(net, bc.coords, activation, scale, shift)
-        loss_bc = masked_mse(u_bc, bc.values, bc.mask)
+        loss_bc = masked_mse(u_bc, bc.values, bc.mask, n_bc)
 
         total = weights[0] * loss_int + weights[1] * loss_bc
         aux = {"loss_int": loss_int, "loss_bc": loss_bc}
         if ic is not None:
             u_ic = apply_fn(net, ic.coords, activation, scale, shift)
-            loss_ic = masked_mse(u_ic, ic.values, ic.mask)
+            loss_ic = masked_mse(u_ic, ic.values, ic.mask, n_ic)
             total = total + weights[2] * loss_ic
             aux["loss_ic"] = loss_ic
         if has_obs:
             u_obs = apply_fn(net, obs.coords, activation, scale, shift)
-            loss_obs = masked_mse(u_obs, obs.values, obs.mask)
+            loss_obs = masked_mse(u_obs, obs.values, obs.mask, n_obs)
             total = total + weights[3] * loss_obs
             aux["loss_obs"] = loss_obs
         aux["loss"] = total

@@ -1,0 +1,212 @@
+"""Jitted, sharded training step + epoch loop.
+
+TPU-native re-implementation of the reference's training orchestration
+(reference: ``VarNet.py`` ``train``/``ManageTrainData``/``TrainResult`` —
+SURVEY.md §2.1 #1, §3.2).  Departures, all deliberate (SURVEY.md §7):
+
+  * The reference re-ships all quadrature data host->device every step via
+    feed dicts; here the fixed data lives on device, sharded over the
+    ``data`` mesh axis, and only the scalar loss/gradients cross chips
+    (one XLA-lowered all-reduce per step).
+  * The epoch loop over mini-batches is a ``lax.scan`` inside ONE jitted
+    function — no Python per-batch dispatch.
+  * Parameters and optimizer state are donated, so Adam updates are
+    in-place on device.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.assembly import PointData, QuadData
+
+
+def _tree_reshape_batches(quad: QuadData, batch_num: int) -> QuadData:
+    """Split the leading test-function axis K into [batch_num, K//batch_num].
+
+    Mirrors the reference's ``ManageTrainData`` batching over training
+    points (SURVEY.md §3.2), but as a static reshape feeding a lax.scan.
+    """
+    k = quad.coords.shape[0]
+    if k % batch_num != 0:
+        raise ValueError(
+            f"test-function count {k} not divisible by batch_num {batch_num}; "
+            "assemble with pad_multiple = batch_num * n_devices"
+        )
+    kb = k // batch_num
+
+    def r(a, per_node_axis0: bool):
+        if not per_node_axis0:
+            return a  # shared [nQ]-tables: replicated across batches
+        return a.reshape((batch_num, kb) + a.shape[1:])
+
+    return QuadData(
+        coords=r(quad.coords, True),
+        N=quad.N,
+        dN=quad.dN,
+        w=quad.w,
+        kappa=r(quad.kappa, True),
+        vel=r(quad.vel, True),
+        src=r(quad.src, True),
+        mask=r(quad.mask, True),
+    )
+
+
+def make_train_step(
+    loss_fn: Callable,
+    optimizer,
+    mesh=None,
+    batch_num: int = 1,
+    donate: bool = True,
+):
+    """Build the jitted per-epoch update.
+
+    loss_fn: ``(theta, quad, bc, ic, obs, weights) -> (total, aux)`` from
+        :func:`varnet_tpu.train.loss.make_loss_fn`.
+    mesh: a ``jax.sharding.Mesh`` with a ``data`` axis.  The step is an
+        EXPLICIT shard_map over it: each device computes loss+grads on its
+        local shard of the fixed data, then exactly ONE ``psum`` per update
+        reduces a single packed vector (flattened grads ++ aux scalars).
+        This is the scaling-book replacement for the reference's TF1
+        in-graph tower averaging (SURVEY.md §2.2/§5.8) — one fused
+        all-reduce riding ICI instead of one collective per parameter leaf.
+        ``mesh=None`` falls back to a plain (auto-sharded) jit.
+    batch_num: >1 scans over interior-point mini-batches within the jitted
+        epoch (BC/IC penalty points are small and kept full-batch, matching
+        the reference's behaviour of re-using them every batch).
+
+    Returns ``epoch_step(theta, opt_state, quad, bc, ic, obs, weights)
+    -> (theta, opt_state, aux)`` where ``quad`` is batched
+    ([batch_num, Kb, ...]) iff batch_num > 1.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def reduce_and_update(theta, opt_state, grads, aux, reduce_fn):
+        """Apply ``reduce_fn`` ONCE to (flat grads ++ aux scalars), then
+        run the optimizer.  All-reduce count per update: exactly one."""
+        flat, unravel = ravel_pytree(grads)
+        aux_keys = sorted(aux.keys())
+        packed = jnp.concatenate(
+            [flat] + [jnp.reshape(aux[k], (1,)).astype(flat.dtype) for k in aux_keys]
+        )
+        packed = reduce_fn(packed)
+        grads = unravel(packed[: flat.shape[0]])
+        aux = {
+            k: packed[flat.shape[0] + i] for i, k in enumerate(aux_keys)
+        }
+        updates, opt_state = optimizer.update(grads, opt_state, theta)
+        theta = jax.tree_util.tree_map(lambda p, u: p + u, theta, updates)
+        return theta, opt_state, aux
+
+    def make_epoch_step(reduce_fn):
+        def one_update(theta, opt_state, quad, bc, ic, obs, weights):
+            (_, aux), grads = grad_fn(theta, quad, bc, ic, obs, weights)
+            return reduce_and_update(theta, opt_state, grads, aux, reduce_fn)
+
+        if batch_num == 1:
+            return one_update
+
+        def epoch_step(theta, opt_state, quad, bc, ic, obs, weights):
+            def body(carry, quad_b):
+                theta, opt_state = carry
+                theta, opt_state, aux = one_update(
+                    theta, opt_state, quad_b, bc, ic, obs, weights
+                )
+                return (theta, opt_state), aux
+
+            (theta, opt_state), auxes = jax.lax.scan(body, (theta, opt_state), quad)
+            aux = jax.tree_util.tree_map(lambda a: a.mean(), auxes)
+            return theta, opt_state, aux
+
+        return epoch_step
+
+    donate_argnums = (0, 1) if donate else ()
+
+    if mesh is None:
+        # Auto-sharded fallback: XLA inserts the reductions (identity here).
+        step = make_epoch_step(lambda x: x)
+        return jax.jit(step, donate_argnums=donate_argnums)
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    step = make_epoch_step(partial(jax.lax.psum, axis_name=DATA_AXIS))
+
+    rep = P()  # replicated: params, optimizer state, shared tables, weights
+    per_node = P(None, DATA_AXIS) if batch_num > 1 else P(DATA_AXIS)
+    quad_spec = QuadData(
+        coords=per_node, N=rep, dN=rep, w=rep,
+        kappa=per_node, vel=per_node, src=per_node, mask=per_node,
+    )
+    # bc/ic/obs use a single leaf spec: it broadcasts over the PointData
+    # fields AND over a None argument (steady problems have ic=None).
+    pt_spec = P(DATA_AXIS)
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(rep, rep, quad_spec, pt_spec, pt_spec, pt_spec, rep),
+        out_specs=(rep, rep, rep),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=donate_argnums)
+
+
+def make_eval_fn(static, activation: str = "tanh", input_scaling: bool = True,
+                 apply_fn=None):
+    """Jitted pointwise network evaluation u(x[,t][,mu]) -> [P].
+
+    Reference equivalent: ``VarNet.evaluate`` (SURVEY.md §1 table).
+    """
+    from ..models.mlp import make_input_scaling, mlp_apply
+
+    if apply_fn is None:
+        apply_fn = mlp_apply
+    if input_scaling:
+        scale, shift = make_input_scaling(static.input_lo, static.input_hi)
+    else:
+        scale = shift = None
+
+    @jax.jit
+    def eval_fn(theta, coords):
+        net = theta["net"] if isinstance(theta, dict) and "net" in theta else theta
+        return apply_fn(net, coords, activation, scale, shift)
+
+    return eval_fn
+
+
+@dataclass
+class TrainResult:
+    """Training history (reference ``TrainResult`` — SURVEY.md §2.1 #1)."""
+
+    epochs: List[int] = field(default_factory=list)
+    losses: List[Dict[str, float]] = field(default_factory=list)
+    errors: List[float] = field(default_factory=list)      # rel-L2 vs c_ex
+    wall_times: List[float] = field(default_factory=list)  # seconds since start
+    quad_evals_per_sec: float = 0.0   # BASELINE.json driver metric
+    steps_per_sec: float = 0.0
+    total_steps: int = 0
+
+    def as_dict(self) -> Dict[str, Any]:
+        return {
+            "epochs": self.epochs,
+            "losses": self.losses,
+            "errors": self.errors,
+            "wall_times": self.wall_times,
+            "quad_evals_per_sec": self.quad_evals_per_sec,
+            "steps_per_sec": self.steps_per_sec,
+            "total_steps": self.total_steps,
+        }
+
+    def best_error(self) -> Optional[float]:
+        return min(self.errors) if self.errors else None
