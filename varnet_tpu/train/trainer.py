@@ -116,14 +116,25 @@ def make_train_step(
             return one_update
 
         def epoch_step(theta, opt_state, quad, bc, ic, obs, weights):
-            def body(carry, quad_b):
+            # Scan ONLY the per-node [B, Kb, ...] arrays; the shared [nQ]
+            # quadrature tables (N, dN, w) are closed over, not scanned.
+            per_node = (quad.coords, quad.kappa, quad.vel, quad.src, quad.mask)
+
+            def body(carry, batch):
                 theta, opt_state = carry
+                coords, kappa, vel, src, mask = batch
+                quad_b = QuadData(
+                    coords=coords, N=quad.N, dN=quad.dN, w=quad.w,
+                    kappa=kappa, vel=vel, src=src, mask=mask,
+                )
                 theta, opt_state, aux = one_update(
                     theta, opt_state, quad_b, bc, ic, obs, weights
                 )
                 return (theta, opt_state), aux
 
-            (theta, opt_state), auxes = jax.lax.scan(body, (theta, opt_state), quad)
+            (theta, opt_state), auxes = jax.lax.scan(
+                body, (theta, opt_state), per_node
+            )
             aux = jax.tree_util.tree_map(lambda a: a.mean(), auxes)
             return theta, opt_state, aux
 
