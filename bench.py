@@ -1,0 +1,78 @@
+"""Driver benchmark: quad-point residual throughput on the flagship config.
+
+Runs the full jitted training step (forward + input-jacobian at every
+quadrature point, weak-form residual contraction, backward, Adam) of the
+flagship 2-D time-dependent AD-PDE (BASELINE.json config 4 analytic
+variant) on the available accelerator and prints ONE JSON line:
+
+    {"metric": "quad_evals_per_sec", "value": N, "unit": "...",
+     "vs_baseline": N / <torch-CPU stand-in baseline>}
+
+The baseline denominator is the measured torch-CPU stand-in
+(benchmarks/baseline.json, produced by benchmarks/baseline_torch.py —
+see BASELINE.md for why it is measured, not cited).
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+HERE = Path(__file__).resolve().parent
+sys.path.insert(0, str(HERE))
+
+DISC = int(os.environ.get("BENCH_DISC", 48))
+TDISC = int(os.environ.get("BENCH_TDISC", 32))
+WIDTH = int(os.environ.get("BENCH_WIDTH", 20))
+EPOCHS = int(os.environ.get("BENCH_EPOCHS", 30))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from varnet_tpu.api import VarNet
+    from varnet_tpu.problems.analytic import transient_ad_2d
+
+    case = transient_ad_2d()
+    vn = VarNet(
+        case["pde"],
+        layer_width=(WIDTH, WIDTH),
+        disc_num=DISC,
+        b_disc_num=DISC,
+        t_disc_num=TDISC,
+    )
+    n_chips = vn.n_shards
+    res = vn.train(
+        epoch_num=EPOCHS,
+        weight=(1.0, 10.0, 10.0),
+        save_freq=EPOCHS,
+        verbose=False,
+    )
+    per_chip = res.quad_evals_per_sec / max(n_chips, 1)
+
+    baseline = None
+    bl_path = HERE / "benchmarks" / "baseline.json"
+    if bl_path.exists():
+        with open(bl_path) as f:
+            baseline = json.load(f).get("value")
+
+    out = {
+        "metric": "quad_evals_per_sec",
+        "value": per_chip,
+        "unit": "quad-pt residual evals/s/chip (fwd+bwd+adam)",
+        "vs_baseline": (per_chip / baseline) if baseline else None,
+        "n_chips": n_chips,
+        "n_test": vn.static.n_test,
+        "n_quad_per_test": vn.static.n_quad_per_test,
+        "steps_per_sec": res.steps_per_sec,
+        "final_loss": res.losses[-1]["loss"] if res.losses else None,
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0].device_kind),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

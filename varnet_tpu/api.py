@@ -236,6 +236,7 @@ class VarNet:
         n_real_quad = self.static.n_test * self.static.n_quad_per_test
         t_start = None  # set after first (compile) step
         timed_epochs = 0
+        report_overhead = 0.0  # host+eval time excluded from throughput
         for epoch in range(start_epoch + 1, start_epoch + int(epoch_num) + 1):
             theta, opt_state, aux = step_fn(
                 theta, opt_state, quad_d, bc_d, ic_d, obs_d, weights_arr
@@ -249,6 +250,7 @@ class VarNet:
 
             last = epoch == start_epoch + int(epoch_num)
             if epoch % int(save_freq) == 0 or last:
+                t_rep = time.perf_counter()
                 aux_host = {k: float(v) for k, v in jax.device_get(aux).items()}
                 err = self.compute_error(
                     theta, disc=error_disc, n_times=error_times
@@ -278,13 +280,16 @@ class VarNet:
                         {"theta": self.theta, "opt_state": jax.device_get(opt_state)},
                         config=self.config_dict(),
                     )
+                report_overhead += time.perf_counter() - t_rep
                 if target_error is not None and err is not None and err < target_error:
                     if verbose:
                         print(f"[varnet] target error {target_error:.1e} reached")
                     break
 
         jax.block_until_ready(theta)
-        total_time = time.perf_counter() - t_start if t_start else 0.0
+        total_time = (
+            time.perf_counter() - t_start - report_overhead if t_start else 0.0
+        )
         steps = timed_epochs * batch_num
         result.total_steps = steps
         result.steps_per_sec = steps / total_time if total_time > 0 else 0.0
