@@ -1,0 +1,75 @@
+"""Shared CLI runner for the example cases.
+
+The reference ships repo-root driver scripts that are edited by hand
+(SURVEY.md §2.1 #8 / §5.6: "no argparse/YAML — scripts are edited");
+here each example is a thin config-driven entry point:
+
+    python -m varnet_tpu.examples.ad1d_steady --epochs 20000 --folder out/
+
+All five BASELINE.json configs follow this shape.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+from ..api import VarNet
+from ..train.optim import OptimizerConfig
+
+
+def make_parser(desc: str, **defaults) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=desc)
+    p.add_argument("--epochs", type=int, default=defaults.get("epochs", 20000))
+    p.add_argument("--disc", type=int, default=defaults.get("disc", 30))
+    p.add_argument("--tdisc", type=int, default=defaults.get("tdisc", 20))
+    p.add_argument("--bdisc", type=int, default=defaults.get("bdisc", 20))
+    p.add_argument("--width", type=int, default=defaults.get("width", 20))
+    p.add_argument("--layers", type=int, default=defaults.get("layers", 2))
+    p.add_argument("--lr", type=float, default=defaults.get("lr", 1e-3))
+    p.add_argument("--batch-num", type=int, default=1)
+    p.add_argument("--save-freq", type=int, default=defaults.get("save_freq", 2000))
+    p.add_argument("--folder", type=str, default=None,
+                   help="case folder for checkpoints/logs/plots")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--target", type=float, default=None,
+                   help="early-stop rel-L2 error target")
+    p.add_argument("--plot", action="store_true", help="render sim_res plots")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--devices", type=int, default=None)
+    return p
+
+
+def run_case(pde, args, weight, t_disc_num=None, **varnet_kwargs) -> VarNet:
+    vn = VarNet(
+        pde,
+        layer_width=(args.width,) * args.layers,
+        disc_num=args.disc,
+        b_disc_num=args.bdisc,
+        t_disc_num=t_disc_num,
+        seed=args.seed,
+        n_devices=args.devices,
+        optimizer=OptimizerConfig(lr=args.lr),
+        **varnet_kwargs,
+    )
+    res = vn.train(
+        epoch_num=args.epochs,
+        weight=weight,
+        batch_num=args.batch_num,
+        save_freq=args.save_freq,
+        folderpath=args.folder,
+        resume=args.resume,
+        target_error=args.target,
+    )
+    summary = {
+        "best_rel_l2": res.best_error(),
+        "final_loss": res.losses[-1]["loss"] if res.losses else None,
+        "quad_evals_per_sec": res.quad_evals_per_sec,
+        "steps_per_sec": res.steps_per_sec,
+    }
+    print(json.dumps(summary))
+    if args.plot and args.folder:
+        vn.sim_res(args.folder)
+    return vn

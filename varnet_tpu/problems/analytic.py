@@ -127,6 +127,109 @@ def steady_ad_2d(kappa: float = 0.1, vel=(1.0, 0.5)):
     return {"pde": pde, "c_ex": c_ex, "c_ex_grad": c_ex_grad, "c_ex_dt": None}
 
 
+def contaminant_transport_2d(
+    kappa: float = 0.01,
+    u_max: float = 1.0,
+    t_final: float = 1.0,
+    src_center=(0.3, 0.5),
+    src_sigma: float = 0.06,
+    src_t_off: float = 0.3,
+):
+    """2-D transient contaminant transport with a spatially varying velocity
+    field (BASELINE config 4; reference: the T-RO cloaking case, SURVEY.md
+    §0 item 7 — validated there against COMSOL FEM data that is not
+    shipped, so no ``c_ex`` here).
+
+    Channel [0,2]x[0,1]; parabolic (Poiseuille) shear flow
+    v = (u_max * 4 y (1-y), 0); a Gaussian contaminant source near the
+    inlet active for t < src_t_off; zero IC; zero Dirichlet BCs except the
+    outflow (segment 1), which is left unconstrained (None).
+    """
+    cx, cy = float(src_center[0]), float(src_center[1])
+
+    def vel(x, t=None):
+        x = np.atleast_2d(x)
+        vx = 4.0 * u_max * x[:, 1] * (1.0 - x[:, 1])
+        return np.stack([vx, np.zeros_like(vx)], axis=-1)
+
+    def source(x, t=None):
+        x = np.atleast_2d(x)
+        g = np.exp(
+            -((x[:, 0] - cx) ** 2 + (x[:, 1] - cy) ** 2) / (2.0 * src_sigma**2)
+        )
+        if t is None:
+            return g
+        gate = 0.5 * (1.0 - np.tanh((np.asarray(t) - src_t_off) / 0.02))
+        return g * gate
+
+    domain = RectangleDomain2D((0.0, 0.0), (2.0, 1.0))
+    pde = ADPDE(
+        domain,
+        diff=kappa,
+        vel=vel,
+        source=source,
+        t_interval=(0.0, t_final),
+        bcs=[0.0, None, 0.0, 0.0],  # bottom, outflow(right)=free, top, inlet
+        ic=0.0,
+    )
+    return {"pde": pde, "c_ex": None, "c_ex_grad": None, "c_ex_dt": None}
+
+
+def inverse_source_2d(kappa: float = 0.1, vel=(1.0, 0.5), n_obs: int = 400,
+                      noise: float = 0.0, seed: int = 0):
+    """Inverse source identification (BASELINE config 5 — stretch):
+    recover the source field AND the solution jointly from observations.
+
+    Manufactured ground truth: u*(x,y) = sin(pi x) sin(pi y) with
+    s* = v . grad(u*) - kappa lap(u*).  The trainable source is a callable
+    ``source_fn(phi, x, t)`` (see VarNet ctor); observations are u* samples
+    on a uniform interior grid (optionally noisy).  Recovery quality is
+    checked against BOTH u* and s*.
+    """
+    vx, vy = float(vel[0]), float(vel[1])
+
+    def c_ex(x, t=None):
+        x = np.atleast_2d(x)
+        return np.sin(np.pi * x[:, 0]) * np.sin(np.pi * x[:, 1])
+
+    def c_ex_grad(x, t=None):
+        x = np.atleast_2d(x)
+        sx, cx = np.sin(np.pi * x[:, 0]), np.cos(np.pi * x[:, 0])
+        sy, cy = np.sin(np.pi * x[:, 1]), np.cos(np.pi * x[:, 1])
+        return np.stack([np.pi * cx * sy, np.pi * sx * cy], axis=-1)
+
+    def s_true(x, t=None):
+        g = c_ex_grad(x)
+        lap = -2.0 * np.pi**2 * c_ex(x)
+        return vx * g[:, 0] + vy * g[:, 1] - kappa * lap
+
+    domain = RectangleDomain2D((0.0, 0.0), (1.0, 1.0))
+    pde = ADPDE(
+        domain, diff=kappa, vel=np.array([vx, vy]), source=None,
+        bcs=0.0, c_ex=c_ex,
+    )
+
+    # Observation grid (interior, excludes the boundary where u* = 0).
+    m = int(np.sqrt(n_obs))
+    g1 = np.linspace(0.0, 1.0, m + 2)[1:-1]
+    xx, yy = np.meshgrid(g1, g1, indexing="ij")
+    obs_x = np.stack([xx.ravel(), yy.ravel()], axis=-1)
+    obs_u = c_ex(obs_x)
+    if noise > 0:
+        rng = np.random.default_rng(seed)
+        obs_u = obs_u + noise * rng.standard_normal(obs_u.shape)
+
+    return {
+        "pde": pde,
+        "c_ex": c_ex,
+        "c_ex_grad": c_ex_grad,
+        "c_ex_dt": None,
+        "s_true": s_true,
+        "obs_x": obs_x,
+        "obs_u": obs_u,
+    }
+
+
 def transient_ad_2d(kappa: float = 0.05, vel=(0.5, 0.25), t_final: float = 0.5):
     """2-D transient AD with a translating-decaying exact solution
     (BASELINE config 4 analytic variant; the flagship benchmark problem).

@@ -1,0 +1,230 @@
+"""Solution visualization.
+
+TPU-native re-implementation of the reference's plotting layer
+(reference: ``ContourPlot.py`` class ``ContourPlot`` + the plotting side of
+``VarNet.simRes`` — SURVEY.md §2.1 #6, §3.3): meshgrid over the domain's
+bounding box masked by ``in_domain``, contour plots of 2-D fields,
+time-snapshot series and animation, 1-D line plots, and training-history
+curves.  All host-side matplotlib; the network is evaluated through the
+jitted eval path.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+
+class ContourPlot:
+    """2-D contour plotting over a (possibly non-convex) domain.
+
+    Mirrors the reference surface ``ContourPlot(domain).conPlot/anim``
+    (SURVEY.md §1 table).
+    """
+
+    def __init__(self, domain, disc: int = 64):
+        if domain.dim != 2:
+            raise ValueError("ContourPlot requires a 2-D domain")
+        self.domain = domain
+        self.disc = int(disc)
+        lo, hi = domain.bounds
+        self.xg = np.linspace(lo[0], hi[0], self.disc + 1)
+        self.yg = np.linspace(lo[1], hi[1], self.disc + 1)
+        xx, yy = np.meshgrid(self.xg, self.yg, indexing="ij")
+        self.points = np.stack([xx.ravel(), yy.ravel()], axis=-1)
+        self.mask = domain.in_domain(self.points)
+
+    def _field(self, values: np.ndarray) -> np.ndarray:
+        z = np.full(self.points.shape[0], np.nan)
+        z[self.mask] = np.asarray(values, dtype=np.float64)[self.mask]
+        return z.reshape(len(self.xg), len(self.yg))
+
+    def con_plot(
+        self,
+        values: np.ndarray,
+        title: str = "",
+        path: Optional[str] = None,
+        levels: int = 30,
+    ):
+        """Filled contour of values given at ``self.points`` (masked)."""
+        z = self._field(values)
+        fig, ax = plt.subplots(figsize=(6, 5))
+        cs = ax.contourf(self.xg, self.yg, z.T, levels=levels, cmap="viridis")
+        fig.colorbar(cs, ax=ax)
+        ax.set_title(title)
+        ax.set_xlabel("x")
+        ax.set_ylabel("y")
+        if path:
+            fig.savefig(path, dpi=120, bbox_inches="tight")
+            plt.close(fig)
+            return path
+        return fig
+
+    def snapshots(
+        self,
+        eval_fn,
+        times: Sequence[float],
+        folder: str,
+        prefix: str = "sol",
+    ) -> List[str]:
+        """One contour per time (reference time-snapshot series)."""
+        os.makedirs(folder, exist_ok=True)
+        paths = []
+        for tv in times:
+            vals = eval_fn(self.points, tv)
+            p = os.path.join(folder, f"{prefix}_t{tv:.4f}.png")
+            self.con_plot(vals, title=f"t = {tv:.4f}", path=p)
+            paths.append(p)
+        return paths
+
+    def anim(
+        self,
+        eval_fn,
+        times: Sequence[float],
+        path: str,
+        fps: int = 4,
+    ) -> str:
+        """GIF animation over time (reference ``ContourPlot.anim``)."""
+        from matplotlib.animation import FuncAnimation, PillowWriter
+
+        frames = [self._field(eval_fn(self.points, tv)) for tv in times]
+        vmin = np.nanmin([np.nanmin(f) for f in frames])
+        vmax = np.nanmax([np.nanmax(f) for f in frames])
+        fig, ax = plt.subplots(figsize=(6, 5))
+
+        def draw(i):
+            ax.clear()
+            ax.contourf(
+                self.xg, self.yg, frames[i].T, levels=30,
+                cmap="viridis", vmin=vmin, vmax=vmax,
+            )
+            ax.set_title(f"t = {times[i]:.4f}")
+            return []
+
+        ani = FuncAnimation(fig, draw, frames=len(frames))
+        ani.save(path, writer=PillowWriter(fps=fps))
+        plt.close(fig)
+        return path
+
+
+def plot_line_1d(
+    x: np.ndarray,
+    series: dict,
+    title: str = "",
+    path: Optional[str] = None,
+):
+    """1-D solution line plot; ``series`` maps label -> values."""
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for label, v in series.items():
+        style = "--" if "exact" in label.lower() else "-"
+        ax.plot(np.asarray(x).ravel(), np.asarray(v).ravel(), style, label=label)
+    ax.set_title(title)
+    ax.set_xlabel("x")
+    ax.set_ylabel("u")
+    ax.legend()
+    if path:
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return path
+    return fig
+
+
+def plot_history(result, path: Optional[str] = None):
+    """Loss / error curves (reference ``TrainResult`` loss plots)."""
+    fig, axes = plt.subplots(1, 2, figsize=(11, 4))
+    ep = result.epochs
+    for key in result.losses[0].keys():
+        axes[0].semilogy(ep, [l[key] for l in result.losses], label=key)
+    axes[0].set_xlabel("epoch")
+    axes[0].set_title("loss terms")
+    axes[0].legend()
+    errs = [e for e in result.errors if np.isfinite(e)]
+    if errs:
+        axes[1].semilogy(ep[: len(result.errors)], result.errors)
+        axes[1].set_xlabel("epoch")
+        axes[1].set_title("rel-L2 error vs exact")
+    if path:
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return path
+    return fig
+
+
+def plot_solution(vn, folderpath: str, disc: int = 64, n_times: int = 5):
+    """Render the trained solution into the case folder (the body of
+    ``VarNet.sim_res`` — reference ``VarNet.simRes``, SURVEY.md §3.3).
+
+    1-D steady: line plot (with exact overlay when available).
+    1-D transient: one line plot per time snapshot.
+    2-D steady: contour (+ exact + pointwise-error contours if c_ex).
+    2-D transient: contour snapshot series + GIF animation.
+    Always: training-history curves when the model has been trained.
+    """
+    os.makedirs(folderpath, exist_ok=True)
+    pde = vn.pde
+    td = vn.static.time_dependent
+    out: List[str] = []
+
+    if pde.dim == 1:
+        x = np.linspace(*map(float, np.concatenate(pde.domain.bounds)), disc + 1)[
+            :, None
+        ]
+        if td:
+            t0, t1 = pde.t_interval
+            for tv in np.linspace(t0, t1, n_times):
+                series = {"u_theta": vn.evaluate(x, tv)}
+                if pde.c_ex is not None:
+                    series["exact"] = pde.eval_exact(x, np.full(x.shape[0], tv))
+                p = os.path.join(folderpath, f"sol_t{tv:.4f}.png")
+                plot_line_1d(x, series, title=f"t = {tv:.4f}", path=p)
+                out.append(p)
+        else:
+            series = {"u_theta": vn.evaluate(x)}
+            if pde.c_ex is not None:
+                series["exact"] = pde.eval_exact(x)
+            p = os.path.join(folderpath, "sol.png")
+            plot_line_1d(x, series, title="steady solution", path=p)
+            out.append(p)
+    else:
+        cp = ContourPlot(pde.domain, disc=disc)
+        if td:
+            t0, t1 = pde.t_interval
+            times = np.linspace(t0, t1, n_times)
+            out += cp.snapshots(
+                lambda pts, tv: vn.evaluate(pts, tv), times, folderpath
+            )
+            out.append(
+                cp.anim(
+                    lambda pts, tv: vn.evaluate(pts, tv),
+                    times,
+                    os.path.join(folderpath, "sol_anim.gif"),
+                )
+            )
+        else:
+            p = os.path.join(folderpath, "sol.png")
+            cp.con_plot(vn.evaluate(cp.points), title="steady solution", path=p)
+            out.append(p)
+            if pde.c_ex is not None:
+                exact = pde.eval_exact(cp.points)
+                p2 = os.path.join(folderpath, "sol_exact.png")
+                cp.con_plot(exact, title="exact solution", path=p2)
+                p3 = os.path.join(folderpath, "sol_abs_err.png")
+                cp.con_plot(
+                    np.abs(vn.evaluate(cp.points) - exact),
+                    title="|u_theta - exact|",
+                    path=p3,
+                )
+                out += [p2, p3]
+
+    if vn.train_result is not None and vn.train_result.losses:
+        p = os.path.join(folderpath, "history.png")
+        plot_history(vn.train_result, path=p)
+        out.append(p)
+    return out
