@@ -1,0 +1,333 @@
+"""Fused Pallas TPU kernel: MLP forward + input-jacobian (+ custom VJP).
+
+The hot op of the whole framework (SURVEY.md §7 step 6 and "hard parts"
+item 1; BASELINE.json north star: "values and spatial gradients evaluated
+in one fused Pallas forward+jacobian kernel at all quadrature points").
+Replaces the stock matmul-chain path ``models.mlp.mlp_value_and_jac``
+behind the SAME signature.
+
+Why a kernel: the XLA path materializes per-layer activation+jacobian
+state ([P, 1+n_in, H], ~GBs at bench sizes) in HBM between layers, and the
+backward pass reads it all again — the step is HBM-bound at ~1% MXU
+utilization.  Here a block of points is loaded to VMEM ONCE; all layers,
+the jacobian propagation, and (in the backward kernel) the full parameter-
+gradient accumulation run out of VMEM; HBM traffic drops to the inputs,
+outputs, and one [H, H]-sized gradient per layer.
+
+Layout: everything transposed — x is carried as [n_in, P] so the point
+axis lands on the TPU lane dimension (128-wide) and hidden size H on the
+sublane axis.  The jacobian is n_in separate [H, T] panels (n_in <= ~4,
+static unroll).  The backward kernel recomputes the forward in VMEM
+(cheap) and accumulates dW/db across the sequential TPU grid into
+constant-index output blocks.
+
+Forward-mode recurrence (per point block, T = tile size):
+    a_1   = act(Wt_1 @ xs + b_1)             xs: scaled inputs [n_in, T]
+    J_1^j = act'(a_1) * Wt_1[:, j]           (column broadcast)
+    a_l   = act(Wt_l @ a_{l-1} + b_l)
+    P_l^j = Wt_l @ J_{l-1}^j ;  J_l^j = act'(a_l) * P_l^j
+    u     = Wt_L @ a_{L-1} + b_L ;  du^j = Wt_L @ J_{L-1}^j
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_TILE = 1024
+
+
+def _act_pair(name: str):
+    if name == "tanh":
+        # derivative from the activation OUTPUT; d(act')/dz = -2 a act'
+        return jnp.tanh, (lambda a: 1.0 - a * a), (lambda a, sp: -2.0 * a * sp)
+    if name == "sigmoid":
+        return (
+            jax.nn.sigmoid,
+            (lambda a: a * (1.0 - a)),
+            (lambda a, sp: (1.0 - 2.0 * a) * sp),
+        )
+    raise ValueError(f"unknown activation '{name}'")
+
+
+def _mm(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------- #
+# forward kernel
+
+
+def _fwd_kernel(n_in: int, n_layers: int, activation: str, *refs):
+    """refs: xs, Wt_1, b_1, ..., Wt_L, b_L, out.
+
+    xs  [n_in, T]; Wt_l [H_l, H_{l-1}]; b_l [H_l, 1]
+    out [1 + n_in, T]: row 0 = u, rows 1.. = du/dxs (scaled coords).
+    """
+    act, act_p, _ = _act_pair(activation)
+    xs_ref = refs[0]
+    w_refs = refs[1 : 1 + 2 * n_layers]
+    out_ref = refs[1 + 2 * n_layers]
+
+    xs = xs_ref[:]
+    a = act(_mm(w_refs[0][:], xs) + w_refs[1][:])
+    sp = act_p(a)
+    jac = [sp * w_refs[0][:, j : j + 1] for j in range(n_in)]
+    for l in range(1, n_layers - 1):
+        wt, b = w_refs[2 * l][:], w_refs[2 * l + 1][:]
+        a = act(_mm(wt, a) + b)
+        sp = act_p(a)
+        jac = [sp * _mm(wt, jac[j]) for j in range(n_in)]
+    wt, b = w_refs[2 * (n_layers - 1)][:], w_refs[2 * (n_layers - 1) + 1][:]
+    u = _mm(wt, a) + b  # [1, T]
+    out_ref[0:1, :] = u
+    for j in range(n_in):
+        out_ref[j + 1 : j + 2, :] = _mm(wt, jac[j])
+
+
+def _fwd_pallas(wts, bs, xs_t, *, n_in, tile, activation, interpret):
+    """xs_t [n_in, P] (P % tile == 0) -> out [1 + n_in, P]."""
+    n_layers = len(wts)
+    p_total = xs_t.shape[1]
+    grid = (p_total // tile,)
+
+    in_specs = [
+        pl.BlockSpec((n_in, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    ]
+    wb = []
+    for wt, b in zip(wts, bs):
+        wb += [wt, b]
+        in_specs += [
+            pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+    out_spec = pl.BlockSpec(
+        (1 + n_in, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(_fwd_kernel, n_in, n_layers, activation)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((1 + n_in, p_total), jnp.float32),
+        interpret=interpret,
+    )(xs_t, *wb)
+
+
+# ---------------------------------------------------------------------- #
+# backward kernel (parameter gradients only — quadrature coords are fixed)
+
+
+def _bwd_kernel(n_in: int, n_layers: int, activation: str, *refs):
+    """refs: xs, g (cotangents [1+n_in, T]), Wt/b pairs, then outputs:
+    dWt_1, db_1, ..., dWt_L, db_L (accumulated across the grid).
+    """
+    act, act_p, act_pp = _act_pair(activation)
+    xs_ref = refs[0]
+    g_ref = refs[1]
+    w_refs = refs[2 : 2 + 2 * n_layers]
+    out_refs = refs[2 + 2 * n_layers :]
+
+    i = pl.program_id(0)
+
+    # ---- forward recompute, keeping per-layer state in VMEM values ----
+    xs = xs_ref[:]
+    acts = []  # a_l for hidden layers, l = 1..L-1
+    pres = []  # P_l^j panels per hidden layer (None placeholder for l=1)
+    jacs = []  # J_l^j panels per hidden layer
+    a = act(_mm(w_refs[0][:], xs) + w_refs[1][:])
+    sp = act_p(a)
+    jac = [sp * w_refs[0][:, j : j + 1] for j in range(n_in)]
+    acts.append(a)
+    pres.append(None)
+    jacs.append(list(jac))
+    for l in range(1, n_layers - 1):
+        wt, b = w_refs[2 * l][:], w_refs[2 * l + 1][:]
+        a_new = act(_mm(wt, a) + b)
+        sp = act_p(a_new)
+        pre = [_mm(wt, jac[j]) for j in range(n_in)]
+        jac = [sp * pre[j] for j in range(n_in)]
+        a = a_new
+        acts.append(a)
+        pres.append(pre)
+        jacs.append(list(jac))
+
+    # ---- backward ----
+    gu = g_ref[0:1, :]  # [1, T]
+    gdu = [g_ref[j + 1 : j + 2, :] for j in range(n_in)]
+
+    def accum(ref, val):
+        @pl.when(i == 0)
+        def _():
+            ref[:] = val
+
+        @pl.when(i != 0)
+        def _():
+            ref[:] = ref[:] + val
+
+    # final linear layer
+    wt_last = w_refs[2 * (n_layers - 1)][:]
+    a_prev = acts[-1]
+    d_wt = _mm(gu, a_prev.T)
+    for j in range(n_in):
+        d_wt = d_wt + _mm(gdu[j], jacs[-1][j].T)
+    accum(out_refs[2 * (n_layers - 1)], d_wt)
+    accum(out_refs[2 * (n_layers - 1) + 1], jnp.sum(gu, axis=1, keepdims=True))
+    ga = _mm(wt_last.T, gu)
+    g_jac = [_mm(wt_last.T, gdu[j]) for j in range(n_in)]
+
+    # hidden layers, deepest first
+    for l in range(n_layers - 2, -1, -1):
+        a_l = acts[l]
+        sp = act_p(a_l)
+        spp = act_pp(a_l, sp)
+        gz = sp * ga
+        for j in range(n_in):
+            p_lj = (
+                w_refs[0][:, j : j + 1] if l == 0 else pres[l][j]
+            )  # first layer: broadcast column
+            gz = gz + (g_jac[j] * p_lj) * spp
+        gp = [sp * g_jac[j] for j in range(n_in)]
+
+        a_in = xs if l == 0 else acts[l - 1]
+        d_wt = _mm(gz, a_in.T)
+        if l == 0:
+            # P_1^j = Wt_1[:, j] broadcast: its cotangent sums over points
+            cols = [jnp.sum(gp[j], axis=1, keepdims=True) for j in range(n_in)]
+            d_wt = d_wt + jnp.concatenate(cols, axis=1)
+        else:
+            for j in range(n_in):
+                d_wt = d_wt + _mm(gp[j], jacs[l - 1][j].T)
+        wt_l = w_refs[2 * l][:]
+        accum(out_refs[2 * l], d_wt)
+        accum(out_refs[2 * l + 1], jnp.sum(gz, axis=1, keepdims=True))
+        if l > 0:
+            ga = _mm(wt_l.T, gz)
+            g_jac = [_mm(wt_l.T, gp[j]) for j in range(n_in)]
+
+
+def _bwd_pallas(wts, bs, xs_t, g, *, n_in, tile, activation, interpret):
+    n_layers = len(wts)
+    p_total = xs_t.shape[1]
+    grid = (p_total // tile,)
+
+    in_specs = [
+        pl.BlockSpec((n_in, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1 + n_in, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    wb = []
+    for wt, b in zip(wts, bs):
+        wb += [wt, b]
+        in_specs += [
+            pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+    out_specs, out_shapes = [], []
+    for wt, b in zip(wts, bs):
+        out_specs += [
+            pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shapes += [
+            jax.ShapeDtypeStruct(wt.shape, jnp.float32),
+            jax.ShapeDtypeStruct(b.shape, jnp.float32),
+        ]
+    kernel = functools.partial(_bwd_kernel, n_in, n_layers, activation)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(xs_t, g, *wb)
+
+
+# ---------------------------------------------------------------------- #
+# public API
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+@functools.lru_cache(maxsize=16)
+def _fused_fn(n_in: int, n_layers: int, activation: str, tile: int,
+              interpret: bool):
+    """custom_vjp'd fused evaluation on PADDED transposed inputs.
+
+    f(wts_tuple, bs_tuple, xs_t) -> out [1 + n_in, P].
+    Weights arrive TRANSPOSED ([out, in]) with 2-D biases ([out, 1]).
+    """
+
+    @jax.custom_vjp
+    def f(wts, bs, xs_t):
+        return _fwd_pallas(
+            wts, bs, xs_t, n_in=n_in, tile=tile,
+            activation=activation, interpret=interpret,
+        )
+
+    def f_fwd(wts, bs, xs_t):
+        return f(wts, bs, xs_t), (wts, bs, xs_t)
+
+    def f_bwd(res, g):
+        wts, bs, xs_t = res
+        grads = _bwd_pallas(
+            wts, bs, xs_t, g, n_in=n_in, tile=tile,
+            activation=activation, interpret=interpret,
+        )
+        d_wts = tuple(grads[2 * l] for l in range(n_layers))
+        d_bs = tuple(grads[2 * l + 1] for l in range(n_layers))
+        return d_wts, d_bs, jnp.zeros_like(xs_t)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def pallas_value_and_jac(
+    params,
+    x: jax.Array,
+    activation: str = "tanh",
+    scale: Optional[jax.Array] = None,
+    shift: Optional[jax.Array] = None,
+    *,
+    tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """(u, du/dx) at x: [P, n_in] -> ([P], [P, n_in]).
+
+    Drop-in replacement for ``models.mlp.mlp_value_and_jac`` (same
+    signature, same semantics: jacobian w.r.t. the ORIGINAL unscaled
+    inputs).  Pass ``value_and_jac=pallas_value_and_jac`` to
+    ``make_loss_fn`` / ``VarNet.train``.
+    """
+    p, n_in = x.shape
+    n_layers = len(params)
+    if n_layers < 2:  # no hidden layer — nothing to fuse
+        from ..models.mlp import mlp_value_and_jac
+
+        return mlp_value_and_jac(params, x, activation, scale, shift)
+    f = _fused_fn(n_in, n_layers, activation, tile, bool(interpret))
+
+    xs = x if scale is None else (x - shift) * scale
+    xs_t = jnp.transpose(xs).astype(jnp.float32)  # [n_in, P]
+    p_pad = _round_up(max(p, 1), tile)
+    if p_pad != p:
+        xs_t = jnp.pad(xs_t, ((0, 0), (0, p_pad - p)))
+
+    wts = tuple(jnp.transpose(l["w"]).astype(jnp.float32) for l in params)
+    bs = tuple(jnp.reshape(l["b"], (-1, 1)).astype(jnp.float32) for l in params)
+
+    out = f(wts, bs, xs_t)  # [1 + n_in, p_pad]
+    u = out[0, :p]
+    du_scaled = out[1:, :p]  # d/d(xs) — chain back to original coords
+    if scale is not None:
+        du_scaled = du_scaled * scale[:, None].astype(du_scaled.dtype)
+    return u, jnp.transpose(du_scaled)
