@@ -93,7 +93,12 @@ def shard_points(points, mesh: Mesh, dtype=None):
 
 
 def replicate(tree, mesh: Mesh):
+    """Place a pytree replicated over the mesh, always COPYING: the result
+    is donated into the train step, and a device_put that aliased the
+    caller's buffer would delete the caller's arrays on donation."""
+    import jax.numpy as jnp
+
     rsh = replicated_sharding(mesh)
     return jax.tree_util.tree_map(
-        lambda leaf: jax.device_put(jax.numpy.asarray(leaf), rsh), tree
+        lambda leaf: jax.device_put(jnp.array(leaf, copy=True), rsh), tree
     )
