@@ -7,16 +7,21 @@ from compactly-supported FEM test functions and Gauss-Legendre quadrature,
 data-parallel over a TPU device mesh.
 """
 
+from .api import VarNet
 from .fem.assembly import FixedData, PointData, ProblemStatic, QuadData, build_fixed_data
 from .fem.element import HatQuadrature, MasterElement
 from .geometry.domain import Domain1D, PolygonDomain2D, RectangleDomain2D
 from .models.mlp import init_mlp, mlp_apply, mlp_value_and_jac
+from .models.source import make_gaussian_source, make_mlp_source, make_mlp_source_xt
 from .problems.adpde import ADPDE, MORVar
 from .train.loss import make_loss_fn
+from .train.optim import OptimizerConfig
+from .train.trainer import TrainResult
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "VarNet",
     "ADPDE",
     "MORVar",
     "Domain1D",
@@ -33,4 +38,9 @@ __all__ = [
     "mlp_apply",
     "mlp_value_and_jac",
     "make_loss_fn",
+    "OptimizerConfig",
+    "TrainResult",
+    "make_mlp_source",
+    "make_mlp_source_xt",
+    "make_gaussian_source",
 ]
