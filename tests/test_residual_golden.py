@@ -30,7 +30,7 @@ def _np_mlp_value_and_jac(params, x, activation="tanh"):
     return np.array(us), np.array(js)
 
 
-def _np_loss(params, fixed, weights):
+def _np_loss(params, fixed, weights, normalize=False):
     q = fixed.quad
     k, nq, n_in = q.coords.shape
     d = q.dN.shape[1]
@@ -43,7 +43,11 @@ def _np_loss(params, fixed, weights):
     if td:
         integrand += j[:, d].reshape(k, nq) * q.N
     r = np.einsum("kq,q->k", integrand, q.w)
-    loss_int = np.sum(q.mask * r**2)
+    if normalize:
+        r = r / np.sum(q.w)
+        loss_int = np.sum(q.mask * r**2) / fixed.static.n_test
+    else:
+        loss_int = np.sum(q.mask * r**2)
 
     u_bc, _ = _np_mlp_value_and_jac(params, np.asarray(fixed.bc.coords))
     e = (u_bc - fixed.bc.values) * fixed.bc.mask
@@ -64,17 +68,19 @@ def test_loss_matches_numpy_golden():
             jax.random.PRNGKey(7), fixed.static.n_inputs, [7], dtype=jnp.float64
         )
 
-        loss_fn = make_loss_fn(fixed.static, input_scaling=False)
         quad = jax.tree_util.tree_map(jnp.asarray, fixed.quad)
         bc = jax.tree_util.tree_map(jnp.asarray, fixed.bc)
         ic = jax.tree_util.tree_map(jnp.asarray, fixed.ic)
         weights = (2.0, 3.0, 5.0)
-        total, aux = jax.jit(
-            lambda p: loss_fn(p, quad, bc, ic, None, jnp.array(weights))
-        )(params)
-
-        expected = _np_loss(params, fixed, weights)
-        np.testing.assert_allclose(float(total), expected, rtol=1e-10)
-        assert float(aux["loss_int"]) >= 0 and float(aux["loss_bc"]) >= 0
+        for normalize in (False, True):
+            loss_fn = make_loss_fn(
+                fixed.static, input_scaling=False, normalize_residual=normalize
+            )
+            total, aux = jax.jit(
+                lambda p: loss_fn(p, quad, bc, ic, None, jnp.array(weights))
+            )(params)
+            expected = _np_loss(params, fixed, weights, normalize=normalize)
+            np.testing.assert_allclose(float(total), expected, rtol=1e-10)
+            assert float(aux["loss_int"]) >= 0 and float(aux["loss_bc"]) >= 0
     finally:
         jax.config.update("jax_enable_x64", False)

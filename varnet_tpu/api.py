@@ -156,6 +156,7 @@ class VarNet:
         error_times: int = 5,
         value_and_jac: Optional[Callable] = None,
         target_error: Optional[float] = None,
+        normalize_residual: bool = True,
     ) -> TrainResult:
         """Run the training loop (reference ``VarNet.train`` — SURVEY.md §3.2).
 
@@ -204,6 +205,7 @@ class VarNet:
             source_fn=self.source_fn,
             has_obs=has_obs,
             n_obs_real=0 if not has_obs else int(self.obs_data.mask.sum()),
+            normalize_residual=normalize_residual,
             **loss_kwargs,
         )
         optimizer = make_optimizer(self.optimizer_cfg)

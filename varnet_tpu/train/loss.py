@@ -34,6 +34,7 @@ def make_loss_fn(
     source_fn: Optional[Callable] = None,
     has_obs: bool = False,
     n_obs_real: int = 1,
+    normalize_residual: bool = True,
 ):
     """Build the total-loss function for an assembled problem.
 
@@ -81,7 +82,18 @@ def make_loss_fn(
         r = weak_residual(
             grad_u, quad.N, quad.dN, quad.w, quad.kappa, quad.vel, src, u_t
         )
-        loss_int = masked_sum_sq(r, quad.mask)
+        if normalize_residual:
+            # r_k scales with the test-function support volume (= sum of the
+            # quadrature weights); dividing makes r_k an average residual
+            # density, and the mean over the STATIC global test-function
+            # count (shard-safe, cf. masked_mse) makes loss conditioning and
+            # weight choices mesh-size independent — an improvement over the
+            # reference, whose raw sum of r_k^2 shrinks as O(h^2D) under
+            # refinement.
+            r = r / jnp.sum(quad.w)
+            loss_int = masked_sum_sq(r, quad.mask) / float(max(static.n_test, 1))
+        else:
+            loss_int = masked_sum_sq(r, quad.mask)
 
         u_bc = apply_fn(net, bc.coords, activation, scale, shift)
         loss_bc = masked_mse(u_bc, bc.values, bc.mask, n_bc)
