@@ -157,6 +157,9 @@ class VarNet:
         value_and_jac: Optional[Callable] = None,
         target_error: Optional[float] = None,
         normalize_residual: bool = True,
+        profile_dir: Optional[str] = None,
+        profile_steps: int = 10,
+        debug_nans: bool = False,
     ) -> TrainResult:
         """Run the training loop (reference ``VarNet.train`` — SURVEY.md §3.2).
 
@@ -169,6 +172,10 @@ class VarNet:
         target_error: optional early-stop threshold on rel-L2 error
         value_and_jac: override the network value+jacobian path (e.g. the
                      fused Pallas kernel); default is the matmul-chain path
+        profile_dir: capture a ``jax.profiler`` trace of ``profile_steps``
+                     post-compile epochs into this directory (SURVEY.md §5.1)
+        debug_nans:  enable jax NaN checking for the duration of this call
+                     (SURVEY.md §5.2 — the sanitizer analog)
         """
         td = self.static.time_dependent
         has_obs = self.obs_data is not None
@@ -235,10 +242,13 @@ class VarNet:
             os.makedirs(folderpath, exist_ok=True)
             log_path = os.path.join(folderpath, "train_log.jsonl")
 
+        if debug_nans:
+            jax.config.update("jax_debug_nans", True)
         n_real_quad = self.static.n_test * self.static.n_quad_per_test
         t_start = None  # set after first (compile) step
         timed_epochs = 0
         report_overhead = 0.0  # host+eval time excluded from throughput
+        profiling = False
         for epoch in range(start_epoch + 1, start_epoch + int(epoch_num) + 1):
             theta, opt_state, aux = step_fn(
                 theta, opt_state, quad_d, bc_d, ic_d, obs_d, weights_arr
@@ -247,8 +257,16 @@ class VarNet:
                 jax.block_until_ready(aux["loss"])
                 t_start = time.perf_counter()
                 timed_epochs = 0
+                if profile_dir is not None:
+                    jax.profiler.start_trace(profile_dir)
+                    profiling = True
+                    profile_end = epoch + int(profile_steps)
             else:
                 timed_epochs += 1
+            if profiling and epoch >= profile_end:
+                jax.block_until_ready(aux["loss"])
+                jax.profiler.stop_trace()
+                profiling = False
 
             last = epoch == start_epoch + int(epoch_num)
             if epoch % int(save_freq) == 0 or last:
@@ -288,6 +306,10 @@ class VarNet:
                         print(f"[varnet] target error {target_error:.1e} reached")
                     break
 
+        if profiling:
+            jax.profiler.stop_trace()
+        if debug_nans:
+            jax.config.update("jax_debug_nans", False)
         jax.block_until_ready(theta)
         total_time = (
             time.perf_counter() - t_start - report_overhead if t_start else 0.0
