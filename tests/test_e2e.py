@@ -1,0 +1,62 @@
+"""End-to-end accuracy tests (the reference's de-facto test pyramid,
+SURVEY.md §4: analytic-solution examples ARE the acceptance tests).
+
+CI-sized budgets: each case must show real convergence toward its
+analytic solution in a few thousand epochs on the 1-core CPU test
+backend.  The full <1e-3 budgets run on TPU via the example CLIs /
+benchmarks (BASELINE.md).
+"""
+
+import numpy as np
+import pytest
+
+from varnet_tpu.api import VarNet
+from varnet_tpu.problems.analytic import (
+    steady_ad_1d,
+    steady_ad_2d,
+    transient_ad_1d,
+)
+from varnet_tpu.train.optim import OptimizerConfig
+
+
+@pytest.mark.e2e
+def test_e2e_1d_steady_converges():
+    case = steady_ad_1d(kappa=0.1)
+    vn = VarNet(
+        case["pde"], layer_width=(16, 16), disc_num=30,
+        optimizer=OptimizerConfig(lr=2e-3), n_devices=2,
+    )
+    res = vn.train(
+        epoch_num=6000, weight=(1.0, 10.0), save_freq=2000, verbose=False
+    )
+    assert res.best_error() < 0.15
+    # monotone-ish improvement over reports
+    assert res.errors[-1] < res.errors[0]
+
+
+@pytest.mark.e2e
+def test_e2e_1d_transient_converges():
+    case = transient_ad_1d(kappa=0.05)
+    vn = VarNet(
+        case["pde"], layer_width=(16, 16), disc_num=24, t_disc_num=12,
+        optimizer=OptimizerConfig(lr=2e-3), n_devices=2,
+    )
+    res = vn.train(
+        epoch_num=3000, weight=(1.0, 10.0, 10.0), save_freq=1500, verbose=False
+    )
+    assert res.best_error() < 0.25
+    assert res.errors[-1] < res.errors[0]
+
+
+@pytest.mark.e2e
+def test_e2e_2d_steady_converges():
+    case = steady_ad_2d(kappa=0.1)
+    vn = VarNet(
+        case["pde"], layer_width=(16, 16), disc_num=16,
+        optimizer=OptimizerConfig(lr=2e-3), n_devices=2,
+    )
+    res = vn.train(
+        epoch_num=2500, weight=(1.0, 10.0), save_freq=1250, verbose=False
+    )
+    assert res.best_error() < 0.3
+    assert res.errors[-1] < res.errors[0]
