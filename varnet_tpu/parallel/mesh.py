@@ -25,6 +25,34 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host bootstrap (SURVEY.md §5.8): ``jax.distributed.initialize``
+    with env/TPU-pod autodetection when no args are given.  After this,
+    ``make_mesh()`` spans every chip of every host and the single psum per
+    step is lowered to ICI all-reduce intra-slice / DCN across slices.
+
+    No-op (returns 1) in single-process settings so callers can invoke it
+    unconditionally.
+    """
+    if num_processes is None and coordinator_address is None:
+        import os
+
+        if "COORDINATOR_ADDRESS" not in os.environ and not os.environ.get(
+            "TPU_WORKER_HOSTNAMES", ""
+        ).count(","):
+            return 1  # single host, nothing to do
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_count()
+
+
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     """A (data, model=1) mesh over the available (or given) devices."""
     if devices is None:
