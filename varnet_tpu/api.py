@@ -96,6 +96,7 @@ class VarNet:
         source_fn: Optional[Callable] = None,
         source_init: Any = None,
         obs_data: Optional[PointData] = None,
+        use_pallas="auto",
     ):
         self.pde = pde
         self.layer_width = tuple(int(w) for w in layer_width)
@@ -115,6 +116,12 @@ class VarNet:
 
         self.mesh = make_mesh(n_devices)
         self.n_shards = self.mesh.shape[DATA_AXIS]
+        # Fused Pallas forward+jacobian kernel on TPU (6x+ step speedup,
+        # benchmarks/kernel_bench.py); the matmul-chain path elsewhere.
+        if use_pallas == "auto":
+            self.use_pallas = jax.devices()[0].platform == "tpu"
+        else:
+            self.use_pallas = bool(use_pallas)
 
         self.fixed: FixedData = build_fixed_data(
             pde,
@@ -203,6 +210,10 @@ class VarNet:
         obs_d = None if obs_h is None else shard_points(obs_h, self.mesh, dtype=self.dtype)
 
         loss_kwargs = {}
+        if value_and_jac is None and self.use_pallas:
+            from .ops.pallas_mlp import pallas_value_and_jac
+
+            value_and_jac = pallas_value_and_jac
         if value_and_jac is not None:
             loss_kwargs["value_and_jac"] = value_and_jac
         loss_fn = make_loss_fn(
@@ -270,6 +281,9 @@ class VarNet:
 
             last = epoch == start_epoch + int(epoch_num)
             if epoch % int(save_freq) == 0 or last:
+                # Drain the enqueued device work FIRST so it is attributed
+                # to the timed window, not to report overhead.
+                jax.block_until_ready(aux["loss"])
                 t_rep = time.perf_counter()
                 aux_host = {k: float(v) for k, v in jax.device_get(aux).items()}
                 err = self.compute_error(
