@@ -1,0 +1,38 @@
+"""Every example CLI must run end-to-end on a tiny budget.
+
+The reference's examples double as its only tests (SURVEY.md §2.1 #8);
+here they are themselves under test.
+"""
+
+import pytest
+
+from varnet_tpu.examples import (
+    ad1d_steady,
+    ad1d_transient,
+    ad2d_steady,
+    ad2d_transient,
+    contaminant_2d,
+    inverse_source,
+    mor_1d,
+)
+
+TINY = ["--epochs", "40", "--save-freq", "20", "--width", "8"]
+
+
+@pytest.mark.parametrize(
+    "mod,extra",
+    [
+        (ad1d_steady, ["--disc", "12"]),
+        (ad1d_transient, ["--disc", "10", "--tdisc", "5"]),
+        (ad2d_steady, ["--disc", "8"]),
+        (ad2d_transient, ["--disc", "6", "--tdisc", "4"]),
+        (contaminant_2d, ["--disc", "6", "--tdisc", "4"]),
+        (inverse_source, ["--disc", "8", "--n-obs", "36"]),
+        (mor_1d, ["--disc", "10", "--vels", "0.5,1.0"]),
+    ],
+    ids=lambda m: getattr(m, "__name__", str(m)).split(".")[-1],
+)
+def test_example_runs(mod, extra):
+    vn = mod.main(TINY + extra)
+    assert vn.train_result is not None
+    assert len(vn.train_result.losses) >= 1

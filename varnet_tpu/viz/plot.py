@@ -114,6 +114,34 @@ class ContourPlot:
         return path
 
 
+def plot_domain(domain, path: Optional[str] = None, disc: int = 40):
+    """Domain geometry plot: boundary segments + interior mesh nodes
+    (reference ``Domain`` plotting — SURVEY.md §2.1 #4)."""
+    fig, ax = plt.subplots(figsize=(6, 5))
+    if domain.dim == 1:
+        lo, hi = domain.bounds
+        ax.plot([lo[0], hi[0]], [0, 0], "k-", lw=2)
+        ax.plot([lo[0], hi[0]], [0, 0], "rs")
+        ax.set_yticks([])
+    else:
+        v = domain.vertices
+        closed = np.vstack([v, v[:1]])
+        ax.plot(closed[:, 0], closed[:, 1], "k-", lw=2)
+        for i in range(v.shape[0]):
+            mid = (v[i] + v[(i + 1) % v.shape[0]]) / 2
+            ax.annotate(f"seg {i}", mid, fontsize=8, color="tab:red")
+        mesh = domain.mesh(disc)
+        pts = mesh.interior_nodes
+        ax.plot(pts[:, 0], pts[:, 1], ".", ms=2, color="tab:blue")
+        ax.set_aspect("equal")
+    ax.set_title("domain")
+    if path:
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return path
+    return fig
+
+
 def plot_line_1d(
     x: np.ndarray,
     series: dict,
@@ -207,6 +235,16 @@ def plot_solution(vn, folderpath: str, disc: int = 64, n_times: int = 5):
                     os.path.join(folderpath, "sol_anim.gif"),
                 )
             )
+            if pde.c_ex is not None:
+                out += cp.snapshots(
+                    lambda pts, tv: np.abs(
+                        vn.evaluate(pts, tv)
+                        - pde.eval_exact(pts, np.full(pts.shape[0], tv))
+                    ),
+                    times,
+                    folderpath,
+                    prefix="abs_err",
+                )
         else:
             p = os.path.join(folderpath, "sol.png")
             cp.con_plot(vn.evaluate(cp.points), title="steady solution", path=p)
