@@ -56,20 +56,25 @@ def _act_pair(name: str):
     raise ValueError(f"unknown activation '{name}'")
 
 
-def _mm(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+def _make_mm(precision):
+    def _mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=precision)
+
+    return _mm
 
 
 # ---------------------------------------------------------------------- #
 # forward kernel
 
 
-def _fwd_kernel(n_in: int, n_layers: int, activation: str, *refs):
+def _fwd_kernel(n_in: int, n_layers: int, activation: str, precision, *refs):
     """refs: xs, Wt_1, b_1, ..., Wt_L, b_L, out.
 
     xs  [n_in, T]; Wt_l [H_l, H_{l-1}]; b_l [H_l, 1]
     out [1 + n_in, T]: row 0 = u, rows 1.. = du/dxs (scaled coords).
     """
+    _mm = _make_mm(precision)
     act, act_p, _ = _act_pair(activation)
     xs_ref = refs[0]
     w_refs = refs[1 : 1 + 2 * n_layers]
@@ -91,7 +96,7 @@ def _fwd_kernel(n_in: int, n_layers: int, activation: str, *refs):
         out_ref[j + 1 : j + 2, :] = _mm(wt, jac[j])
 
 
-def _fwd_pallas(wts, bs, xs_t, *, n_in, tile, activation, interpret):
+def _fwd_pallas(wts, bs, xs_t, *, n_in, tile, activation, precision, interpret):
     """xs_t [n_in, P] (P % tile == 0) -> out [1 + n_in, P]."""
     n_layers = len(wts)
     p_total = xs_t.shape[1]
@@ -110,7 +115,7 @@ def _fwd_pallas(wts, bs, xs_t, *, n_in, tile, activation, interpret):
     out_spec = pl.BlockSpec(
         (1 + n_in, tile), lambda i: (0, i), memory_space=pltpu.VMEM
     )
-    kernel = functools.partial(_fwd_kernel, n_in, n_layers, activation)
+    kernel = functools.partial(_fwd_kernel, n_in, n_layers, activation, precision)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -125,10 +130,11 @@ def _fwd_pallas(wts, bs, xs_t, *, n_in, tile, activation, interpret):
 # backward kernel (parameter gradients only — quadrature coords are fixed)
 
 
-def _bwd_kernel(n_in: int, n_layers: int, activation: str, *refs):
+def _bwd_kernel(n_in: int, n_layers: int, activation: str, precision, *refs):
     """refs: xs, g (cotangents [1+n_in, T]), Wt/b pairs, then outputs:
     dWt_1, db_1, ..., dWt_L, db_L (accumulated across the grid).
     """
+    _mm = _make_mm(precision)
     act, act_p, act_pp = _act_pair(activation)
     xs_ref = refs[0]
     g_ref = refs[1]
@@ -213,7 +219,7 @@ def _bwd_kernel(n_in: int, n_layers: int, activation: str, *refs):
             g_jac = [_mm(wt_l.T, gp[j]) for j in range(n_in)]
 
 
-def _bwd_pallas(wts, bs, xs_t, g, *, n_in, tile, activation, interpret):
+def _bwd_pallas(wts, bs, xs_t, g, *, n_in, tile, activation, precision, interpret):
     n_layers = len(wts)
     p_total = xs_t.shape[1]
     grid = (p_total // tile,)
@@ -239,7 +245,7 @@ def _bwd_pallas(wts, bs, xs_t, g, *, n_in, tile, activation, interpret):
             jax.ShapeDtypeStruct(wt.shape, jnp.float32),
             jax.ShapeDtypeStruct(b.shape, jnp.float32),
         ]
-    kernel = functools.partial(_bwd_kernel, n_in, n_layers, activation)
+    kernel = functools.partial(_bwd_kernel, n_in, n_layers, activation, precision)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -260,7 +266,7 @@ def _round_up(n: int, m: int) -> int:
 
 @functools.lru_cache(maxsize=16)
 def _fused_fn(n_in: int, n_layers: int, activation: str, tile: int,
-              interpret: bool):
+              interpret: bool, precision=None):
     """custom_vjp'd fused evaluation on PADDED transposed inputs.
 
     f(wts_tuple, bs_tuple, xs_t) -> out [1 + n_in, P].
@@ -271,7 +277,7 @@ def _fused_fn(n_in: int, n_layers: int, activation: str, tile: int,
     def f(wts, bs, xs_t):
         return _fwd_pallas(
             wts, bs, xs_t, n_in=n_in, tile=tile,
-            activation=activation, interpret=interpret,
+            activation=activation, precision=precision, interpret=interpret,
         )
 
     def f_fwd(wts, bs, xs_t):
@@ -281,7 +287,7 @@ def _fused_fn(n_in: int, n_layers: int, activation: str, tile: int,
         wts, bs, xs_t = res
         grads = _bwd_pallas(
             wts, bs, xs_t, g, n_in=n_in, tile=tile,
-            activation=activation, interpret=interpret,
+            activation=activation, precision=precision, interpret=interpret,
         )
         d_wts = tuple(grads[2 * l] for l in range(n_layers))
         d_bs = tuple(grads[2 * l + 1] for l in range(n_layers))
@@ -300,6 +306,7 @@ def pallas_value_and_jac(
     *,
     tile: int = DEFAULT_TILE,
     interpret: bool = False,
+    precision=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """(u, du/dx) at x: [P, n_in] -> ([P], [P, n_in]).
 
@@ -314,7 +321,7 @@ def pallas_value_and_jac(
         from ..models.mlp import mlp_value_and_jac
 
         return mlp_value_and_jac(params, x, activation, scale, shift)
-    f = _fused_fn(n_in, n_layers, activation, tile, bool(interpret))
+    f = _fused_fn(n_in, n_layers, activation, tile, bool(interpret), precision)
 
     xs = x if scale is None else (x - shift) * scale
     xs_t = jnp.transpose(xs).astype(jnp.float32)  # [n_in, P]
