@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--fine-tdisc", type=int, default=32)
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--target", type=float, default=8e-4)
+    ap.add_argument("--precision", type=str, default=None,
+                    help="matmul precision, e.g. 'highest'")
     args = ap.parse_args()
 
     case = transient_ad_2d()
@@ -53,7 +55,7 @@ def main():
     r1 = vn.train(
         epoch_num=args.coarse_epochs, weight=w, save_freq=10000,
         folderpath=args.folder, target_error=args.target,
-        error_disc=96, error_times=7,
+        error_disc=96, error_times=7, matmul_precision=args.precision,
     )
     print(json.dumps({"stage": "coarse", "best": r1.best_error(),
                       "errors": r1.errors}), flush=True)
@@ -65,7 +67,7 @@ def main():
     r2 = vn2.train(
         epoch_num=args.fine_epochs, weight=w, save_freq=5000,
         folderpath=args.folder + "_fine", target_error=args.target,
-        error_disc=96, error_times=7,
+        error_disc=96, error_times=7, matmul_precision=args.precision,
     )
     print(json.dumps({"stage": "fine", "best": r2.best_error(),
                       "errors": r2.errors}), flush=True)

@@ -167,6 +167,7 @@ class VarNet:
         profile_dir: Optional[str] = None,
         profile_steps: int = 10,
         debug_nans: bool = False,
+        matmul_precision: Optional[str] = None,
     ) -> TrainResult:
         """Run the training loop (reference ``VarNet.train`` — SURVEY.md §3.2).
 
@@ -183,6 +184,11 @@ class VarNet:
                      post-compile epochs into this directory (SURVEY.md §5.1)
         debug_nans:  enable jax NaN checking for the duration of this call
                      (SURVEY.md §5.2 — the sanitizer analog)
+        matmul_precision: None | 'default' | 'float32' | 'highest' — MXU
+                     precision for ALL matmuls this call (the TPU MXU
+                     multiplies in bf16 by default, a ~5e-3 noise floor;
+                     'highest' buys exact f32 at ~3x matmul cost, needed
+                     for the <1e-3 accuracy targets)
         """
         td = self.static.time_dependent
         has_obs = self.obs_data is not None
@@ -209,11 +215,20 @@ class VarNet:
         ic_d = None if ic_h is None else shard_points(ic_h, self.mesh, dtype=self.dtype)
         obs_d = None if obs_h is None else shard_points(obs_h, self.mesh, dtype=self.dtype)
 
+        if matmul_precision is not None:
+            jax.config.update("jax_default_matmul_precision", matmul_precision)
         loss_kwargs = {}
         if value_and_jac is None and self.use_pallas:
+            import functools
+
             from .ops.pallas_mlp import pallas_value_and_jac
 
-            value_and_jac = pallas_value_and_jac
+            prec = (
+                jax.lax.Precision.HIGHEST
+                if matmul_precision in ("highest", "float32")
+                else None
+            )
+            value_and_jac = functools.partial(pallas_value_and_jac, precision=prec)
         if value_and_jac is not None:
             loss_kwargs["value_and_jac"] = value_and_jac
         loss_fn = make_loss_fn(
