@@ -185,6 +185,42 @@ def plot_history(result, path: Optional[str] = None):
     return fig
 
 
+def plot_fields(pde, folderpath: str, disc: int = 64, t: float = 0.0):
+    """Render the PDE input fields kappa, v, s over the domain (reference
+    ``ADPDE`` input-field plotting — SURVEY.md §2.1 #3)."""
+    os.makedirs(folderpath, exist_ok=True)
+    td = pde.time_dependent
+    out: List[str] = []
+    if pde.dim == 1:
+        lo, hi = pde.domain.bounds
+        x = np.linspace(float(lo[0]), float(hi[0]), disc + 1)[:, None]
+        tcol = np.full(x.shape[0], t) if td else None
+        series = {
+            "kappa": pde.eval_diff(x, tcol),
+            "velocity": pde.eval_vel(x, tcol)[:, 0],
+            "source": pde.eval_source(x, tcol),
+        }
+        for name, v in series.items():
+            p = os.path.join(folderpath, f"field_{name}.png")
+            plot_line_1d(x, {name: v}, title=name, path=p)
+            out.append(p)
+        return out
+    cp = ContourPlot(pde.domain, disc=disc)
+    tcol = np.full(cp.points.shape[0], t) if td else None
+    vel = pde.eval_vel(cp.points, tcol)
+    fields = {
+        "kappa": pde.eval_diff(cp.points, tcol),
+        "vel_x": vel[:, 0],
+        "vel_y": vel[:, 1],
+        "source": pde.eval_source(cp.points, tcol),
+    }
+    for name, v in fields.items():
+        p = os.path.join(folderpath, f"field_{name}.png")
+        cp.con_plot(v, title=name + (f" (t={t})" if td else ""), path=p)
+        out.append(p)
+    return out
+
+
 def plot_solution(vn, folderpath: str, disc: int = 64, n_times: int = 5):
     """Render the trained solution into the case folder (the body of
     ``VarNet.sim_res`` — reference ``VarNet.simRes``, SURVEY.md §3.3).
@@ -264,5 +300,28 @@ def plot_solution(vn, folderpath: str, disc: int = 64, n_times: int = 5):
     if vn.train_result is not None and vn.train_result.losses:
         p = os.path.join(folderpath, "history.png")
         plot_history(vn.train_result, path=p)
+        out.append(p)
+
+    # Per-time error table vs exact solution (reference error reports).
+    if pde.c_ex is not None:
+        import json
+
+        table = {}
+        if td:
+            t0, t1 = pde.t_interval
+            for tv in np.linspace(t0, t1, n_times):
+                pts, mask = pde.domain.grid_in_domain(
+                    (disc + 1,) * pde.dim if pde.dim > 1 else disc + 1
+                )
+                pts = pts[mask]
+                pred = vn.evaluate(pts, tv)
+                exact = pde.eval_exact(pts, np.full(pts.shape[0], tv))
+                from ..utils.helpers import rel_l2_error
+
+                table[f"{tv:.4f}"] = rel_l2_error(pred, exact)
+        table["overall"] = vn.compute_error(disc=disc, n_times=n_times)
+        p = os.path.join(folderpath, "error_table.json")
+        with open(p, "w") as f:
+            json.dump(table, f, indent=2)
         out.append(p)
     return out
