@@ -365,16 +365,32 @@ class VarNet:
         t: Optional[np.ndarray] = None,
         mu: Optional[np.ndarray] = None,
         theta: Any = None,
+        chunk: int = 1 << 20,
     ) -> np.ndarray:
         """u_theta at points (reference ``VarNet.evaluate``).
 
         x: [P, d]; t: scalar or [P] (time-dependent problems);
         mu: [P, n_mor] or [n_mor] (parametric problems).
+        Large point sets are evaluated in padded fixed-size chunks so
+        arbitrarily fine evaluation grids never exhaust device memory (and
+        at most two program shapes are compiled).
         """
         theta = self.theta if theta is None else theta
         coords = self._make_coords(x, t, mu)
-        out = self._eval_fn(replicate(theta, self.mesh), jnp.asarray(coords, self.dtype))
-        return np.asarray(jax.device_get(out), dtype=np.float64)
+        n = coords.shape[0]
+        theta_d = replicate(theta, self.mesh)
+        if n <= chunk:
+            out = self._eval_fn(theta_d, jnp.asarray(coords, self.dtype))
+            return np.asarray(jax.device_get(out), dtype=np.float64)
+        outs = []
+        for s in range(0, n, chunk):
+            block = coords[s : s + chunk]
+            real = block.shape[0]
+            if real < chunk:
+                block = np.concatenate([block, block[-1:].repeat(chunk - real, 0)])
+            o = self._eval_fn(theta_d, jnp.asarray(block, self.dtype))
+            outs.append(np.asarray(jax.device_get(o), dtype=np.float64)[:real])
+        return np.concatenate(outs)
 
     def _make_coords(self, x, t, mu) -> np.ndarray:
         x = np.atleast_2d(np.asarray(x, dtype=np.float64))
