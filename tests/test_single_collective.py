@@ -1,0 +1,44 @@
+"""Design invariant: the compiled train step contains exactly ONE
+all-reduce (the packed grads+aux psum — DESIGN.md decision 3).
+
+A regression here means gradient leaves are being reduced one-by-one
+again, which deadlocks constrained CPU runtimes and multiplies collective
+launch latency on ICI.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from varnet_tpu.fem.assembly import build_fixed_data, pad_points, pad_quad
+from varnet_tpu.models.mlp import init_mlp
+from varnet_tpu.parallel.mesh import make_mesh, replicate, shard_points, shard_quad
+from varnet_tpu.problems.analytic import steady_ad_1d
+from varnet_tpu.train.loss import make_loss_fn
+from varnet_tpu.train.optim import OptimizerConfig, make_optimizer
+from varnet_tpu.train.trainer import make_train_step
+
+
+def test_step_has_exactly_one_all_reduce():
+    case = steady_ad_1d()
+    fd = build_fixed_data(case["pde"], 24, pad_multiple=8)
+    mesh = make_mesh(8)
+    quad = shard_quad(pad_quad(fd.quad, 8), mesh)
+    bc = shard_points(pad_points(fd.bc, 8), mesh)
+    loss_fn = make_loss_fn(fd.static)
+    opt = make_optimizer(OptimizerConfig())
+    theta = replicate(
+        init_mlp(jax.random.PRNGKey(0), fd.static.n_inputs, (16, 16)), mesh
+    )
+    opt_state = replicate(opt.init(theta), mesh)
+    step = make_train_step(loss_fn, opt, mesh=mesh, donate=False)
+    w = jnp.asarray([1.0, 10.0, 0.0, 0.0])
+
+    compiled = step.lower(theta, opt_state, quad, bc, None, None, w).compile()
+    hlo = compiled.as_text()
+    # Count distinct all-reduce ops (async start/done pairs count once).
+    import re
+
+    total = len(re.findall(r"= \S* all-reduce\(", hlo)) + len(
+        re.findall(r"= \S* all-reduce-start\(", hlo)
+    )
+    assert total == 1, f"expected exactly 1 all-reduce, found {total}"
