@@ -356,6 +356,122 @@ class VarNet:
         self.train_result = result
         return result
 
+    def refine_lbfgs(
+        self,
+        steps: int = 500,
+        weight: Optional[Sequence[float]] = None,
+        save_freq: int = 100,
+        verbose: bool = True,
+        error_disc: int = 64,
+        error_times: int = 5,
+        memory_size: int = 20,
+        target_error: Optional[float] = None,
+        matmul_precision: Optional[str] = "highest",
+        normalize_residual: bool = True,
+    ) -> TrainResult:
+        """L-BFGS polish phase after Adam (full-batch, zoom linesearch).
+
+        The standard second-stage optimizer for variational/PINN losses:
+        Adam finds the basin, L-BFGS drives the residual orders of
+        magnitude further.  Beyond-reference capability (the TF1 reference
+        had Adam/RMSProp only — SURVEY.md §2.1 #2).  Uses XLA auto
+        sharding (the linesearch's internal while_loop makes the explicit
+        one-psum pattern inapplicable); on a TPU pod the extra collectives
+        ride ICI.
+        """
+        import optax
+
+        if matmul_precision is not None:
+            jax.config.update("jax_default_matmul_precision", matmul_precision)
+        td = self.static.time_dependent
+        has_obs = self.obs_data is not None
+        if weight is None:
+            weight = (1.0, 1.0) + ((1.0,) if td else ()) + ((1.0,) if has_obs else ())
+        w_full = list(weight) + [0.0] * (4 - len(weight))
+        if not td:
+            w_full = [w_full[0], w_full[1], 0.0, w_full[2]]
+        weights_arr = jnp.asarray(w_full, dtype=self.dtype)
+
+        quad_h = pad_quad(self.fixed.quad, self.n_shards)
+        bc_h = pad_points(self.fixed.bc, self.n_shards)
+        ic_h = None if self.fixed.ic is None else pad_points(self.fixed.ic, self.n_shards)
+        obs_h = None if not has_obs else pad_points(self.obs_data, self.n_shards)
+        quad_d = shard_quad(quad_h, self.mesh, dtype=self.dtype)
+        bc_d = shard_points(bc_h, self.mesh, dtype=self.dtype)
+        ic_d = None if ic_h is None else shard_points(ic_h, self.mesh, dtype=self.dtype)
+        obs_d = None if obs_h is None else shard_points(obs_h, self.mesh, dtype=self.dtype)
+
+        loss_kwargs = {}
+        if self.use_pallas:
+            import functools
+
+            from .ops.pallas_mlp import pallas_value_and_jac
+
+            prec = (
+                jax.lax.Precision.HIGHEST
+                if matmul_precision in ("highest", "float32")
+                else None
+            )
+            loss_kwargs["value_and_jac"] = functools.partial(
+                pallas_value_and_jac, precision=prec
+            )
+        loss_fn = make_loss_fn(
+            self.static,
+            activation=self.activation,
+            input_scaling=self.input_scaling,
+            source_fn=self.source_fn,
+            has_obs=has_obs,
+            n_obs_real=0 if not has_obs else int(self.obs_data.mask.sum()),
+            normalize_residual=normalize_residual,
+            **loss_kwargs,
+        )
+
+        def scalar_loss(theta):
+            return loss_fn(theta, quad_d, bc_d, ic_d, obs_d, weights_arr)[0]
+
+        opt = optax.lbfgs(memory_size=memory_size)
+        theta = replicate(self.theta, self.mesh)
+        state = opt.init(theta)
+        value_and_grad = optax.value_and_grad_from_state(scalar_loss)
+
+        @jax.jit
+        def lbfgs_step(theta, state):
+            value, grad = value_and_grad(theta, state=state)
+            updates, state = opt.update(
+                grad, state, theta, value=value, grad=grad, value_fn=scalar_loss
+            )
+            theta = optax.apply_updates(theta, updates)
+            return theta, state, value
+
+        result = TrainResult()
+        t_start = None
+        for it in range(1, int(steps) + 1):
+            theta, state, value = lbfgs_step(theta, state)
+            if t_start is None:
+                jax.block_until_ready(value)
+                t_start = time.perf_counter()
+            if it % int(save_freq) == 0 or it == int(steps):
+                jax.block_until_ready(value)
+                err = self.compute_error(theta, disc=error_disc, n_times=error_times)
+                result.epochs.append(it)
+                result.losses.append({"loss": float(value)})
+                result.errors.append(err if err is not None else float("nan"))
+                result.wall_times.append(time.perf_counter() - t_start)
+                if verbose:
+                    err_s = f"{err:.3e}" if err is not None else "n/a"
+                    print(
+                        f"[varnet/lbfgs] it {it:6d}  loss {float(value):.4e}"
+                        f"  relL2 {err_s}  ({result.wall_times[-1]:.1f}s)"
+                    )
+                if target_error is not None and err is not None and err < target_error:
+                    if verbose:
+                        print(f"[varnet/lbfgs] target {target_error:.1e} reached")
+                    break
+        self.theta = jax.device_get(theta)
+        result.total_steps = int(steps)
+        self.train_result = result
+        return result
+
     # ------------------------------------------------------------------ #
     # evaluation / reporting
 
