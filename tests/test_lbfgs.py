@@ -9,9 +9,9 @@ from varnet_tpu.problems.analytic import steady_ad_1d
 def test_lbfgs_reaches_fine_error():
     case = steady_ad_1d(kappa=0.1)
     vn = VarNet(case["pde"], layer_width=(16, 16), disc_num=30, n_devices=1)
-    vn.train(epoch_num=1500, weight=(1.0, 10.0), save_freq=1500, verbose=False)
+    vn.train(epoch_num=2500, weight=(1.0, 10.0), save_freq=2500, verbose=False)
     r = vn.refine_lbfgs(
-        steps=150, weight=(1.0, 10.0), save_freq=50, verbose=False,
+        steps=250, weight=(1.0, 10.0), save_freq=50, verbose=False,
         matmul_precision=None,
     )
     assert r.best_error() < 5e-3
