@@ -1,10 +1,15 @@
-"""Long-budget accuracy run on the flagship 2-D transient AD problem.
+"""Flagship accuracy pipeline: Adam (coarse) -> Adam (fine) -> L-BFGS.
 
-Progressive mesh refinement: train on a coarse quadrature mesh first
-(cheap epochs, gets the solution shape), then continue on the fine mesh
-(lowers the O(h^2) discretization floor toward the <1e-3 BASELINE target).
-Parameters transfer directly because u_theta(x, t) is mesh-independent —
-a capability the reference's fixed-graph TF1 design could not express.
+The recipe that reaches the <1e-3 rel-L2 BASELINE target on the 2-D
+transient AD problem:
+
+1. Adam on a coarse quadrature mesh — cheap epochs find the basin.
+2. Adam on the fine mesh, warm-started — lowers the O(h^2) bias.
+   (u_theta is mesh-independent, so parameters transfer directly; the
+   reference's fixed TF1 graph could not express this.)
+3. Full-batch L-BFGS with zoom linesearch at exact-f32 MXU precision —
+   drives the weak residual to the discretization floor in O(100)
+   iterations (see tests/test_lbfgs.py for the 1-D version).
 
 Run: python benchmarks/accuracy_flagship.py --folder /tmp/acc
 """
@@ -24,17 +29,17 @@ from varnet_tpu.train.optim import OptimizerConfig  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--folder", type=str, default="/tmp/acc_flagship")
-    ap.add_argument("--width", type=int, default=24)
-    ap.add_argument("--coarse-epochs", type=int, default=60000)
-    ap.add_argument("--fine-epochs", type=int, default=40000)
+    ap.add_argument("--width", type=int, default=32)
+    ap.add_argument("--coarse-epochs", type=int, default=50000)
+    ap.add_argument("--fine-epochs", type=int, default=25000)
+    ap.add_argument("--lbfgs-steps", type=int, default=1000)
     ap.add_argument("--coarse-disc", type=int, default=30)
     ap.add_argument("--coarse-tdisc", type=int, default=20)
     ap.add_argument("--fine-disc", type=int, default=48)
     ap.add_argument("--fine-tdisc", type=int, default=32)
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--target", type=float, default=8e-4)
-    ap.add_argument("--precision", type=str, default=None,
-                    help="matmul precision, e.g. 'highest'")
+    ap.add_argument("--precision", type=str, default="highest")
     args = ap.parse_args()
 
     case = transient_ad_2d()
@@ -49,28 +54,37 @@ def main():
             ),
         )
 
-    # Stage 1: coarse
+    # Stage 1: Adam, coarse mesh
     vn = build(args.coarse_disc, args.coarse_tdisc, args.lr,
                max(args.coarse_epochs // 4, 1))
     r1 = vn.train(
         epoch_num=args.coarse_epochs, weight=w, save_freq=10000,
-        folderpath=args.folder, target_error=args.target,
-        error_disc=96, error_times=7, matmul_precision=args.precision,
+        folderpath=args.folder, error_disc=96, error_times=7,
+        matmul_precision=args.precision,
     )
     print(json.dumps({"stage": "coarse", "best": r1.best_error(),
                       "errors": r1.errors}), flush=True)
 
-    # Stage 2: fine mesh, warm-started from stage 1
+    # Stage 2: Adam, fine mesh, warm-started
     vn2 = build(args.fine_disc, args.fine_tdisc, args.lr / 4,
                 max(args.fine_epochs // 4, 1))
     vn2.load_model(args.folder)
     r2 = vn2.train(
         epoch_num=args.fine_epochs, weight=w, save_freq=5000,
-        folderpath=args.folder + "_fine", target_error=args.target,
-        error_disc=96, error_times=7, matmul_precision=args.precision,
+        folderpath=args.folder + "_fine", error_disc=96, error_times=7,
+        matmul_precision=args.precision,
     )
     print(json.dumps({"stage": "fine", "best": r2.best_error(),
                       "errors": r2.errors}), flush=True)
+
+    # Stage 3: L-BFGS polish on the fine mesh
+    r3 = vn2.refine_lbfgs(
+        steps=args.lbfgs_steps, weight=w, save_freq=100,
+        error_disc=96, error_times=7, target_error=args.target,
+        matmul_precision=args.precision,
+    )
+    print(json.dumps({"stage": "lbfgs", "best": r3.best_error(),
+                      "errors": r3.errors}), flush=True)
 
 
 if __name__ == "__main__":
