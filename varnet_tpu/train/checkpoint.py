@@ -71,7 +71,13 @@ def load_checkpoint(
     step: Optional[int] = None,
 ) -> Tuple[Dict[str, Any], int]:
     """Restore the latest (or given-step) checkpoint into ``target``'s
-    structure.  Returns (state, step)."""
+    structure.  Returns (state, step).
+
+    If the stored optimizer state's structure does not match the target's
+    (e.g. polishing a checkpoint written with a different optimizer /
+    schedule), falls back to restoring the parameters alone — exactly the
+    reference's semantics of rebuilding the graph and restoring weights.
+    """
     steps = list_checkpoint_steps(folder)
     if not steps:
         raise FileNotFoundError(f"no checkpoints under {folder}")
@@ -81,7 +87,15 @@ def load_checkpoint(
     path = _step_dir(folder, step)
     with ocp.StandardCheckpointer() as ckptr:
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
-        state = ckptr.restore(path, abstract)
+        try:
+            state = ckptr.restore(path, abstract)
+        except Exception:
+            theta_only = {"theta": abstract["theta"]}
+            restored = ckptr.restore(
+                path, ocp.args.StandardRestore(theta_only, partial_restore=True)
+            )
+            state = dict(target)
+            state["theta"] = restored["theta"]
     return state, step
 
 
