@@ -354,6 +354,9 @@ class VarNet:
         self.theta = jax.device_get(theta)
         self.opt_state = jax.device_get(opt_state)
         self.train_result = result
+        if folderpath is not None:
+            with open(os.path.join(folderpath, "train_result.json"), "w") as f:
+                json.dump(result.as_dict(), f, indent=2)
         return result
 
     def refine_lbfgs(
