@@ -91,9 +91,13 @@ def load_checkpoint(
             state = ckptr.restore(path, abstract)
         except Exception:
             theta_only = {"theta": abstract["theta"]}
-            restored = ckptr.restore(
-                path, ocp.args.StandardRestore(theta_only, partial_restore=True)
-            )
+            with ocp.PyTreeCheckpointer() as pck:
+                restored = pck.restore(
+                    path,
+                    args=ocp.args.PyTreeRestore(
+                        item=theta_only, partial_restore=True
+                    ),
+                )
             state = dict(target)
             state["theta"] = restored["theta"]
     return state, step
