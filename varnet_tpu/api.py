@@ -381,6 +381,12 @@ class VarNet:
         sharding (the linesearch's internal while_loop makes the explicit
         one-psum pattern inapplicable); on a TPU pod the extra collectives
         ride ICI.
+
+        Caveat (measured): start it from a MID-converged Adam state.  From
+        a deeply-converged state (loss near the f32 linesearch resolution,
+        ~1e-6) the zoom linesearch cannot certify descent and stalls; a
+        deep Adam decay schedule is the better final-decade tool there
+        (DESIGN.md).
         """
         import optax
 

@@ -29,6 +29,14 @@ def make_parser(desc: str, **defaults) -> argparse.ArgumentParser:
     p.add_argument("--width", type=int, default=defaults.get("width", 20))
     p.add_argument("--layers", type=int, default=defaults.get("layers", 2))
     p.add_argument("--lr", type=float, default=defaults.get("lr", 1e-3))
+    p.add_argument("--decay", type=float, default=defaults.get("decay", 0.4),
+                   help="exponential lr decay factor (deep decay schedules "
+                        "drive the final error decade; 0 disables)")
+    p.add_argument("--decay-every", type=int, default=None,
+                   help="decay period in epochs (default: epochs // 6)")
+    p.add_argument("--precision", type=str,
+                   default=defaults.get("precision", None),
+                   help="matmul precision ('highest' for <1e-3 targets)")
     p.add_argument("--batch-num", type=int, default=1)
     p.add_argument("--save-freq", type=int, default=defaults.get("save_freq", 2000))
     p.add_argument("--folder", type=str, default=None,
@@ -43,6 +51,8 @@ def make_parser(desc: str, **defaults) -> argparse.ArgumentParser:
 
 
 def run_case(pde, args, weight, t_disc_num=None, **varnet_kwargs) -> VarNet:
+    decay = getattr(args, "decay", 0.0) or None
+    decay_every = getattr(args, "decay_every", None) or max(args.epochs // 6, 1)
     vn = VarNet(
         pde,
         layer_width=(args.width,) * args.layers,
@@ -51,7 +61,9 @@ def run_case(pde, args, weight, t_disc_num=None, **varnet_kwargs) -> VarNet:
         t_disc_num=t_disc_num,
         seed=args.seed,
         n_devices=args.devices,
-        optimizer=OptimizerConfig(lr=args.lr),
+        optimizer=OptimizerConfig(
+            lr=args.lr, decay_rate=decay, decay_steps=decay_every
+        ),
         **varnet_kwargs,
     )
     res = vn.train(
@@ -62,6 +74,7 @@ def run_case(pde, args, weight, t_disc_num=None, **varnet_kwargs) -> VarNet:
         folderpath=args.folder,
         resume=args.resume,
         target_error=args.target,
+        matmul_precision=getattr(args, "precision", None),
     )
     summary = {
         "best_rel_l2": res.best_error(),
