@@ -1,0 +1,47 @@
+"""Fourier-feature embedding path: jacobian correctness + training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from varnet_tpu.api import VarNet
+from varnet_tpu.models.mlp import (
+    ff_apply,
+    ff_value_and_jac,
+    init_mlp,
+    make_fourier_features,
+    make_input_scaling,
+)
+from varnet_tpu.problems.analytic import steady_ad_2d
+
+
+def test_ff_jacobian_matches_autodiff():
+    key = jax.random.PRNGKey(0)
+    n_in, n_feat = 3, 8
+    b = make_fourier_features(key, n_in, n_feat, scale=1.5)
+    params = init_mlp(jax.random.PRNGKey(1), 2 * n_feat, (16,))
+    scale, shift = make_input_scaling(np.zeros(n_in), 2 * np.ones(n_in))
+    x = jax.random.uniform(jax.random.PRNGKey(2), (50, n_in), maxval=2.0)
+
+    u, du = ff_value_and_jac(b, params, x, "tanh", scale, shift)
+
+    def single(xi):
+        return ff_apply(b, params, xi[None, :], "tanh", scale, shift)[0]
+
+    u_ref = jax.vmap(single)(x)
+    du_ref = jax.vmap(jax.grad(single))(x)
+    np.testing.assert_allclose(u, u_ref, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(du, du_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_varnet_fourier_trains():
+    case = steady_ad_2d(kappa=0.1)
+    vn = VarNet(case["pde"], layer_width=(16, 16), disc_num=12, n_devices=2,
+                fourier_features=8, fourier_scale=1.0)
+    assert vn.fourier_b is not None and not vn.use_pallas
+    res = vn.train(epoch_num=300, weight=(1.0, 10.0), save_freq=150,
+                   verbose=False)
+    assert res.losses[-1]["loss"] < res.losses[0]["loss"]
+    # evaluate goes through the embedded apply path
+    u = vn.evaluate(np.array([[0.5, 0.5]]))
+    assert u.shape == (1,)

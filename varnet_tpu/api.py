@@ -97,6 +97,8 @@ class VarNet:
         source_init: Any = None,
         obs_data: Optional[PointData] = None,
         use_pallas="auto",
+        fourier_features: Optional[int] = None,
+        fourier_scale: float = 1.0,
     ):
         self.pde = pde
         self.layer_width = tuple(int(w) for w in layer_width)
@@ -134,17 +136,39 @@ class VarNet:
         self.static = self.fixed.static
 
         key = jax.random.PRNGKey(self.seed)
-        net = init_mlp(
-            key, self.static.n_inputs, self.layer_width, n_out=1, dtype=dtype
-        )
+        # Optional random-Fourier-feature embedding (fixed matrix B) to
+        # counter MLP spectral bias on oscillatory solutions.
+        self.fourier_b = None
+        self._value_and_jac_default = None
+        apply_override = None
+        net_in = self.static.n_inputs
+        if fourier_features is not None:
+            import functools
+
+            from .models.mlp import ff_apply, ff_value_and_jac, make_fourier_features
+
+            key, sub = jax.random.split(key)
+            self.fourier_b = make_fourier_features(
+                sub, self.static.n_inputs, int(fourier_features),
+                scale=float(fourier_scale),
+            )
+            net_in = 2 * int(fourier_features)
+            self._value_and_jac_default = functools.partial(
+                ff_value_and_jac, self.fourier_b
+            )
+            apply_override = functools.partial(ff_apply, self.fourier_b)
+            self.use_pallas = False  # kernel does not embed (yet)
+        net = init_mlp(key, net_in, self.layer_width, n_out=1, dtype=dtype)
         if source_fn is not None:
             self.theta: Any = {"net": net, "src": source_init}
         else:
             self.theta = net
         self.opt_state = None  # created lazily in train()/load_model()
         self.train_result: Optional[TrainResult] = None
+        self._apply_override = apply_override
+        eval_kwargs = {} if apply_override is None else {"apply_fn": apply_override}
         self._eval_fn = make_eval_fn(
-            self.static, self.activation, self.input_scaling
+            self.static, self.activation, self.input_scaling, **eval_kwargs
         )
 
     # ------------------------------------------------------------------ #
@@ -229,8 +253,12 @@ class VarNet:
                 else None
             )
             value_and_jac = functools.partial(pallas_value_and_jac, precision=prec)
+        if value_and_jac is None and self._value_and_jac_default is not None:
+            value_and_jac = self._value_and_jac_default
         if value_and_jac is not None:
             loss_kwargs["value_and_jac"] = value_and_jac
+        if self._apply_override is not None:
+            loss_kwargs["apply_fn"] = self._apply_override
         loss_fn = make_loss_fn(
             self.static,
             activation=self.activation,
@@ -424,6 +452,10 @@ class VarNet:
             loss_kwargs["value_and_jac"] = functools.partial(
                 pallas_value_and_jac, precision=prec
             )
+        elif self._value_and_jac_default is not None:
+            loss_kwargs["value_and_jac"] = self._value_and_jac_default
+        if self._apply_override is not None:
+            loss_kwargs["apply_fn"] = self._apply_override
         loss_fn = make_loss_fn(
             self.static,
             activation=self.activation,

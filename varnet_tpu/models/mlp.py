@@ -131,6 +131,81 @@ def mlp_value_and_jac(
     return u, du
 
 
+def make_fourier_features(key: jax.Array, n_in: int, n_feat: int,
+                          scale: float = 1.0) -> jax.Array:
+    """Random Fourier feature matrix B [n_in, n_feat] (Tancik et al. 2020).
+
+    The embedding gamma(x) = [sin(2 pi x B), cos(2 pi x B)] (2*n_feat dims)
+    counters the spectral bias of plain MLPs on oscillatory PDE solutions.
+    B is FIXED (not trained); inputs are expected pre-scaled to [-1, 1].
+    """
+    return scale * jax.random.normal(key, (int(n_in), int(n_feat)))
+
+
+def ff_apply(
+    b_mat: jax.Array,
+    params: Params,
+    x: jax.Array,
+    activation: str = "tanh",
+    scale: Optional[jax.Array] = None,
+    shift: Optional[jax.Array] = None,
+) -> jax.Array:
+    """u_theta(x) through the Fourier-feature embedding: [P, n_in] -> [P]."""
+    act, _ = _activation_pair(activation)
+    dtype = params[0]["w"].dtype
+    xs = (x if scale is None else (x - shift) * scale).astype(dtype)
+    ang = 2.0 * jnp.pi * (xs @ b_mat.astype(dtype))
+    a = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+    for layer in params[:-1]:
+        a = act(a @ layer["w"] + layer["b"])
+    out = a @ params[-1]["w"] + params[-1]["b"]
+    return out[..., 0]
+
+
+def ff_value_and_jac(
+    b_mat: jax.Array,
+    params: Params,
+    x: jax.Array,
+    activation: str = "tanh",
+    scale: Optional[jax.Array] = None,
+    shift: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """(u, du/dx) through a Fourier-feature embedding + MLP.
+
+    Forward-mode: only n_in tangent rows propagate (the embedding jacobian
+    seeds them), so cost matches the plain-MLP path at equal width.  The
+    MLP's input width must be 2 * n_feat.
+    """
+    act, act_prime = _activation_pair(activation)
+    p, n_in = x.shape
+    dtype = params[0]["w"].dtype
+    xs = (x if scale is None else (x - shift) * scale).astype(dtype)
+    bm = b_mat.astype(dtype)
+    ang = 2.0 * jnp.pi * (xs @ bm)  # [P, F]
+    a = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)  # [P, 2F]
+    # d(ang)/dx_j = 2 pi B[j, :] (times input scale)
+    dxs = jnp.eye(n_in, dtype=dtype)
+    if scale is not None:
+        dxs = dxs * scale[None, :].astype(dtype)
+    dang = 2.0 * jnp.pi * (dxs @ bm)  # [n_in, F]
+    cos_a, sin_a = jnp.cos(ang), jnp.sin(ang)
+    jac = jnp.concatenate(
+        [cos_a[:, None, :] * dang[None, :, :],
+         -sin_a[:, None, :] * dang[None, :, :]],
+        axis=-1,
+    )  # [P, n_in, 2F]
+    for layer in params[:-1]:
+        w, b = layer["w"], layer["b"]
+        state = jnp.concatenate([a[:, None, :], jac], axis=1)
+        state = (state.reshape(p * (1 + n_in), -1) @ w).reshape(p, 1 + n_in, -1)
+        a = act(state[:, 0, :] + b)
+        jac = state[:, 1:, :] * act_prime(a)[:, None, :]
+    w, b = params[-1]["w"], params[-1]["b"]
+    state = jnp.concatenate([a[:, None, :], jac], axis=1)
+    state = (state.reshape(p * (1 + n_in), -1) @ w).reshape(p, 1 + n_in, -1)
+    return state[:, 0, 0] + b[0], state[:, 1:, 0]
+
+
 def mlp_value_and_jac_auto(
     params: Params,
     x: jax.Array,
