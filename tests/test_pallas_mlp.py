@@ -80,6 +80,44 @@ def test_param_grads_match_auto(activation):
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5)
 
 
+def test_ff_kernel_matches_jnp_path():
+    from varnet_tpu.models.mlp import ff_value_and_jac, make_fourier_features
+    from varnet_tpu.ops.pallas_mlp import pallas_ff_value_and_jac
+
+    n_in, n_feat = 3, 8
+    b = make_fourier_features(jax.random.PRNGKey(0), n_in, n_feat, scale=1.3)
+    params = init_mlp(jax.random.PRNGKey(1), 2 * n_feat, (16, 16))
+    scale, shift = make_input_scaling(np.zeros(n_in), 2 * np.ones(n_in))
+    x = jax.random.uniform(jax.random.PRNGKey(2), (150, n_in), maxval=2.0)
+    u_ref, du_ref = ff_value_and_jac(b, params, x, "tanh", scale, shift)
+    u, du = pallas_ff_value_and_jac(b, params, x, "tanh", scale, shift,
+                                    tile=128, interpret=True)
+    np.testing.assert_allclose(u, u_ref, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(du, du_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_ff_kernel_param_grads():
+    from varnet_tpu.models.mlp import ff_value_and_jac, make_fourier_features
+    from varnet_tpu.ops.pallas_mlp import pallas_ff_value_and_jac
+
+    n_in, n_feat = 2, 4
+    b = make_fourier_features(jax.random.PRNGKey(0), n_in, n_feat)
+    params = init_mlp(jax.random.PRNGKey(1), 2 * n_feat, (8, 8))
+    x = jax.random.normal(jax.random.PRNGKey(2), (256, n_in))
+    cu = jax.random.normal(jax.random.PRNGKey(3), (256,))
+    cd = jax.random.normal(jax.random.PRNGKey(4), (256, n_in))
+
+    def loss(vj, params):
+        u, du = vj(b, params, x, "tanh")
+        return jnp.sum(u * cu) + jnp.sum(du * cd) + jnp.sum(u * u)
+
+    g_ref = jax.grad(functools.partial(loss, ff_value_and_jac))(params)
+    pvj_ff = functools.partial(pallas_ff_value_and_jac, tile=128, interpret=True)
+    g = jax.grad(functools.partial(loss, pvj_ff))(params)
+    for a, b2 in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(a, b2, rtol=5e-4, atol=5e-5)
+
+
 def test_param_grads_with_scaling_multitile():
     n_in = 2
     params = init_mlp(jax.random.PRNGKey(0), n_in, (16, 16))

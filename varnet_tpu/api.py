@@ -157,7 +157,6 @@ class VarNet:
                 ff_value_and_jac, self.fourier_b
             )
             apply_override = functools.partial(ff_apply, self.fourier_b)
-            self.use_pallas = False  # kernel does not embed (yet)
         net = init_mlp(key, net_in, self.layer_width, n_out=1, dtype=dtype)
         if source_fn is not None:
             self.theta: Any = {"net": net, "src": source_init}
@@ -170,6 +169,23 @@ class VarNet:
         self._eval_fn = make_eval_fn(
             self.static, self.activation, self.input_scaling, **eval_kwargs
         )
+
+    def _pallas_value_and_jac(self, matmul_precision):
+        """The fused-kernel evaluation path (plain or Fourier-embedded)."""
+        import functools
+
+        from .ops.pallas_mlp import pallas_ff_value_and_jac, pallas_value_and_jac
+
+        prec = (
+            jax.lax.Precision.HIGHEST
+            if matmul_precision in ("highest", "float32")
+            else None
+        )
+        if self.fourier_b is not None:
+            return functools.partial(
+                pallas_ff_value_and_jac, self.fourier_b, precision=prec
+            )
+        return functools.partial(pallas_value_and_jac, precision=prec)
 
     # ------------------------------------------------------------------ #
     # training
@@ -243,16 +259,7 @@ class VarNet:
             jax.config.update("jax_default_matmul_precision", matmul_precision)
         loss_kwargs = {}
         if value_and_jac is None and self.use_pallas:
-            import functools
-
-            from .ops.pallas_mlp import pallas_value_and_jac
-
-            prec = (
-                jax.lax.Precision.HIGHEST
-                if matmul_precision in ("highest", "float32")
-                else None
-            )
-            value_and_jac = functools.partial(pallas_value_and_jac, precision=prec)
+            value_and_jac = self._pallas_value_and_jac(matmul_precision)
         if value_and_jac is None and self._value_and_jac_default is not None:
             value_and_jac = self._value_and_jac_default
         if value_and_jac is not None:
@@ -440,17 +447,8 @@ class VarNet:
 
         loss_kwargs = {}
         if self.use_pallas:
-            import functools
-
-            from .ops.pallas_mlp import pallas_value_and_jac
-
-            prec = (
-                jax.lax.Precision.HIGHEST
-                if matmul_precision in ("highest", "float32")
-                else None
-            )
-            loss_kwargs["value_and_jac"] = functools.partial(
-                pallas_value_and_jac, precision=prec
+            loss_kwargs["value_and_jac"] = self._pallas_value_and_jac(
+                matmul_precision
             )
         elif self._value_and_jac_default is not None:
             loss_kwargs["value_and_jac"] = self._value_and_jac_default

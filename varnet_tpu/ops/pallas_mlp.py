@@ -65,6 +65,26 @@ def _make_mm(precision):
 
 
 # ---------------------------------------------------------------------- #
+# Fourier-feature embedding (in-kernel; SEEDS the jacobian panels)
+
+
+def _embed(xs, bt2pi, _mm):
+    """xs [n_in, T], bt2pi = 2*pi*B^T [F, n_in] ->
+    a0 [2F, T], J0 list of n_in panels [2F, T]."""
+    n_in = xs.shape[0]
+    ang = _mm(bt2pi, xs)  # [F, T]
+    s, c = jnp.sin(ang), jnp.cos(ang)
+    a0 = jnp.concatenate([s, c], axis=0)
+    j0 = [
+        jnp.concatenate(
+            [c * bt2pi[:, j : j + 1], -s * bt2pi[:, j : j + 1]], axis=0
+        )
+        for j in range(n_in)
+    ]
+    return a0, j0
+
+
+# ---------------------------------------------------------------------- #
 # forward kernel
 
 
@@ -124,6 +144,103 @@ def _fwd_pallas(wts, bs, xs_t, *, n_in, tile, activation, precision, interpret):
         out_shape=jax.ShapeDtypeStruct((1 + n_in, p_total), jnp.float32),
         interpret=interpret,
     )(xs_t, *wb)
+
+
+def _fwd_kernel_ff(n_in: int, n_layers: int, activation: str, precision, *refs):
+    """Fourier variant: refs = xs, bt2pi, Wt/b pairs, out.
+    The embedding runs in-kernel and seeds the jacobian panels."""
+    _mm = _make_mm(precision)
+    act, act_p, _ = _act_pair(activation)
+    xs_ref, bt_ref = refs[0], refs[1]
+    w_refs = refs[2 : 2 + 2 * n_layers]
+    out_ref = refs[2 + 2 * n_layers]
+
+    a0, j0 = _embed(xs_ref[:], bt_ref[:], _mm)
+    a = act(_mm(w_refs[0][:], a0) + w_refs[1][:])
+    sp = act_p(a)
+    jac = [sp * _mm(w_refs[0][:], j0[j]) for j in range(n_in)]
+    for l in range(1, n_layers - 1):
+        wt, b = w_refs[2 * l][:], w_refs[2 * l + 1][:]
+        a = act(_mm(wt, a) + b)
+        sp = act_p(a)
+        jac = [sp * _mm(wt, jac[j]) for j in range(n_in)]
+    wt, b = w_refs[2 * (n_layers - 1)][:], w_refs[2 * (n_layers - 1) + 1][:]
+    out_ref[0:1, :] = _mm(wt, a) + b
+    for j in range(n_in):
+        out_ref[j + 1 : j + 2, :] = _mm(wt, jac[j])
+
+
+def _bwd_kernel_ff(n_in: int, n_layers: int, activation: str, precision, *refs):
+    """Fourier variant backward: refs = xs, g, bt2pi, Wt/b pairs, then
+    outputs dWt_1, db_1, ..., dWt_L, db_L."""
+    _mm = _make_mm(precision)
+    act, act_p, act_pp = _act_pair(activation)
+    xs_ref, g_ref, bt_ref = refs[0], refs[1], refs[2]
+    w_refs = refs[3 : 3 + 2 * n_layers]
+    out_refs = refs[3 + 2 * n_layers :]
+    i = pl.program_id(0)
+
+    # forward recompute (all state in VMEM)
+    a0, j0 = _embed(xs_ref[:], bt_ref[:], _mm)
+    acts, pres, jacs = [], [], []
+    a = act(_mm(w_refs[0][:], a0) + w_refs[1][:])
+    sp = act_p(a)
+    pre = [_mm(w_refs[0][:], j0[j]) for j in range(n_in)]
+    jac = [sp * pre[j] for j in range(n_in)]
+    acts.append(a)
+    pres.append(pre)
+    jacs.append(list(jac))
+    for l in range(1, n_layers - 1):
+        wt, b = w_refs[2 * l][:], w_refs[2 * l + 1][:]
+        a_new = act(_mm(wt, a) + b)
+        sp = act_p(a_new)
+        pre = [_mm(wt, jac[j]) for j in range(n_in)]
+        jac = [sp * pre[j] for j in range(n_in)]
+        a = a_new
+        acts.append(a)
+        pres.append(pre)
+        jacs.append(list(jac))
+
+    gu = g_ref[0:1, :]
+    gdu = [g_ref[j + 1 : j + 2, :] for j in range(n_in)]
+
+    def accum(ref, val):
+        @pl.when(i == 0)
+        def _():
+            ref[:] = val
+
+        @pl.when(i != 0)
+        def _():
+            ref[:] = ref[:] + val
+
+    wt_last = w_refs[2 * (n_layers - 1)][:]
+    d_wt = _mm(gu, acts[-1].T)
+    for j in range(n_in):
+        d_wt = d_wt + _mm(gdu[j], jacs[-1][j].T)
+    accum(out_refs[2 * (n_layers - 1)], d_wt)
+    accum(out_refs[2 * (n_layers - 1) + 1], jnp.sum(gu, axis=1, keepdims=True))
+    ga = _mm(wt_last.T, gu)
+    g_jac = [_mm(wt_last.T, gdu[j]) for j in range(n_in)]
+
+    for l in range(n_layers - 2, -1, -1):
+        a_l = acts[l]
+        sp = act_p(a_l)
+        spp = act_pp(a_l, sp)
+        gz = sp * ga
+        for j in range(n_in):
+            gz = gz + (g_jac[j] * pres[l][j]) * spp
+        gp = [sp * g_jac[j] for j in range(n_in)]
+        a_in = a0 if l == 0 else acts[l - 1]
+        j_in = j0 if l == 0 else jacs[l - 1]
+        d_wt = _mm(gz, a_in.T)
+        for j in range(n_in):
+            d_wt = d_wt + _mm(gp[j], j_in[j].T)
+        wt_l = w_refs[2 * l][:]
+        accum(out_refs[2 * l], d_wt)
+        accum(out_refs[2 * l + 1], jnp.sum(gz, axis=1, keepdims=True))
+        if l > 0:
+            ga = _mm(wt_l.T, gz)
+            g_jac = [_mm(wt_l.T, gp[j]) for j in range(n_in)]
 
 
 # ---------------------------------------------------------------------- #
@@ -254,6 +371,142 @@ def _bwd_pallas(wts, bs, xs_t, g, *, n_in, tile, activation, precision, interpre
         out_shape=out_shapes,
         interpret=interpret,
     )(xs_t, g, *wb)
+
+
+def _wb_specs(wts, bs):
+    specs = []
+    for wt, b in zip(wts, bs):
+        specs += [
+            pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+    return specs
+
+
+def _fwd_pallas_ff(wts, bs, xs_t, bt, *, n_in, tile, activation, precision,
+                   interpret):
+    n_layers = len(wts)
+    p_total = xs_t.shape[1]
+    in_specs = [
+        pl.BlockSpec((n_in, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec(bt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ] + _wb_specs(wts, bs)
+    wb = []
+    for wt, b in zip(wts, bs):
+        wb += [wt, b]
+    kernel = functools.partial(_fwd_kernel_ff, n_in, n_layers, activation,
+                               precision)
+    return pl.pallas_call(
+        kernel,
+        grid=(p_total // tile,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1 + n_in, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1 + n_in, p_total), jnp.float32),
+        interpret=interpret,
+    )(xs_t, bt, *wb)
+
+
+def _bwd_pallas_ff(wts, bs, xs_t, g, bt, *, n_in, tile, activation, precision,
+                   interpret):
+    n_layers = len(wts)
+    p_total = xs_t.shape[1]
+    in_specs = [
+        pl.BlockSpec((n_in, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1 + n_in, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec(bt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ] + _wb_specs(wts, bs)
+    wb = []
+    for wt, b in zip(wts, bs):
+        wb += [wt, b]
+    out_specs, out_shapes = [], []
+    for wt, b in zip(wts, bs):
+        out_specs += [
+            pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shapes += [
+            jax.ShapeDtypeStruct(wt.shape, jnp.float32),
+            jax.ShapeDtypeStruct(b.shape, jnp.float32),
+        ]
+    kernel = functools.partial(_bwd_kernel_ff, n_in, n_layers, activation,
+                               precision)
+    return pl.pallas_call(
+        kernel,
+        grid=(p_total // tile,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(xs_t, g, bt, *wb)
+
+
+@functools.lru_cache(maxsize=16)
+def _fused_fn_ff(n_in: int, n_layers: int, activation: str, tile: int,
+                 interpret: bool, precision=None):
+    @jax.custom_vjp
+    def f(wts, bs, xs_t, bt):
+        return _fwd_pallas_ff(
+            wts, bs, xs_t, bt, n_in=n_in, tile=tile,
+            activation=activation, precision=precision, interpret=interpret,
+        )
+
+    def f_fwd(wts, bs, xs_t, bt):
+        return f(wts, bs, xs_t, bt), (wts, bs, xs_t, bt)
+
+    def f_bwd(res, g):
+        wts, bs, xs_t, bt = res
+        grads = _bwd_pallas_ff(
+            wts, bs, xs_t, g, bt, n_in=n_in, tile=tile,
+            activation=activation, precision=precision, interpret=interpret,
+        )
+        d_wts = tuple(grads[2 * l] for l in range(n_layers))
+        d_bs = tuple(grads[2 * l + 1] for l in range(n_layers))
+        return d_wts, d_bs, jnp.zeros_like(xs_t), jnp.zeros_like(bt)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def pallas_ff_value_and_jac(
+    b_mat,
+    params,
+    x: jax.Array,
+    activation: str = "tanh",
+    scale: Optional[jax.Array] = None,
+    shift: Optional[jax.Array] = None,
+    *,
+    tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+    precision=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused kernel variant of ``models.mlp.ff_value_and_jac`` (Fourier
+    embedding runs in-kernel; same signature with the fixed B first).
+    Bind B with functools.partial to get the standard value_and_jac
+    signature."""
+    p, n_in = x.shape
+    n_layers = len(params)
+    if n_layers < 2:  # linear head on the embedding — nothing to fuse
+        from ..models.mlp import ff_value_and_jac
+
+        return ff_value_and_jac(b_mat, params, x, activation, scale, shift)
+    f = _fused_fn_ff(n_in, n_layers, activation, tile, bool(interpret),
+                     precision)
+
+    xs = x if scale is None else (x - shift) * scale
+    xs_t = jnp.transpose(xs).astype(jnp.float32)
+    p_pad = _round_up(max(p, 1), tile)
+    if p_pad != p:
+        xs_t = jnp.pad(xs_t, ((0, 0), (0, p_pad - p)))
+    bt = (2.0 * jnp.pi) * jnp.transpose(b_mat).astype(jnp.float32)
+    wts = tuple(jnp.transpose(l["w"]).astype(jnp.float32) for l in params)
+    bs = tuple(jnp.reshape(l["b"], (-1, 1)).astype(jnp.float32) for l in params)
+    out = f(wts, bs, xs_t, bt)
+    u = out[0, :p]
+    du_scaled = out[1:, :p]
+    if scale is not None:
+        du_scaled = du_scaled * scale[:, None].astype(du_scaled.dtype)
+    return u, jnp.transpose(du_scaled)
 
 
 # ---------------------------------------------------------------------- #
