@@ -98,7 +98,7 @@ class VarNet:
         obs_data: Optional[PointData] = None,
         use_pallas="auto",
         fourier_features: Optional[int] = None,
-        fourier_scale: float = 1.0,
+        fourier_scale: float = 0.5,
     ):
         self.pde = pde
         self.layer_width = tuple(int(w) for w in layer_width)

@@ -138,6 +138,13 @@ def make_fourier_features(key: jax.Array, n_in: int, n_feat: int,
     The embedding gamma(x) = [sin(2 pi x B), cos(2 pi x B)] (2*n_feat dims)
     counters the spectral bias of plain MLPs on oscillatory PDE solutions.
     B is FIXED (not trained); inputs are expected pre-scaled to [-1, 1].
+
+    ALIASING WARNING (measured, see tests): with a fixed quadrature mesh,
+    embeddings remove the spectral bias that normally prevents the
+    optimizer from zeroing the DISCRETE loss with a spurious
+    high-frequency solution.  Keep ``scale`` modest (default 0.5) and the
+    constraint count (test functions + BC/IC points) comfortably above
+    the parameter count, or refine the mesh / raise integ_p_num.
     """
     return scale * jax.random.normal(key, (int(n_in), int(n_feat)))
 
