@@ -511,6 +511,114 @@ class VarNet:
         self.train_result = result
         return result
 
+    def refine_lm(
+        self,
+        steps: int = 100,
+        weight: Optional[Sequence[float]] = None,
+        cg_iters: int = 50,
+        save_freq: int = 10,
+        verbose: bool = True,
+        error_disc: int = 64,
+        error_times: int = 5,
+        lam0: float = 1e-3,
+        target_error: Optional[float] = None,
+        matmul_precision: Optional[str] = "highest",
+    ) -> TrainResult:
+        """Levenberg-Marquardt refinement (matrix-free Gauss-Newton + CG).
+
+        The final-decade tool: the variational loss is a nonlinear least
+        squares, so GN curvature is available through one jvp + one vjp
+        per CG iteration (see train/gauss_newton.py).  Uses the XLA
+        evaluation path (the Pallas kernel's custom VJP has no forward-
+        mode rule, which jvp needs).  Start from an Adam-trained state.
+        """
+        from jax.flatten_util import ravel_pytree
+
+        from .train.gauss_newton import LMState, make_lm_step, make_residual_fn
+
+        if matmul_precision is not None:
+            jax.config.update("jax_default_matmul_precision", matmul_precision)
+        td = self.static.time_dependent
+        has_obs = self.obs_data is not None
+        if weight is None:
+            weight = (1.0, 1.0) + ((1.0,) if td else ()) + ((1.0,) if has_obs else ())
+        w_full = list(weight) + [0.0] * (4 - len(weight))
+        if not td:
+            w_full = [w_full[0], w_full[1], 0.0, w_full[2]]
+        weights_arr = jnp.asarray(w_full, dtype=self.dtype)
+
+        quad_h = pad_quad(self.fixed.quad, self.n_shards)
+        bc_h = pad_points(self.fixed.bc, self.n_shards)
+        ic_h = None if self.fixed.ic is None else pad_points(self.fixed.ic, self.n_shards)
+        obs_h = None if not has_obs else pad_points(self.obs_data, self.n_shards)
+        quad_d = shard_quad(quad_h, self.mesh, dtype=self.dtype)
+        bc_d = shard_points(bc_h, self.mesh, dtype=self.dtype)
+        ic_d = None if ic_h is None else shard_points(ic_h, self.mesh, dtype=self.dtype)
+        obs_d = None if obs_h is None else shard_points(obs_h, self.mesh, dtype=self.dtype)
+
+        res_kwargs = {}
+        if self._value_and_jac_default is not None:
+            res_kwargs["value_and_jac"] = self._value_and_jac_default
+        if self._apply_override is not None:
+            res_kwargs["apply_fn"] = self._apply_override
+        res_fn = make_residual_fn(
+            self.static,
+            activation=self.activation,
+            input_scaling=self.input_scaling,
+            source_fn=self.source_fn,
+            has_obs=has_obs,
+            n_obs_real=0 if not has_obs else int(self.obs_data.mask.sum()),
+            **res_kwargs,
+        )
+        theta0 = replicate(self.theta, self.mesh)
+        flat0, unravel = ravel_pytree(theta0)
+
+        def closure(flat):
+            return res_fn(unravel(flat), quad_d, bc_d, ic_d, obs_d, weights_arr)
+
+        lm_step = make_lm_step(closure, cg_iters=cg_iters)
+        r0 = closure(flat0)
+        state = LMState(
+            flat=flat0,
+            lam=jnp.asarray(float(lam0), self.dtype),
+            loss=jnp.dot(r0, r0),
+        )
+
+        result = TrainResult()
+        t_start = None
+        for it in range(1, int(steps) + 1):
+            state = lm_step(state)
+            if t_start is None:
+                jax.block_until_ready(state.loss)
+                t_start = time.perf_counter()
+            if it % int(save_freq) == 0 or it == int(steps):
+                jax.block_until_ready(state.loss)
+                theta_now = unravel(state.flat)
+                err = self.compute_error(
+                    jax.device_get(theta_now), disc=error_disc, n_times=error_times
+                )
+                result.epochs.append(it)
+                result.losses.append(
+                    {"loss": float(state.loss), "lam": float(state.lam)}
+                )
+                result.errors.append(err if err is not None else float("nan"))
+                result.wall_times.append(time.perf_counter() - t_start)
+                if verbose:
+                    err_s = f"{err:.3e}" if err is not None else "n/a"
+                    print(
+                        f"[varnet/lm] it {it:5d}  loss {float(state.loss):.4e}"
+                        f"  lam {float(state.lam):.1e}  relL2 {err_s}"
+                        f"  ({result.wall_times[-1]:.1f}s)"
+                    )
+                if target_error is not None and err is not None and err < target_error:
+                    if verbose:
+                        print(f"[varnet/lm] target {target_error:.1e} reached")
+                    break
+        self.theta = jax.device_get(unravel(state.flat))
+        result.total_steps = int(steps)
+        self.train_result = result
+        return result
+
     # ------------------------------------------------------------------ #
     # evaluation / reporting
 

@@ -1,0 +1,149 @@
+"""Levenberg-Marquardt refinement (matrix-free Gauss-Newton + CG).
+
+The variational loss is EXACTLY a nonlinear least-squares problem:
+
+    L(theta) = || r_full(theta) ||^2,
+    r_full = [ sqrt(w_int/K) r_k / vol,  sqrt(w_bc/N_bc) e_bc,
+               sqrt(w_ic/N_ic) e_ic,     sqrt(w_obs/N_obs) e_obs ]
+
+so Gauss-Newton curvature (J^T J) is available matrix-free through one
+jvp + one vjp per CG iteration — no Hessian, no materialized jacobian.
+Near the optimum this converges superlinearly where first-order methods
+crawl through the final error decade (measured: Adam plateaus ~1.6e-3 on
+the flagship; see BASELINE.md).  Beyond-reference capability (the TF1
+reference has Adam/RMSProp only — SURVEY.md §2.1 #2).
+
+All device work is jitted: each LM iteration is ONE compiled function
+(residual + CG loop + trust-region accept/reject via lax.cond).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.mlp import make_input_scaling, mlp_apply, mlp_value_and_jac
+from ..ops.residual import weak_residual
+
+
+def make_residual_fn(
+    static,
+    activation: str = "tanh",
+    input_scaling: bool = True,
+    value_and_jac: Callable = mlp_value_and_jac,
+    apply_fn: Callable = mlp_apply,
+    source_fn: Optional[Callable] = None,
+    has_obs: bool = False,
+    n_obs_real: int = 1,
+):
+    """Weighted residual VECTOR r_full(theta) with sum(r^2) == total loss
+    (the normalize_residual=True convention of make_loss_fn)."""
+    d = static.n_space
+    td = static.time_dependent
+    n_in = static.n_inputs
+    n_bc = float(max(static.n_bc, 1))
+    n_ic = float(max(static.n_ic, 1))
+    n_obs = float(max(int(n_obs_real), 1))
+    n_k = float(max(static.n_test, 1))
+    if input_scaling:
+        scale, shift = make_input_scaling(static.input_lo, static.input_hi)
+    else:
+        scale = shift = None
+
+    def net_params(theta):
+        return theta["net"] if isinstance(theta, dict) and "net" in theta else theta
+
+    def residual_fn(theta, quad, bc, ic=None, obs=None, weights=(1.0, 1.0, 1.0, 0.0)):
+        net = net_params(theta)
+        weights = jnp.asarray(weights)
+        k, nq = quad.coords.shape[0], quad.coords.shape[1]
+        flat = quad.coords.reshape(k * nq, n_in)
+        u, du = value_and_jac(net, flat, activation, scale, shift)
+        grad_u = du[:, :d].reshape(k, nq, d)
+        u_t = du[:, d].reshape(k, nq) if td else None
+        if source_fn is not None:
+            t_flat = flat[:, d] if td else None
+            src = source_fn(theta["src"], flat[:, :d], t_flat).reshape(k, nq)
+        else:
+            src = quad.src
+        r = weak_residual(
+            grad_u, quad.N, quad.dN, quad.w, quad.kappa, quad.vel, src, u_t
+        )
+        r = r / jnp.sum(quad.w)
+        parts = [jnp.sqrt(weights[0] / n_k) * r * quad.mask]
+
+        u_bc = apply_fn(net, bc.coords, activation, scale, shift)
+        parts.append(jnp.sqrt(weights[1] / n_bc) * (u_bc - bc.values) * bc.mask)
+        if ic is not None:
+            u_ic = apply_fn(net, ic.coords, activation, scale, shift)
+            parts.append(jnp.sqrt(weights[2] / n_ic) * (u_ic - ic.values) * ic.mask)
+        if has_obs and obs is not None:
+            u_obs = apply_fn(net, obs.coords, activation, scale, shift)
+            parts.append(
+                jnp.sqrt(weights[3] / n_obs) * (u_obs - obs.values) * obs.mask
+            )
+        return jnp.concatenate(parts)
+
+    return residual_fn
+
+
+class LMState(NamedTuple):
+    flat: jax.Array      # raveled parameters
+    lam: jax.Array       # damping
+    loss: jax.Array      # current ||r||^2
+
+
+def make_lm_step(
+    residual_closure: Callable,  # flat_params -> r vector
+    cg_iters: int = 50,
+    lam_up: float = 4.0,
+    lam_down: float = 0.5,
+):
+    """One jitted Levenberg-Marquardt iteration on RAVELED parameters.
+
+    residual_closure must close over the (device-resident) fixed data.
+    """
+
+    def loss_of(flat):
+        r = residual_closure(flat)
+        return jnp.dot(r, r)
+
+    def step(state: LMState) -> LMState:
+        flat, lam = state.flat, state.lam
+        r, pullback = jax.vjp(residual_closure, flat)
+        loss = jnp.dot(r, r)
+
+        def jtj_v(v):
+            jv = jax.jvp(residual_closure, (flat,), (v,))[1]
+            return pullback(jv)[0] + lam * v
+
+        b = -pullback(r)[0]
+
+        # plain CG (fixed iteration count keeps one compiled program)
+        def cg_body(_, carry):
+            x, p, res, rs = carry
+            ap = jtj_v(p)
+            alpha = rs / jnp.maximum(jnp.dot(p, ap), 1e-30)
+            x = x + alpha * p
+            res = res - alpha * ap
+            rs_new = jnp.dot(res, res)
+            p = res + (rs_new / jnp.maximum(rs, 1e-30)) * p
+            return (x, p, res, rs_new)
+
+        x0 = jnp.zeros_like(flat)
+        delta, *_ = jax.lax.fori_loop(
+            0, cg_iters, cg_body, (x0, b, b, jnp.dot(b, b))
+        )
+
+        cand = flat + delta
+        cand_loss = loss_of(cand)
+        improved = cand_loss < loss
+        new_flat = jnp.where(improved, cand, flat)
+        new_loss = jnp.where(improved, cand_loss, loss)
+        new_lam = jnp.where(improved, lam * lam_down, lam * lam_up)
+        new_lam = jnp.clip(new_lam, 1e-12, 1e6)
+        return LMState(flat=new_flat, lam=new_lam, loss=new_loss)
+
+    return jax.jit(step)
