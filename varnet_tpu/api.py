@@ -523,6 +523,7 @@ class VarNet:
         lam0: float = 1e-3,
         target_error: Optional[float] = None,
         matmul_precision: Optional[str] = "highest",
+        k_chunks: int = 1,
     ) -> TrainResult:
         """Levenberg-Marquardt refinement (matrix-free Gauss-Newton + CG).
 
@@ -547,7 +548,7 @@ class VarNet:
             w_full = [w_full[0], w_full[1], 0.0, w_full[2]]
         weights_arr = jnp.asarray(w_full, dtype=self.dtype)
 
-        quad_h = pad_quad(self.fixed.quad, self.n_shards)
+        quad_h = pad_quad(self.fixed.quad, self.n_shards * int(k_chunks))
         bc_h = pad_points(self.fixed.bc, self.n_shards)
         ic_h = None if self.fixed.ic is None else pad_points(self.fixed.ic, self.n_shards)
         obs_h = None if not has_obs else pad_points(self.obs_data, self.n_shards)
@@ -556,7 +557,7 @@ class VarNet:
         ic_d = None if ic_h is None else shard_points(ic_h, self.mesh, dtype=self.dtype)
         obs_d = None if obs_h is None else shard_points(obs_h, self.mesh, dtype=self.dtype)
 
-        res_kwargs = {}
+        res_kwargs = {"k_chunks": int(k_chunks)}
         if self._value_and_jac_default is not None:
             res_kwargs["value_and_jac"] = self._value_and_jac_default
         if self._apply_override is not None:

@@ -37,9 +37,16 @@ def make_residual_fn(
     source_fn: Optional[Callable] = None,
     has_obs: bool = False,
     n_obs_real: int = 1,
+    k_chunks: int = 1,
 ):
     """Weighted residual VECTOR r_full(theta) with sum(r^2) == total loss
-    (the normalize_residual=True convention of make_loss_fn)."""
+    (the normalize_residual=True convention of make_loss_fn).
+
+    k_chunks > 1 maps the interior residual over chunks of the test-
+    function axis with rematerialization (jax.checkpoint), bounding the
+    memory of jvp/vjp linearization at large problem sizes (the K axis
+    must be divisible by k_chunks — pad accordingly).
+    """
     d = static.n_space
     td = static.time_dependent
     n_in = static.n_inputs
@@ -55,11 +62,10 @@ def make_residual_fn(
     def net_params(theta):
         return theta["net"] if isinstance(theta, dict) and "net" in theta else theta
 
-    def residual_fn(theta, quad, bc, ic=None, obs=None, weights=(1.0, 1.0, 1.0, 0.0)):
+    def interior(theta, coords, kappa, vel, src_fixed, mask, n_tbl, dn_tbl, w_tbl):
         net = net_params(theta)
-        weights = jnp.asarray(weights)
-        k, nq = quad.coords.shape[0], quad.coords.shape[1]
-        flat = quad.coords.reshape(k * nq, n_in)
+        k, nq = coords.shape[0], coords.shape[1]
+        flat = coords.reshape(k * nq, n_in)
         u, du = value_and_jac(net, flat, activation, scale, shift)
         grad_u = du[:, :d].reshape(k, nq, d)
         u_t = du[:, d].reshape(k, nq) if td else None
@@ -67,13 +73,38 @@ def make_residual_fn(
             t_flat = flat[:, d] if td else None
             src = source_fn(theta["src"], flat[:, :d], t_flat).reshape(k, nq)
         else:
-            src = quad.src
-        r = weak_residual(
-            grad_u, quad.N, quad.dN, quad.w, quad.kappa, quad.vel, src, u_t
-        )
-        r = r / jnp.sum(quad.w)
-        parts = [jnp.sqrt(weights[0] / n_k) * r * quad.mask]
+            src = src_fixed
+        r = weak_residual(grad_u, n_tbl, dn_tbl, w_tbl, kappa, vel, src, u_t)
+        return (r / jnp.sum(w_tbl)) * mask
 
+    def residual_fn(theta, quad, bc, ic=None, obs=None, weights=(1.0, 1.0, 1.0, 0.0)):
+        weights = jnp.asarray(weights)
+        if k_chunks == 1:
+            r = interior(
+                theta, quad.coords, quad.kappa, quad.vel, quad.src,
+                quad.mask, quad.N, quad.dN, quad.w,
+            )
+        else:
+            k = quad.coords.shape[0]
+            if k % k_chunks:
+                raise ValueError(f"K={k} not divisible by k_chunks={k_chunks}")
+            kc = k // k_chunks
+
+            def body(args):
+                coords, kappa, vel, src, mask = args
+                return interior(
+                    theta, coords, kappa, vel, src, mask,
+                    quad.N, quad.dN, quad.w,
+                )
+
+            chunked = tuple(
+                a.reshape((k_chunks, kc) + a.shape[1:])
+                for a in (quad.coords, quad.kappa, quad.vel, quad.src, quad.mask)
+            )
+            r = jax.lax.map(jax.checkpoint(body), chunked).reshape(k)
+        parts = [jnp.sqrt(weights[0] / n_k) * r]
+
+        net = net_params(theta)
         u_bc = apply_fn(net, bc.coords, activation, scale, shift)
         parts.append(jnp.sqrt(weights[1] / n_bc) * (u_bc - bc.values) * bc.mask)
         if ic is not None:
