@@ -524,6 +524,7 @@ class VarNet:
         target_error: Optional[float] = None,
         matmul_precision: Optional[str] = "highest",
         k_chunks: int = 1,
+        folderpath: Optional[str] = None,
     ) -> TrainResult:
         """Levenberg-Marquardt refinement (matrix-free Gauss-Newton + CG).
 
@@ -610,6 +611,12 @@ class VarNet:
                         f"[varnet/lm] it {it:5d}  loss {float(state.loss):.4e}"
                         f"  lam {float(state.lam):.1e}  relL2 {err_s}"
                         f"  ({result.wall_times[-1]:.1f}s)"
+                    )
+                if folderpath is not None:
+                    save_checkpoint(
+                        folderpath, it,
+                        {"theta": jax.device_get(theta_now)},
+                        config=self.config_dict(),
                     )
                 if target_error is not None and err is not None and err < target_error:
                     if verbose:
