@@ -525,6 +525,7 @@ class VarNet:
         matmul_precision: Optional[str] = "highest",
         k_chunks: int = 1,
         folderpath: Optional[str] = None,
+        cg_segment: int = 0,
     ) -> TrainResult:
         """Levenberg-Marquardt refinement (matrix-free Gauss-Newton + CG).
 
@@ -578,7 +579,7 @@ class VarNet:
         def closure(flat):
             return res_fn(unravel(flat), quad_d, bc_d, ic_d, obs_d, weights_arr)
 
-        lm_step = make_lm_step(closure, cg_iters=cg_iters)
+        lm_step = make_lm_step(closure, cg_iters=cg_iters, cg_segment=cg_segment)
         r0 = closure(flat0)
         state = LMState(
             flat=flat0,

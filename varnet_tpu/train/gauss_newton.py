@@ -131,28 +131,29 @@ def make_lm_step(
     cg_iters: int = 50,
     lam_up: float = 4.0,
     lam_down: float = 0.5,
+    cg_segment: int = 0,
 ):
-    """One jitted Levenberg-Marquardt iteration on RAVELED parameters.
+    """One Levenberg-Marquardt iteration on RAVELED parameters.
 
     residual_closure must close over the (device-resident) fixed data.
+
+    cg_segment == 0: linearize + CG + accept fused into ONE jitted
+    program — fastest, but a long program at large cg_iters can exceed
+    device execution deadlines (observed ~2 min on the TPU tunnel).
+    cg_segment > 0: CG runs in host-looped segments of that many
+    iterations, each a bounded program; the jacobian linearization is
+    recomputed per segment (one extra forward each).
     """
 
     def loss_of(flat):
         r = residual_closure(flat)
         return jnp.dot(r, r)
 
-    def step(state: LMState) -> LMState:
-        flat, lam = state.flat, state.lam
-        r, pullback = jax.vjp(residual_closure, flat)
-        loss = jnp.dot(r, r)
-
+    def make_cg_body(flat, lam, pullback):
         def jtj_v(v):
             jv = jax.jvp(residual_closure, (flat,), (v,))[1]
             return pullback(jv)[0] + lam * v
 
-        b = -pullback(r)[0]
-
-        # plain CG (fixed iteration count keeps one compiled program)
         def cg_body(_, carry):
             x, p, res, rs = carry
             ap = jtj_v(p)
@@ -163,18 +164,55 @@ def make_lm_step(
             p = res + (rs_new / jnp.maximum(rs, 1e-30)) * p
             return (x, p, res, rs_new)
 
-        x0 = jnp.zeros_like(flat)
-        delta, *_ = jax.lax.fori_loop(
-            0, cg_iters, cg_body, (x0, b, b, jnp.dot(b, b))
-        )
+        return cg_body
 
+    def accept_impl(flat, lam, loss, delta):
         cand = flat + delta
         cand_loss = loss_of(cand)
         improved = cand_loss < loss
         new_flat = jnp.where(improved, cand, flat)
         new_loss = jnp.where(improved, cand_loss, loss)
         new_lam = jnp.where(improved, lam * lam_down, lam * lam_up)
-        new_lam = jnp.clip(new_lam, 1e-12, 1e6)
-        return LMState(flat=new_flat, lam=new_lam, loss=new_loss)
+        return LMState(
+            flat=new_flat, lam=jnp.clip(new_lam, 1e-12, 1e6), loss=new_loss
+        )
+
+    if cg_segment and int(cg_segment) > 0:
+        seg = int(cg_segment)
+
+        @jax.jit
+        def cg_init(flat, lam):
+            r, pullback = jax.vjp(residual_closure, flat)
+            b = -pullback(r)[0]
+            carry = (jnp.zeros_like(flat), b, b, jnp.dot(b, b))
+            return carry, jnp.dot(r, r)
+
+        @jax.jit
+        def cg_run_segment(flat, lam, carry):
+            _, pullback = jax.vjp(residual_closure, flat)
+            body = make_cg_body(flat, lam, pullback)
+            return jax.lax.fori_loop(0, seg, body, carry)
+
+        accept = jax.jit(accept_impl)
+
+        def step(state: LMState) -> LMState:
+            flat, lam = state.flat, state.lam
+            carry, loss = cg_init(flat, lam)
+            for _ in range(-(-int(cg_iters) // seg)):
+                carry = cg_run_segment(flat, lam, carry)
+            return accept(flat, lam, loss, carry[0])
+
+        return step
+
+    def step(state: LMState) -> LMState:
+        flat, lam = state.flat, state.lam
+        r, pullback = jax.vjp(residual_closure, flat)
+        loss = jnp.dot(r, r)
+        b = -pullback(r)[0]
+        body = make_cg_body(flat, lam, pullback)
+        delta, *_ = jax.lax.fori_loop(
+            0, cg_iters, body, (jnp.zeros_like(flat), b, b, jnp.dot(b, b))
+        )
+        return accept_impl(flat, lam, loss, delta)
 
     return jax.jit(step)
