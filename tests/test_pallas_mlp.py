@@ -25,7 +25,7 @@ pvj = functools.partial(pallas_value_and_jac, tile=128, interpret=True)
 
 
 @pytest.mark.parametrize("n_in,hidden", [(1, (8,)), (2, (16, 16)), (3, (8, 8, 8))])
-@pytest.mark.parametrize("activation", ["tanh", "sigmoid"])
+@pytest.mark.parametrize("activation", ["tanh", "sigmoid", "sin"])
 def test_forward_matches_auto(n_in, hidden, activation):
     key = jax.random.PRNGKey(0)
     params = init_mlp(key, n_in, hidden)
@@ -60,7 +60,7 @@ def test_padding_odd_point_count():
     np.testing.assert_allclose(du, du_ref, rtol=2e-5, atol=2e-6)
 
 
-@pytest.mark.parametrize("activation", ["tanh", "sigmoid"])
+@pytest.mark.parametrize("activation", ["tanh", "sigmoid", "sin"])
 def test_param_grads_match_auto(activation):
     """The custom-VJP backward kernel must reproduce autodiff parameter
     gradients of a loss that touches BOTH u and du (like the weak form)."""

@@ -99,6 +99,7 @@ class VarNet:
         use_pallas="auto",
         fourier_features: Optional[int] = None,
         fourier_scale: float = 0.5,
+        omega0: float = 6.0,
     ):
         self.pde = pde
         self.layer_width = tuple(int(w) for w in layer_width)
@@ -157,7 +158,15 @@ class VarNet:
                 ff_value_and_jac, self.fourier_b
             )
             apply_override = functools.partial(ff_apply, self.fourier_b)
-        net = init_mlp(key, net_in, self.layer_width, n_out=1, dtype=dtype)
+        if activation == "sin":
+            from .models.mlp import init_siren
+
+            net = init_siren(
+                key, net_in, self.layer_width, n_out=1,
+                omega0=float(omega0), dtype=dtype,
+            )
+        else:
+            net = init_mlp(key, net_in, self.layer_width, n_out=1, dtype=dtype)
         if source_fn is not None:
             self.theta: Any = {"net": net, "src": source_init}
         else:

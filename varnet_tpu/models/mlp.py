@@ -34,13 +34,17 @@ Params = List[dict]
 
 
 def _activation_pair(name: str) -> Tuple[Callable, Callable]:
-    """Return (act, act_prime_from_output): derivative computed from the
-    ACTIVATION OUTPUT so the forward value is reused (one transcendental)."""
+    """Return (act, act_prime(z, a)): the derivative receives BOTH the
+    pre-activation z and the output a, so tanh/sigmoid reuse the output
+    (one transcendental) while sin uses z (SIREN-style nets — the natural
+    basis for oscillatory PDE solutions)."""
     if name == "tanh":
-        return jnp.tanh, lambda a: 1.0 - a * a
+        return jnp.tanh, lambda z, a: 1.0 - a * a
     if name == "sigmoid":
-        return jax.nn.sigmoid, lambda a: a * (1.0 - a)
-    raise ValueError(f"unknown activation '{name}' (expected tanh|sigmoid)")
+        return jax.nn.sigmoid, lambda z, a: a * (1.0 - a)
+    if name == "sin":
+        return jnp.sin, lambda z, a: jnp.cos(z)
+    raise ValueError(f"unknown activation '{name}' (expected tanh|sigmoid|sin)")
 
 
 def init_mlp(
@@ -63,6 +67,37 @@ def init_mlp(
         params.append(
             {
                 "w": std * jax.random.normal(sub, (fan_in, fan_out), dtype=dtype),
+                "b": jnp.zeros((fan_out,), dtype=dtype),
+            }
+        )
+    return params
+
+
+def init_siren(
+    key: jax.Array,
+    n_in: int,
+    hidden: Sequence[int],
+    n_out: int = 1,
+    omega0: float = 6.0,
+    dtype=jnp.float32,
+) -> Params:
+    """SIREN initialization (Sitzmann et al. 2020) for sin-activation nets.
+
+    First layer ~ U(-omega0/n_in, omega0/n_in) (the frequency multiplier
+    folded into the weights; inputs are expected scaled to [-1, 1]); deeper
+    layers ~ U(-sqrt(6/fan_in), sqrt(6/fan_in)).
+    """
+    sizes = [int(n_in)] + [int(h) for h in hidden] + [int(n_out)]
+    params: Params = []
+    for i, (fan_in, fan_out) in enumerate(zip(sizes[:-1], sizes[1:])):
+        key, sub = jax.random.split(key)
+        bound = (omega0 / fan_in) if i == 0 else math.sqrt(6.0 / fan_in)
+        params.append(
+            {
+                "w": jax.random.uniform(
+                    sub, (fan_in, fan_out), dtype=dtype,
+                    minval=-bound, maxval=bound,
+                ),
                 "b": jnp.zeros((fan_out,), dtype=dtype),
             }
         )
@@ -121,8 +156,9 @@ def mlp_value_and_jac(
         # State matmul: [P*(1+n_in), H_in] @ [H_in, H_out] in one shot.
         state = jnp.concatenate([a[:, None, :], jac], axis=1)
         state = (state.reshape(p * (1 + n_in), -1) @ w).reshape(p, 1 + n_in, -1)
-        a = act(state[:, 0, :] + b)
-        jac = state[:, 1:, :] * act_prime(a)[:, None, :]
+        z = state[:, 0, :] + b
+        a = act(z)
+        jac = state[:, 1:, :] * act_prime(z, a)[:, None, :]
     w, b = params[-1]["w"], params[-1]["b"]
     state = jnp.concatenate([a[:, None, :], jac], axis=1)
     state = (state.reshape(p * (1 + n_in), -1) @ w).reshape(p, 1 + n_in, -1)
@@ -205,8 +241,9 @@ def ff_value_and_jac(
         w, b = layer["w"], layer["b"]
         state = jnp.concatenate([a[:, None, :], jac], axis=1)
         state = (state.reshape(p * (1 + n_in), -1) @ w).reshape(p, 1 + n_in, -1)
-        a = act(state[:, 0, :] + b)
-        jac = state[:, 1:, :] * act_prime(a)[:, None, :]
+        z = state[:, 0, :] + b
+        a = act(z)
+        jac = state[:, 1:, :] * act_prime(z, a)[:, None, :]
     w, b = params[-1]["w"], params[-1]["b"]
     state = jnp.concatenate([a[:, None, :], jac], axis=1)
     state = (state.reshape(p * (1 + n_in), -1) @ w).reshape(p, 1 + n_in, -1)

@@ -44,14 +44,26 @@ DEFAULT_TILE = 1024
 
 
 def _act_pair(name: str):
+    """(act, act_p(z, a), act_pp(z, a, sp)): first/second derivative
+    helpers taking BOTH pre-activation z and output a (tanh/sigmoid use a,
+    sin uses z — SIREN-style nets)."""
     if name == "tanh":
-        # derivative from the activation OUTPUT; d(act')/dz = -2 a act'
-        return jnp.tanh, (lambda a: 1.0 - a * a), (lambda a, sp: -2.0 * a * sp)
+        return (
+            jnp.tanh,
+            (lambda z, a: 1.0 - a * a),
+            (lambda z, a, sp: -2.0 * a * sp),
+        )
     if name == "sigmoid":
         return (
             jax.nn.sigmoid,
-            (lambda a: a * (1.0 - a)),
-            (lambda a, sp: (1.0 - 2.0 * a) * sp),
+            (lambda z, a: a * (1.0 - a)),
+            (lambda z, a, sp: (1.0 - 2.0 * a) * sp),
+        )
+    if name == "sin":
+        return (
+            jnp.sin,
+            (lambda z, a: jnp.cos(z)),
+            (lambda z, a, sp: -a),
         )
     raise ValueError(f"unknown activation '{name}'")
 
@@ -101,13 +113,15 @@ def _fwd_kernel(n_in: int, n_layers: int, activation: str, precision, *refs):
     out_ref = refs[1 + 2 * n_layers]
 
     xs = xs_ref[:]
-    a = act(_mm(w_refs[0][:], xs) + w_refs[1][:])
-    sp = act_p(a)
+    z = _mm(w_refs[0][:], xs) + w_refs[1][:]
+    a = act(z)
+    sp = act_p(z, a)
     jac = [sp * w_refs[0][:, j : j + 1] for j in range(n_in)]
     for l in range(1, n_layers - 1):
         wt, b = w_refs[2 * l][:], w_refs[2 * l + 1][:]
-        a = act(_mm(wt, a) + b)
-        sp = act_p(a)
+        z = _mm(wt, a) + b
+        a = act(z)
+        sp = act_p(z, a)
         jac = [sp * _mm(wt, jac[j]) for j in range(n_in)]
     wt, b = w_refs[2 * (n_layers - 1)][:], w_refs[2 * (n_layers - 1) + 1][:]
     u = _mm(wt, a) + b  # [1, T]
@@ -156,13 +170,15 @@ def _fwd_kernel_ff(n_in: int, n_layers: int, activation: str, precision, *refs):
     out_ref = refs[2 + 2 * n_layers]
 
     a0, j0 = _embed(xs_ref[:], bt_ref[:], _mm)
-    a = act(_mm(w_refs[0][:], a0) + w_refs[1][:])
-    sp = act_p(a)
+    z = _mm(w_refs[0][:], a0) + w_refs[1][:]
+    a = act(z)
+    sp = act_p(z, a)
     jac = [sp * _mm(w_refs[0][:], j0[j]) for j in range(n_in)]
     for l in range(1, n_layers - 1):
         wt, b = w_refs[2 * l][:], w_refs[2 * l + 1][:]
-        a = act(_mm(wt, a) + b)
-        sp = act_p(a)
+        z = _mm(wt, a) + b
+        a = act(z)
+        sp = act_p(z, a)
         jac = [sp * _mm(wt, jac[j]) for j in range(n_in)]
     wt, b = w_refs[2 * (n_layers - 1)][:], w_refs[2 * (n_layers - 1) + 1][:]
     out_ref[0:1, :] = _mm(wt, a) + b
@@ -182,22 +198,26 @@ def _bwd_kernel_ff(n_in: int, n_layers: int, activation: str, precision, *refs):
 
     # forward recompute (all state in VMEM)
     a0, j0 = _embed(xs_ref[:], bt_ref[:], _mm)
-    acts, pres, jacs = [], [], []
-    a = act(_mm(w_refs[0][:], a0) + w_refs[1][:])
-    sp = act_p(a)
+    acts, zs, pres, jacs = [], [], [], []
+    z = _mm(w_refs[0][:], a0) + w_refs[1][:]
+    a = act(z)
+    sp = act_p(z, a)
     pre = [_mm(w_refs[0][:], j0[j]) for j in range(n_in)]
     jac = [sp * pre[j] for j in range(n_in)]
     acts.append(a)
+    zs.append(z)
     pres.append(pre)
     jacs.append(list(jac))
     for l in range(1, n_layers - 1):
         wt, b = w_refs[2 * l][:], w_refs[2 * l + 1][:]
-        a_new = act(_mm(wt, a) + b)
-        sp = act_p(a_new)
+        z = _mm(wt, a) + b
+        a_new = act(z)
+        sp = act_p(z, a_new)
         pre = [_mm(wt, jac[j]) for j in range(n_in)]
         jac = [sp * pre[j] for j in range(n_in)]
         a = a_new
         acts.append(a)
+        zs.append(z)
         pres.append(pre)
         jacs.append(list(jac))
 
@@ -224,8 +244,8 @@ def _bwd_kernel_ff(n_in: int, n_layers: int, activation: str, precision, *refs):
 
     for l in range(n_layers - 2, -1, -1):
         a_l = acts[l]
-        sp = act_p(a_l)
-        spp = act_pp(a_l, sp)
+        sp = act_p(zs[l], a_l)
+        spp = act_pp(zs[l], a_l, sp)
         gz = sp * ga
         for j in range(n_in):
             gz = gz + (g_jac[j] * pres[l][j]) * spp
@@ -263,22 +283,27 @@ def _bwd_kernel(n_in: int, n_layers: int, activation: str, precision, *refs):
     # ---- forward recompute, keeping per-layer state in VMEM values ----
     xs = xs_ref[:]
     acts = []  # a_l for hidden layers, l = 1..L-1
+    zs = []    # pre-activations (sin needs them for derivatives)
     pres = []  # P_l^j panels per hidden layer (None placeholder for l=1)
     jacs = []  # J_l^j panels per hidden layer
-    a = act(_mm(w_refs[0][:], xs) + w_refs[1][:])
-    sp = act_p(a)
+    z = _mm(w_refs[0][:], xs) + w_refs[1][:]
+    a = act(z)
+    sp = act_p(z, a)
     jac = [sp * w_refs[0][:, j : j + 1] for j in range(n_in)]
     acts.append(a)
+    zs.append(z)
     pres.append(None)
     jacs.append(list(jac))
     for l in range(1, n_layers - 1):
         wt, b = w_refs[2 * l][:], w_refs[2 * l + 1][:]
-        a_new = act(_mm(wt, a) + b)
-        sp = act_p(a_new)
+        z = _mm(wt, a) + b
+        a_new = act(z)
+        sp = act_p(z, a_new)
         pre = [_mm(wt, jac[j]) for j in range(n_in)]
         jac = [sp * pre[j] for j in range(n_in)]
         a = a_new
         acts.append(a)
+        zs.append(z)
         pres.append(pre)
         jacs.append(list(jac))
 
@@ -309,8 +334,8 @@ def _bwd_kernel(n_in: int, n_layers: int, activation: str, precision, *refs):
     # hidden layers, deepest first
     for l in range(n_layers - 2, -1, -1):
         a_l = acts[l]
-        sp = act_p(a_l)
-        spp = act_pp(a_l, sp)
+        sp = act_p(zs[l], a_l)
+        spp = act_pp(zs[l], a_l, sp)
         gz = sp * ga
         for j in range(n_in):
             p_lj = (
