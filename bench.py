@@ -34,6 +34,9 @@ def main():
 
     from varnet_tpu.api import VarNet
     from varnet_tpu.problems.analytic import transient_ad_2d
+    from varnet_tpu.utils.helpers import enable_compilation_cache
+
+    enable_compilation_cache()
 
     case = transient_ad_2d()
     vn = VarNet(

@@ -156,3 +156,23 @@ def test_pad_quad_mask_roundtrip():
     np.testing.assert_array_equal(
         q2.coords[: fd.static.n_test], fd.quad.coords[: fd.static.n_test]
     )
+
+
+def test_rmsprop_and_sgd_optimizers():
+    from varnet_tpu.train.optim import OptimizerConfig
+
+    for name in ("rmsprop", "sgd"):
+        case = steady_ad_1d(kappa=0.2)
+        vn = VarNet(case["pde"], layer_width=(8,), disc_num=10, n_devices=1,
+                    optimizer=OptimizerConfig(name=name, lr=1e-3))
+        res = vn.train(epoch_num=100, weight=(1, 1), save_freq=50, verbose=False)
+        assert res.losses[-1]["loss"] < res.losses[0]["loss"]
+
+
+def test_compilation_cache_helper():
+    import tempfile
+
+    from varnet_tpu.utils.helpers import enable_compilation_cache
+
+    with tempfile.TemporaryDirectory() as td:
+        assert enable_compilation_cache(td) in (True, False)

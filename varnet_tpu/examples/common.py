@@ -51,6 +51,9 @@ def make_parser(desc: str, **defaults) -> argparse.ArgumentParser:
 
 
 def run_case(pde, args, weight, t_disc_num=None, **varnet_kwargs) -> VarNet:
+    from ..utils.helpers import enable_compilation_cache
+
+    enable_compilation_cache()
     decay = getattr(args, "decay", 0.0) or None
     decay_every = getattr(args, "decay_every", None) or max(args.epochs // 6, 1)
     vn = VarNet(

@@ -8,7 +8,25 @@ spec rather than file:line).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+
+def enable_compilation_cache(path: str = "~/.cache/varnet_tpu_xla") -> bool:
+    """Turn on JAX's persistent compilation cache (big train-step programs
+    take minutes to compile on the TPU toolchain; cached reruns are
+    instant).  Safe no-op on runtimes without support."""
+    try:
+        import jax
+
+        p = os.path.expanduser(path)
+        os.makedirs(p, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", p)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        return True
+    except Exception:
+        return False
 
 
 def is_none(x) -> bool:
