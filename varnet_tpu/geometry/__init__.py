@@ -1,0 +1,1 @@
+from .domain import Domain1D, Mesh, PolygonDomain2D, RectangleDomain2D

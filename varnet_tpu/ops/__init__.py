@@ -1,0 +1,1 @@
+from .residual import masked_mse, masked_sum_sq, weak_residual
