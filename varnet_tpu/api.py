@@ -126,6 +126,10 @@ class VarNet:
         else:
             self.use_pallas = bool(use_pallas)
 
+        self.has_react = not (
+            pde.react is None
+            or (np.isscalar(pde.react) and float(pde.react) == 0.0)
+        )
         self.fixed: FixedData = build_fixed_data(
             pde,
             disc_num,
@@ -283,6 +287,7 @@ class VarNet:
             has_obs=has_obs,
             n_obs_real=0 if not has_obs else int(self.obs_data.mask.sum()),
             normalize_residual=normalize_residual,
+            has_react=self.has_react,
             **loss_kwargs,
         )
         optimizer = make_optimizer(self.optimizer_cfg)
@@ -471,6 +476,7 @@ class VarNet:
             has_obs=has_obs,
             n_obs_real=0 if not has_obs else int(self.obs_data.mask.sum()),
             normalize_residual=normalize_residual,
+            has_react=self.has_react,
             **loss_kwargs,
         )
 
@@ -580,6 +586,7 @@ class VarNet:
             source_fn=self.source_fn,
             has_obs=has_obs,
             n_obs_real=0 if not has_obs else int(self.obs_data.mask.sum()),
+            has_react=self.has_react,
             **res_kwargs,
         )
         theta0 = replicate(self.theta, self.mesh)

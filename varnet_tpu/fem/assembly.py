@@ -41,6 +41,7 @@ class QuadData(NamedTuple):
     kappa  [K, nQ]        diffusivity at quad points
     vel    [K, nQ, d]     velocity at quad points
     src    [K, nQ]        source at quad points
+    react  [K, nQ]        reaction coefficient at quad points
     mask   [K]            1.0 for real test functions, 0.0 for padding
     """
 
@@ -51,6 +52,7 @@ class QuadData(NamedTuple):
     kappa: np.ndarray
     vel: np.ndarray
     src: np.ndarray
+    react: np.ndarray
     mask: np.ndarray
 
 
@@ -138,6 +140,7 @@ def pad_quad(quad: QuadData, multiple: int) -> QuadData:
         kappa=_pad_axis0(quad.kappa[:real], target),
         vel=_pad_axis0(quad.vel[:real], target),
         src=_pad_axis0(quad.src[:real], target),
+        react=_pad_axis0(quad.react[:real], target),
         mask=mask,
     )
 
@@ -213,6 +216,7 @@ def build_fixed_data(
     kappa = pde.eval_diff(x_f, t_f, mu_f).reshape(k_real, nq)
     vel = pde.eval_vel(x_f, t_f, mu_f).reshape(k_real, nq, d)
     src = pde.eval_source(x_f, t_f, mu_f).reshape(k_real, nq)
+    react = pde.eval_react(x_f, t_f, mu_f).reshape(k_real, nq)
 
     # ---- boundary condition points --------------------------------------
     bc_coords_list: List[np.ndarray] = []
@@ -272,6 +276,7 @@ def build_fixed_data(
         kappa=_pad_axis0(kappa, k_pad),
         vel=_pad_axis0(vel, k_pad),
         src=_pad_axis0(src, k_pad),
+        react=_pad_axis0(react, k_pad),
         mask=quad_mask,
     )
 

@@ -27,16 +27,22 @@ def weak_residual(
     vel: jnp.ndarray,             # [K, nQ, d]
     src: jnp.ndarray,             # [K, nQ]
     u_t: Optional[jnp.ndarray] = None,  # [K, nQ] (time-dependent only)
+    u: Optional[jnp.ndarray] = None,    # [K, nQ] net values (reaction term)
+    react: Optional[jnp.ndarray] = None,  # [K, nQ] reaction coefficient
 ) -> jnp.ndarray:
     """Per-test-function weak residual r_k -> [K].
 
     Integration by parts has been applied only to the diffusion term
     (SURVEY.md §0 item 3), so only FIRST derivatives of the network appear.
+    The optional reaction term adds + c u (advection-diffusion-reaction,
+    a beyond-reference extension).
     """
     adv = jnp.einsum("kqd,kqd->kq", vel, grad_u)
     integrand = (adv - src) * n[None, :]
     if u_t is not None:
         integrand = integrand + u_t * n[None, :]
+    if react is not None and u is not None:
+        integrand = integrand + react * u * n[None, :]
     diff = kappa * jnp.einsum("kqd,qd->kq", grad_u, dn)
     integrand = integrand + diff
     return jnp.einsum("kq,q->k", integrand, w)

@@ -99,6 +99,7 @@ def shard_quad(quad, mesh: Mesh, dtype=None, batched: bool = False):
         kappa=jax.device_put(cast(quad.kappa), dsh),
         vel=jax.device_put(cast(quad.vel), dsh),
         src=jax.device_put(cast(quad.src), dsh),
+        react=jax.device_put(cast(quad.react), dsh),
         mask=jax.device_put(cast(quad.mask), dsh),
     )
 

@@ -1,5 +1,6 @@
 from .adpde import ADPDE, MORVar, eval_field
 from .analytic import (
+    steady_adr_1d,
     contaminant_transport_2d,
     inverse_source_2d,
     steady_ad_1d,

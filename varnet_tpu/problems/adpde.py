@@ -112,6 +112,9 @@ class ADPDE:
     vel:        velocity field (constant scalar/[d] or callable -> [N, d])
     source:     source field s (constant or callable); may be None when an
                 inverse-source problem supplies it as a trainable function
+    react:      reaction coefficient c(x, t) adding + c u to the PDE
+                (advection-diffusion-REACTION; 0 = off — beyond-reference
+                extension, trivially supported by the weak form)
     t_interval: (t0, T) for time-dependent problems, None for steady
     bcs:        per-boundary-segment Dirichlet data, list of length
                 domain.n_boundary_segments; entries are constants,
@@ -126,6 +129,7 @@ class ADPDE:
     diff: Any
     vel: Any
     source: Any = 0.0
+    react: Any = 0.0
     t_interval: Optional[Sequence[float]] = None
     bcs: Any = 0.0
     ic: Any = None
@@ -178,6 +182,11 @@ class ADPDE:
         if self.source is None:
             return np.zeros(np.atleast_2d(x).shape[0])
         return eval_field(self.source, x, t, mu)
+
+    def eval_react(self, x, t=None, mu=None):
+        if self.react is None:
+            return np.zeros(np.atleast_2d(x).shape[0])
+        return eval_field(self.react, x, t, mu)
 
     def eval_bc(self, seg: int, x, t=None, mu=None):
         g = self.bcs[seg]

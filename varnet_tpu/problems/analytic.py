@@ -43,6 +43,36 @@ def steady_ad_1d(kappa: float = 0.05, vel: float = 1.0):
     return {"pde": pde, "c_ex": c_ex, "c_ex_grad": c_ex_grad, "c_ex_dt": None}
 
 
+def steady_adr_1d(kappa: float = 0.1, vel: float = 1.0, react: float = 2.0):
+    """1-D steady advection-diffusion-REACTION (beyond-reference extension):
+
+        v u_x - kappa u_xx + c u = s,  u(0) = u(1) = 0
+        manufactured: u = sin(pi x),
+        s = kappa pi^2 sin(pi x) + v pi cos(pi x) + c sin(pi x)
+    """
+
+    def c_ex(x, t=None):
+        x1 = np.atleast_2d(x)[:, 0]
+        return np.sin(np.pi * x1)
+
+    def c_ex_grad(x, t=None):
+        x1 = np.atleast_2d(x)[:, 0]
+        return (np.pi * np.cos(np.pi * x1))[:, None]
+
+    def source(x, t=None):
+        x1 = np.atleast_2d(x)[:, 0]
+        return (
+            kappa * np.pi**2 * np.sin(np.pi * x1)
+            + vel * np.pi * np.cos(np.pi * x1)
+            + react * np.sin(np.pi * x1)
+        )
+
+    domain = Domain1D(0.0, 1.0)
+    pde = ADPDE(domain, diff=kappa, vel=vel, source=source, react=react,
+                bcs=[0.0, 0.0], c_ex=c_ex)
+    return {"pde": pde, "c_ex": c_ex, "c_ex_grad": c_ex_grad, "c_ex_dt": None}
+
+
 def transient_ad_1d(kappa: float = 0.02, vel: float = 1.0, x0: float = 0.2,
                     t_final: float = 0.5, t_eps: float = 0.01):
     """1-D transient AD with a moving smoothed front (BASELINE config 2).

@@ -38,6 +38,7 @@ def make_residual_fn(
     has_obs: bool = False,
     n_obs_real: int = 1,
     k_chunks: int = 1,
+    has_react: bool = False,
 ):
     """Weighted residual VECTOR r_full(theta) with sum(r^2) == total loss
     (the normalize_residual=True convention of make_loss_fn).
@@ -62,7 +63,8 @@ def make_residual_fn(
     def net_params(theta):
         return theta["net"] if isinstance(theta, dict) and "net" in theta else theta
 
-    def interior(theta, coords, kappa, vel, src_fixed, mask, n_tbl, dn_tbl, w_tbl):
+    def interior(theta, coords, kappa, vel, src_fixed, react, mask,
+                 n_tbl, dn_tbl, w_tbl):
         net = net_params(theta)
         k, nq = coords.shape[0], coords.shape[1]
         flat = coords.reshape(k * nq, n_in)
@@ -74,7 +76,11 @@ def make_residual_fn(
             src = source_fn(theta["src"], flat[:, :d], t_flat).reshape(k, nq)
         else:
             src = src_fixed
-        r = weak_residual(grad_u, n_tbl, dn_tbl, w_tbl, kappa, vel, src, u_t)
+        r = weak_residual(
+            grad_u, n_tbl, dn_tbl, w_tbl, kappa, vel, src, u_t,
+            u=u.reshape(k, nq) if has_react else None,
+            react=react if has_react else None,
+        )
         return (r / jnp.sum(w_tbl)) * mask
 
     def residual_fn(theta, quad, bc, ic=None, obs=None, weights=(1.0, 1.0, 1.0, 0.0)):
@@ -82,7 +88,7 @@ def make_residual_fn(
         if k_chunks == 1:
             r = interior(
                 theta, quad.coords, quad.kappa, quad.vel, quad.src,
-                quad.mask, quad.N, quad.dN, quad.w,
+                quad.react, quad.mask, quad.N, quad.dN, quad.w,
             )
         else:
             k = quad.coords.shape[0]
@@ -91,15 +97,16 @@ def make_residual_fn(
             kc = k // k_chunks
 
             def body(args):
-                coords, kappa, vel, src, mask = args
+                coords, kappa, vel, src, react, mask = args
                 return interior(
-                    theta, coords, kappa, vel, src, mask,
+                    theta, coords, kappa, vel, src, react, mask,
                     quad.N, quad.dN, quad.w,
                 )
 
             chunked = tuple(
                 a.reshape((k_chunks, kc) + a.shape[1:])
-                for a in (quad.coords, quad.kappa, quad.vel, quad.src, quad.mask)
+                for a in (quad.coords, quad.kappa, quad.vel, quad.src,
+                          quad.react, quad.mask)
             )
             r = jax.lax.map(jax.checkpoint(body), chunked).reshape(k)
         parts = [jnp.sqrt(weights[0] / n_k) * r]

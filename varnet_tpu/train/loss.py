@@ -35,6 +35,7 @@ def make_loss_fn(
     has_obs: bool = False,
     n_obs_real: int = 1,
     normalize_residual: bool = True,
+    has_react: bool = False,
 ):
     """Build the total-loss function for an assembled problem.
 
@@ -79,8 +80,10 @@ def make_loss_fn(
             src = source_fn(theta["src"], flat[:, :d], t_flat).reshape(k, nq)
         else:
             src = quad.src
+        u_q = u.reshape(k, nq) if has_react else None
         r = weak_residual(
-            grad_u, quad.N, quad.dN, quad.w, quad.kappa, quad.vel, src, u_t
+            grad_u, quad.N, quad.dN, quad.w, quad.kappa, quad.vel, src, u_t,
+            u=u_q, react=quad.react if has_react else None,
         )
         if normalize_residual:
             # r_k scales with the test-function support volume (= sum of the

@@ -55,6 +55,7 @@ def _tree_reshape_batches(quad: QuadData, batch_num: int) -> QuadData:
         kappa=r(quad.kappa, True),
         vel=r(quad.vel, True),
         src=r(quad.src, True),
+        react=r(quad.react, True),
         mask=r(quad.mask, True),
     )
 
@@ -118,14 +119,15 @@ def make_train_step(
         def epoch_step(theta, opt_state, quad, bc, ic, obs, weights):
             # Scan ONLY the per-node [B, Kb, ...] arrays; the shared [nQ]
             # quadrature tables (N, dN, w) are closed over, not scanned.
-            per_node = (quad.coords, quad.kappa, quad.vel, quad.src, quad.mask)
+            per_node = (quad.coords, quad.kappa, quad.vel, quad.src,
+                        quad.react, quad.mask)
 
             def body(carry, batch):
                 theta, opt_state = carry
-                coords, kappa, vel, src, mask = batch
+                coords, kappa, vel, src, react, mask = batch
                 quad_b = QuadData(
                     coords=coords, N=quad.N, dN=quad.dN, w=quad.w,
-                    kappa=kappa, vel=vel, src=src, mask=mask,
+                    kappa=kappa, vel=vel, src=src, react=react, mask=mask,
                 )
                 theta, opt_state, aux = one_update(
                     theta, opt_state, quad_b, bc, ic, obs, weights
@@ -157,7 +159,8 @@ def make_train_step(
     per_node = P(None, DATA_AXIS) if batch_num > 1 else P(DATA_AXIS)
     quad_spec = QuadData(
         coords=per_node, N=rep, dN=rep, w=rep,
-        kappa=per_node, vel=per_node, src=per_node, mask=per_node,
+        kappa=per_node, vel=per_node, src=per_node, react=per_node,
+        mask=per_node,
     )
     # bc/ic/obs use a single leaf spec: it broadcasts over the PointData
     # fields AND over a None argument (steady problems have ic=None).
