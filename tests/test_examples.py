@@ -8,6 +8,7 @@ import pytest
 
 from varnet_tpu.examples import (
     ad1d_steady,
+    lshape_2d,
     ad1d_transient,
     ad2d_steady,
     ad2d_transient,
@@ -29,6 +30,7 @@ TINY = ["--epochs", "40", "--save-freq", "20", "--width", "8"]
         (contaminant_2d, ["--disc", "6", "--tdisc", "4"]),
         (inverse_source, ["--disc", "8", "--n-obs", "36"]),
         (mor_1d, ["--disc", "10", "--vels", "0.5,1.0"]),
+        (lshape_2d, ["--disc", "10"]),
     ],
     ids=lambda m: getattr(m, "__name__", str(m)).split(".")[-1],
 )
