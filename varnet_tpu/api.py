@@ -702,10 +702,24 @@ class VarNet:
     ) -> Optional[float]:
         """Relative L2 error vs the exact solution (reference error report).
 
-        Returns None when the problem has no ``c_ex``.
+        Returns None when the problem has no ``c_ex``.  Always evaluates at
+        exact-f32 matmul precision: the MXU's default bf16 multiply adds
+        ~5e-3 of noise to the MEASUREMENT itself (BASELINE.md).
         """
         if self.pde.c_ex is None:
             return None
+        prev = jax.config.jax_default_matmul_precision
+        jax.config.update("jax_default_matmul_precision", "highest")
+        try:
+            return self._compute_error_inner(theta, disc, n_times)
+        finally:
+            jax.config.update(
+                "jax_default_matmul_precision", prev if prev else "default"
+            )
+
+    def _compute_error_inner(
+        self, theta: Any = None, disc: int = 64, n_times: int = 5
+    ) -> Optional[float]:
         theta = self.theta if theta is None else theta
         pts, mask = self.pde.domain.grid_in_domain(
             (disc + 1,) * self.pde.dim if self.pde.dim > 1 else disc + 1
