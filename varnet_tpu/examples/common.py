@@ -37,6 +37,10 @@ def make_parser(desc: str, **defaults) -> argparse.ArgumentParser:
     p.add_argument("--precision", type=str,
                    default=defaults.get("precision", None),
                    help="matmul precision ('highest' for <1e-3 targets)")
+    p.add_argument("--lm-steps", type=int, default=0,
+                   help="Levenberg-Marquardt polish iterations after Adam "
+                        "(the final-decade tool; see BASELINE.md)")
+    p.add_argument("--lm-cg", type=int, default=50)
     p.add_argument("--batch-num", type=int, default=1)
     p.add_argument("--save-freq", type=int, default=defaults.get("save_freq", 2000))
     p.add_argument("--folder", type=str, default=None,
@@ -85,6 +89,13 @@ def run_case(pde, args, weight, t_disc_num=None, **varnet_kwargs) -> VarNet:
         "quad_evals_per_sec": res.quad_evals_per_sec,
         "steps_per_sec": res.steps_per_sec,
     }
+    if getattr(args, "lm_steps", 0):
+        r_lm = vn.refine_lm(
+            steps=args.lm_steps, weight=weight, cg_iters=args.lm_cg,
+            save_freq=max(args.lm_steps // 10, 1), target_error=args.target,
+            matmul_precision=getattr(args, "precision", None) or "highest",
+        )
+        summary["lm_best_rel_l2"] = r_lm.best_error()
     print(json.dumps(summary))
     if args.plot and args.folder:
         vn.sim_res(args.folder)
