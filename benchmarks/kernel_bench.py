@@ -20,14 +20,23 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
+def _sync(out):
+    """Force TRUE device completion: on the remote-tunnel TPU platform,
+    block_until_ready returns at dispatch, not completion — fetching a
+    value is the only reliable sync."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    jax.device_get(leaf.ravel()[0])
+
+
 def timeit(fn, *args, iters=20, warmup=3):
+    out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 

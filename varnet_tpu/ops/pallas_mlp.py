@@ -111,23 +111,32 @@ def _fwd_kernel(n_in: int, n_layers: int, activation: str, precision, *refs):
     xs_ref = refs[0]
     w_refs = refs[1 : 1 + 2 * n_layers]
     out_ref = refs[1 + 2 * n_layers]
+    t = xs_ref.shape[1]
 
+    # PANEL-PACKED layout: the activation panel and the n_in jacobian
+    # panels are concatenated along the LANE axis into one [H, (1+n)T]
+    # array, so every layer is ONE wide matmul (MXU util ~(1+n)x better
+    # than per-panel dots at these tiny hidden sizes).
     xs = xs_ref[:]
     z = _mm(w_refs[0][:], xs) + w_refs[1][:]
     a = act(z)
     sp = act_p(z, a)
-    jac = [sp * w_refs[0][:, j : j + 1] for j in range(n_in)]
+    s_panels = jnp.concatenate(
+        [a] + [sp * w_refs[0][:, j : j + 1] for j in range(n_in)], axis=1
+    )  # [H, (1+n) T]
     for l in range(1, n_layers - 1):
         wt, b = w_refs[2 * l][:], w_refs[2 * l + 1][:]
-        z = _mm(wt, a) + b
+        zc = _mm(wt, s_panels)  # [H, (1+n) T]
+        z = zc[:, :t] + b
         a = act(z)
         sp = act_p(z, a)
-        jac = [sp * _mm(wt, jac[j]) for j in range(n_in)]
+        sp_tiled = jnp.concatenate([sp] * n_in, axis=1)
+        s_panels = jnp.concatenate([a, sp_tiled * zc[:, t:]], axis=1)
     wt, b = w_refs[2 * (n_layers - 1)][:], w_refs[2 * (n_layers - 1) + 1][:]
-    u = _mm(wt, a) + b  # [1, T]
-    out_ref[0:1, :] = u
+    oc = _mm(wt, s_panels)  # [1, (1+n) T]
+    out_ref[0:1, :] = oc[:, :t] + b
     for j in range(n_in):
-        out_ref[j + 1 : j + 2, :] = _mm(wt, jac[j])
+        out_ref[j + 1 : j + 2, :] = oc[:, (j + 1) * t : (j + 2) * t]
 
 
 def _fwd_pallas(wts, bs, xs_t, *, n_in, tile, activation, precision, interpret):
@@ -277,39 +286,41 @@ def _bwd_kernel(n_in: int, n_layers: int, activation: str, precision, *refs):
     g_ref = refs[1]
     w_refs = refs[2 : 2 + 2 * n_layers]
     out_refs = refs[2 + 2 * n_layers :]
+    t = xs_ref.shape[1]
 
     i = pl.program_id(0)
 
-    # ---- forward recompute, keeping per-layer state in VMEM values ----
+    # ---- forward recompute, PANEL-PACKED (see _fwd_kernel) -------------
     xs = xs_ref[:]
-    acts = []  # a_l for hidden layers, l = 1..L-1
-    zs = []    # pre-activations (sin needs them for derivatives)
-    pres = []  # P_l^j panels per hidden layer (None placeholder for l=1)
-    jacs = []  # J_l^j panels per hidden layer
+    acts, zs, pres_c, s_packed = [], [], [], []
     z = _mm(w_refs[0][:], xs) + w_refs[1][:]
     a = act(z)
     sp = act_p(z, a)
-    jac = [sp * w_refs[0][:, j : j + 1] for j in range(n_in)]
+    s = jnp.concatenate(
+        [a] + [sp * w_refs[0][:, j : j + 1] for j in range(n_in)], axis=1
+    )
     acts.append(a)
     zs.append(z)
-    pres.append(None)
-    jacs.append(list(jac))
+    pres_c.append(None)  # layer-1 pre panels are Wt1 column broadcasts
+    s_packed.append(s)
     for l in range(1, n_layers - 1):
         wt, b = w_refs[2 * l][:], w_refs[2 * l + 1][:]
-        z = _mm(wt, a) + b
-        a_new = act(z)
-        sp = act_p(z, a_new)
-        pre = [_mm(wt, jac[j]) for j in range(n_in)]
-        jac = [sp * pre[j] for j in range(n_in)]
-        a = a_new
+        zc = _mm(wt, s)
+        z = zc[:, :t] + b
+        a = act(z)
+        sp = act_p(z, a)
+        sp_tiled = jnp.concatenate([sp] * n_in, axis=1)
+        s = jnp.concatenate([a, sp_tiled * zc[:, t:]], axis=1)
         acts.append(a)
         zs.append(z)
-        pres.append(pre)
-        jacs.append(list(jac))
+        pres_c.append(zc[:, t:])
+        s_packed.append(s)
 
-    # ---- backward ----
-    gu = g_ref[0:1, :]  # [1, T]
-    gdu = [g_ref[j + 1 : j + 2, :] for j in range(n_in)]
+    # ---- backward --------------------------------------------------------
+    g_out = g_ref[:]  # [1+n, T]: rows (u, du_1..du_n)
+    g_oc = jnp.concatenate(
+        [g_out[j : j + 1, :] for j in range(1 + n_in)], axis=1
+    )  # [1, (1+n) T] — cotangent of the packed final matmul output
 
     def accum(ref, val):
         @pl.when(i == 0)
@@ -320,45 +331,50 @@ def _bwd_kernel(n_in: int, n_layers: int, activation: str, precision, *refs):
         def _():
             ref[:] = ref[:] + val
 
-    # final linear layer
+    # final linear layer: one packed matmul for dW and one for gS
     wt_last = w_refs[2 * (n_layers - 1)][:]
-    a_prev = acts[-1]
-    d_wt = _mm(gu, a_prev.T)
-    for j in range(n_in):
-        d_wt = d_wt + _mm(gdu[j], jacs[-1][j].T)
-    accum(out_refs[2 * (n_layers - 1)], d_wt)
-    accum(out_refs[2 * (n_layers - 1) + 1], jnp.sum(gu, axis=1, keepdims=True))
-    ga = _mm(wt_last.T, gu)
-    g_jac = [_mm(wt_last.T, gdu[j]) for j in range(n_in)]
+    accum(out_refs[2 * (n_layers - 1)], _mm(g_oc, s_packed[-1].T))
+    accum(
+        out_refs[2 * (n_layers - 1) + 1],
+        jnp.sum(g_out[0:1, :], axis=1, keepdims=True),
+    )
+    g_s = _mm(wt_last.T, g_oc)  # [H, (1+n) T]
 
     # hidden layers, deepest first
     for l in range(n_layers - 2, -1, -1):
-        a_l = acts[l]
-        sp = act_p(zs[l], a_l)
-        spp = act_pp(zs[l], a_l, sp)
-        gz = sp * ga
+        sp = act_p(zs[l], acts[l])
+        spp = act_pp(zs[l], acts[l], sp)
+        ga = g_s[:, :t]
+        g_jac = g_s[:, t:]  # [H, n T]
+        # gz = sp*ga + spp * sum_j gJ_j * P_l^j
+        acc = None
         for j in range(n_in):
             p_lj = (
-                w_refs[0][:, j : j + 1] if l == 0 else pres[l][j]
-            )  # first layer: broadcast column
-            gz = gz + (g_jac[j] * p_lj) * spp
-        gp = [sp * g_jac[j] for j in range(n_in)]
+                w_refs[0][:, j : j + 1]
+                if l == 0
+                else pres_c[l][:, j * t : (j + 1) * t]
+            )
+            term = g_jac[:, j * t : (j + 1) * t] * p_lj
+            acc = term if acc is None else acc + term
+        gz = sp * ga + spp * acc
+        sp_tiled = jnp.concatenate([sp] * n_in, axis=1)
+        g_p = sp_tiled * g_jac  # [H, n T]
 
-        a_in = xs if l == 0 else acts[l - 1]
-        d_wt = _mm(gz, a_in.T)
-        if l == 0:
-            # P_1^j = Wt_1[:, j] broadcast: its cotangent sums over points
-            cols = [jnp.sum(gp[j], axis=1, keepdims=True) for j in range(n_in)]
-            d_wt = d_wt + jnp.concatenate(cols, axis=1)
-        else:
-            for j in range(n_in):
-                d_wt = d_wt + _mm(gp[j], jacs[l - 1][j].T)
         wt_l = w_refs[2 * l][:]
-        accum(out_refs[2 * l], d_wt)
-        accum(out_refs[2 * l + 1], jnp.sum(gz, axis=1, keepdims=True))
-        if l > 0:
-            ga = _mm(wt_l.T, gz)
-            g_jac = [_mm(wt_l.T, gp[j]) for j in range(n_in)]
+        if l == 0:
+            d_wt = _mm(gz, xs.T)
+            cols = [
+                jnp.sum(g_p[:, j * t : (j + 1) * t], axis=1, keepdims=True)
+                for j in range(n_in)
+            ]
+            d_wt = d_wt + jnp.concatenate(cols, axis=1)
+            accum(out_refs[0], d_wt)
+            accum(out_refs[1], jnp.sum(gz, axis=1, keepdims=True))
+        else:
+            g_zc = jnp.concatenate([gz, g_p], axis=1)  # [H, (1+n) T]
+            accum(out_refs[2 * l], _mm(g_zc, s_packed[l - 1].T))
+            accum(out_refs[2 * l + 1], jnp.sum(gz, axis=1, keepdims=True))
+            g_s = _mm(wt_l.T, g_zc)
 
 
 def _bwd_pallas(wts, bs, xs_t, g, *, n_in, tile, activation, precision, interpret):
