@@ -81,6 +81,7 @@ def main():
     t_pal = timeit(f_pal, params, x)
 
     # ---- full train step through both paths --------------------------
+    vn.use_pallas = False  # force the XLA matmul-chain path for the ref run
     res_ref = vn.train(epoch_num=args.epochs, weight=(1, 10, 10),
                        save_freq=args.epochs, verbose=False)
     vn2 = VarNet(

@@ -40,7 +40,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_TILE = 1024
+DEFAULT_TILE = 4096  # measured best on v5e (benchmarks/kernel_bench.py)
 
 
 def _act_pair(name: str):
@@ -317,10 +317,10 @@ def _bwd_kernel(n_in: int, n_layers: int, activation: str, precision, *refs):
         s_packed.append(s)
 
     # ---- backward --------------------------------------------------------
-    g_out = g_ref[:]  # [1+n, T]: rows (u, du_1..du_n)
-    g_oc = jnp.concatenate(
-        [g_out[j : j + 1, :] for j in range(1 + n_in)], axis=1
-    )  # [1, (1+n) T] — cotangent of the packed final matmul output
+    # Rows of the [1+n, T] cotangent block sit at different sublane
+    # offsets; Mosaic cannot lane-concatenate them directly, so the final
+    # layer uses per-row matmuls whose [H, T] results ARE aligned.
+    g_rows = [g_ref[j : j + 1, :] for j in range(1 + n_in)]
 
     def accum(ref, val):
         @pl.when(i == 0)
@@ -331,14 +331,19 @@ def _bwd_kernel(n_in: int, n_layers: int, activation: str, precision, *refs):
         def _():
             ref[:] = ref[:] + val
 
-    # final linear layer: one packed matmul for dW and one for gS
     wt_last = w_refs[2 * (n_layers - 1)][:]
-    accum(out_refs[2 * (n_layers - 1)], _mm(g_oc, s_packed[-1].T))
+    d_wt_last = None
+    for j in range(1 + n_in):
+        term = _mm(g_rows[j], s_packed[-1][:, j * t : (j + 1) * t].T)
+        d_wt_last = term if d_wt_last is None else d_wt_last + term
+    accum(out_refs[2 * (n_layers - 1)], d_wt_last)
     accum(
         out_refs[2 * (n_layers - 1) + 1],
-        jnp.sum(g_out[0:1, :], axis=1, keepdims=True),
+        jnp.sum(g_rows[0], axis=1, keepdims=True),
     )
-    g_s = _mm(wt_last.T, g_oc)  # [H, (1+n) T]
+    g_s = jnp.concatenate(
+        [_mm(wt_last.T, g_rows[j]) for j in range(1 + n_in)], axis=1
+    )  # [H, (1+n) T]
 
     # hidden layers, deepest first
     for l in range(n_layers - 2, -1, -1):
