@@ -1,0 +1,117 @@
+"""Fully-fused weak-residual kernel vs the compositional path
+(value+jacobian -> einsum contraction), values AND parameter gradients.
+Interpreter mode on the CPU test backend."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from varnet_tpu.fem.assembly import build_fixed_data
+from varnet_tpu.models.mlp import init_mlp, make_input_scaling, mlp_value_and_jac
+from varnet_tpu.ops.pallas_residual import pallas_fused_residual
+from varnet_tpu.ops.residual import weak_residual
+from varnet_tpu.problems.analytic import steady_adr_1d, transient_ad_2d
+
+
+def _reference_r(params, quad, st, scale, shift, td, react):
+    k, nq, _ = quad.coords.shape
+    d = st.n_space
+    flat = quad.coords.reshape(k * nq, st.n_inputs)
+    u, du = mlp_value_and_jac(params, flat, "tanh", scale, shift)
+    gu = du[:, :d].reshape(k, nq, d)
+    ut = du[:, d].reshape(k, nq) if td else None
+    return weak_residual(
+        gu, quad.N, quad.dN, quad.w, quad.kappa, quad.vel, quad.src, ut,
+        u=u.reshape(k, nq) if react else None,
+        react=quad.react if react else None,
+    )
+
+
+CASES = [
+    ("2dt", transient_ad_2d, True, False, 8, dict(t_disc_num=4, b_disc_num=4), 49),
+    ("adr1d", steady_adr_1d, False, True, 16, dict(), 15),
+]
+
+
+@pytest.mark.parametrize("name,case_fn,td,react,disc,kw,tile", CASES,
+                         ids=[c[0] for c in CASES])
+def test_fused_residual_matches_reference(name, case_fn, td, react, disc, kw,
+                                          tile):
+    case = case_fn()
+    fd = build_fixed_data(case["pde"], disc, **kw)
+    st = fd.static
+    quad = jax.tree_util.tree_map(jnp.asarray, fd.quad)
+    params = init_mlp(jax.random.PRNGKey(0), st.n_inputs, (16, 16))
+    scale, shift = make_input_scaling(st.input_lo, st.input_hi)
+
+    r_ref = _reference_r(params, quad, st, scale, shift, td, react)
+    r = pallas_fused_residual(
+        params, quad, "tanh", scale, shift,
+        time_dependent=td, has_react=react, tile=tile, interpret=True,
+    )
+    np.testing.assert_allclose(r, r_ref, rtol=1e-5, atol=1e-8)
+
+
+@pytest.mark.parametrize("name,case_fn,td,react,disc,kw,tile", CASES,
+                         ids=[c[0] for c in CASES])
+def test_fused_residual_param_grads(name, case_fn, td, react, disc, kw, tile):
+    case = case_fn()
+    fd = build_fixed_data(case["pde"], disc, **kw)
+    st = fd.static
+    quad = jax.tree_util.tree_map(jnp.asarray, fd.quad)
+    params = init_mlp(jax.random.PRNGKey(0), st.n_inputs, (16, 16))
+    scale, shift = make_input_scaling(st.input_lo, st.input_hi)
+    k = quad.coords.shape[0]
+    cw = jax.random.normal(jax.random.PRNGKey(5), (k,))
+
+    def loss_ref(p):
+        r = _reference_r(p, quad, st, scale, shift, td, react)
+        return jnp.sum(r * cw) + jnp.sum(r * r)
+
+    def loss_fused(p):
+        r = pallas_fused_residual(
+            p, quad, "tanh", scale, shift,
+            time_dependent=td, has_react=react, tile=tile, interpret=True,
+        )
+        return jnp.sum(r * cw) + jnp.sum(r * r)
+
+    g1 = jax.grad(loss_ref)(params)
+    g2 = jax.grad(loss_fused)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-6)
+
+
+def test_varnet_trains_with_fused_residual():
+    """End-to-end: force the fused path on the CPU backend (interpret off is
+    TPU-only, so use the hook manually with interpret=True)."""
+    import functools
+
+    from varnet_tpu.api import VarNet
+    from varnet_tpu.train.loss import make_loss_fn
+    from varnet_tpu.train.optim import OptimizerConfig, make_optimizer
+    from varnet_tpu.train.trainer import make_train_step
+    from varnet_tpu.fem.assembly import pad_points, pad_quad
+    from varnet_tpu.parallel.mesh import make_mesh, replicate, shard_points, shard_quad
+    from varnet_tpu.problems.analytic import steady_ad_1d
+
+    case = steady_ad_1d(kappa=0.2)
+    fd = build_fixed_data(case["pde"], 15)
+    mesh = make_mesh(1)
+    quad = shard_quad(pad_quad(fd.quad, 1), mesh)
+    bc = shard_points(pad_points(fd.bc, 1), mesh)
+    fused = functools.partial(
+        pallas_fused_residual, time_dependent=False, has_react=False,
+        tile=14, interpret=True,
+    )
+    loss_fn = make_loss_fn(fd.static, fused_residual=fused)
+    opt = make_optimizer(OptimizerConfig())
+    theta = replicate(init_mlp(jax.random.PRNGKey(0), 1, (8, 8)), mesh)
+    opt_state = replicate(opt.init(theta), mesh)
+    step = make_train_step(loss_fn, opt, mesh=mesh)
+    w = jnp.asarray([1.0, 10.0, 0.0, 0.0])
+    losses = []
+    for _ in range(30):
+        theta, opt_state, aux = step(theta, opt_state, quad, bc, None, None, w)
+        losses.append(float(aux["loss"]))
+    assert losses[-1] < losses[0]

@@ -97,6 +97,7 @@ class VarNet:
         source_init: Any = None,
         obs_data: Optional[PointData] = None,
         use_pallas="auto",
+        use_fused_residual: bool = True,
         fourier_features: Optional[int] = None,
         fourier_scale: float = 0.5,
         omega0: float = 6.0,
@@ -114,6 +115,7 @@ class VarNet:
         self.input_scaling = bool(input_scaling)
         self.source_fn = source_fn
         self.obs_data = obs_data
+        self.use_fused_residual = bool(use_fused_residual)
         if source_fn is not None and source_init is None:
             raise ValueError("source_fn requires source_init")
 
@@ -181,6 +183,32 @@ class VarNet:
         eval_kwargs = {} if apply_override is None else {"apply_fn": apply_override}
         self._eval_fn = make_eval_fn(
             self.static, self.activation, self.input_scaling, **eval_kwargs
+        )
+
+    def _fused_residual_hook(self, matmul_precision):
+        """Fully-fused weak-residual kernel when eligible (plain MLP, fixed
+        source), else None — the hot-path selection for TPU training."""
+        if (
+            not self.use_pallas
+            or not self.use_fused_residual
+            or self.source_fn is not None
+            or self.fourier_b is not None
+        ):
+            return None
+        import functools
+
+        from .ops.pallas_residual import pallas_fused_residual
+
+        prec = (
+            jax.lax.Precision.HIGHEST
+            if matmul_precision in ("highest", "float32")
+            else None
+        )
+        return functools.partial(
+            pallas_fused_residual,
+            time_dependent=self.static.time_dependent,
+            has_react=self.has_react,
+            precision=prec,
         )
 
     def _pallas_value_and_jac(self, matmul_precision):
@@ -271,7 +299,12 @@ class VarNet:
         if matmul_precision is not None:
             jax.config.update("jax_default_matmul_precision", matmul_precision)
         loss_kwargs = {}
-        if value_and_jac is None and self.use_pallas:
+        fused = None if value_and_jac is not None else self._fused_residual_hook(
+            matmul_precision
+        )
+        if fused is not None:
+            loss_kwargs["fused_residual"] = fused
+        elif value_and_jac is None and self.use_pallas:
             value_and_jac = self._pallas_value_and_jac(matmul_precision)
         if value_and_jac is None and self._value_and_jac_default is not None:
             value_and_jac = self._value_and_jac_default

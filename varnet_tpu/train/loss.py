@@ -36,6 +36,7 @@ def make_loss_fn(
     n_obs_real: int = 1,
     normalize_residual: bool = True,
     has_react: bool = False,
+    fused_residual: Optional[Callable] = None,
 ):
     """Build the total-loss function for an assembled problem.
 
@@ -71,20 +72,24 @@ def make_loss_fn(
         net = net_params(theta)
         weights = jnp.asarray(weights)
         k, nq = quad.coords.shape[0], quad.coords.shape[1]
-        flat = quad.coords.reshape(k * nq, n_in)
-        u, du = value_and_jac(net, flat, activation, scale, shift)
-        grad_u = du[:, :d].reshape(k, nq, d)
-        u_t = du[:, d].reshape(k, nq) if td else None
-        if source_fn is not None:
-            t_flat = flat[:, d] if td else None
-            src = source_fn(theta["src"], flat[:, :d], t_flat).reshape(k, nq)
+        if fused_residual is not None:
+            # fully-fused kernel: network + contraction in VMEM, r out
+            r = fused_residual(net, quad, activation, scale, shift)
         else:
-            src = quad.src
-        u_q = u.reshape(k, nq) if has_react else None
-        r = weak_residual(
-            grad_u, quad.N, quad.dN, quad.w, quad.kappa, quad.vel, src, u_t,
-            u=u_q, react=quad.react if has_react else None,
-        )
+            flat = quad.coords.reshape(k * nq, n_in)
+            u, du = value_and_jac(net, flat, activation, scale, shift)
+            grad_u = du[:, :d].reshape(k, nq, d)
+            u_t = du[:, d].reshape(k, nq) if td else None
+            if source_fn is not None:
+                t_flat = flat[:, d] if td else None
+                src = source_fn(theta["src"], flat[:, :d], t_flat).reshape(k, nq)
+            else:
+                src = quad.src
+            u_q = u.reshape(k, nq) if has_react else None
+            r = weak_residual(
+                grad_u, quad.N, quad.dN, quad.w, quad.kappa, quad.vel, src, u_t,
+                u=u_q, react=quad.react if has_react else None,
+            )
         if normalize_residual:
             # r_k scales with the test-function support volume (= sum of the
             # quadrature weights); dividing makes r_k an average residual
