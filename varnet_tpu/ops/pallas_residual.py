@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_mlp import _act_pair, _make_mm
 
-DEFAULT_TILE_K = 2048
+DEFAULT_TILE_K = 4096  # measured best on v5e
 
 
 def _packed_forward(_mm, act, act_p, n_in, n_layers, w_refs, xs, t):
