@@ -41,6 +41,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_TILE = 4096  # measured best on v5e (benchmarks/kernel_bench.py)
+_VMEM_BUDGET_BYTES = 10 * 1024 * 1024  # of the ~16MB scoped VMEM
+
+
+def _auto_tile(requested: int, h_max: int, n_layers: int, n_in: int) -> int:
+    """Cap the point tile so the packed backward's per-program VMEM state
+    (s_packed per layer + z/a + gradient panels + temporaries) fits the
+    scoped budget.  Measured blow-up otherwise: width 48 x 3 hidden at
+    tile 4096 needs ~32MB > 16MB."""
+    denom = 4 * max(h_max, 1) * ((1 + n_in) * (n_layers + 1) + 2 * n_layers)
+    cap = max(256, (_VMEM_BUDGET_BYTES // denom) // 256 * 256)
+    return int(min(requested, cap))
 
 
 def _act_pair(name: str):
@@ -620,6 +631,8 @@ def pallas_value_and_jac(
         from ..models.mlp import mlp_value_and_jac
 
         return mlp_value_and_jac(params, x, activation, scale, shift)
+    h_max = max(l["w"].shape[1] for l in params)
+    tile = _auto_tile(tile, h_max, n_layers, n_in)
     f = _fused_fn(n_in, n_layers, activation, tile, bool(interpret), precision)
 
     xs = x if scale is None else (x - shift) * scale

@@ -350,6 +350,10 @@ def pallas_fused_residual(
     k, nq, n_in = quad.coords.shape
     d = quad.dN.shape[1]
     n_layers = len(params)
+    from .pallas_mlp import _auto_tile
+
+    h_max = max(l["w"].shape[1] for l in params)
+    tile = _auto_tile(tile, h_max, n_layers, n_in)
 
     # scaled coords, q-major: [n_in, nQ * Kp]
     flat = quad.coords  # [K, nQ, n_in]
