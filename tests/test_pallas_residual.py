@@ -34,6 +34,28 @@ CASES = [
 ]
 
 
+def test_fused_residual_sin_activation():
+    case = transient_ad_2d()
+    fd = build_fixed_data(case["pde"], 8, t_disc_num=4, b_disc_num=4)
+    st = fd.static
+    quad = jax.tree_util.tree_map(jnp.asarray, fd.quad)
+    from varnet_tpu.models.mlp import init_siren
+
+    params = init_siren(jax.random.PRNGKey(0), st.n_inputs, (16, 16))
+    scale, shift = make_input_scaling(st.input_lo, st.input_hi)
+    k, nq, _ = quad.coords.shape
+    d = st.n_space
+    flat = quad.coords.reshape(k * nq, st.n_inputs)
+    u, du = mlp_value_and_jac(params, flat, "sin", scale, shift)
+    gu = du[:, :d].reshape(k, nq, d)
+    ut = du[:, d].reshape(k, nq)
+    r_ref = weak_residual(gu, quad.N, quad.dN, quad.w, quad.kappa, quad.vel,
+                          quad.src, ut)
+    r = pallas_fused_residual(params, quad, "sin", scale, shift,
+                              time_dependent=True, tile=49, interpret=True)
+    np.testing.assert_allclose(r, r_ref, rtol=1e-5, atol=1e-8)
+
+
 @pytest.mark.parametrize("name,case_fn,td,react,disc,kw,tile", CASES,
                          ids=[c[0] for c in CASES])
 def test_fused_residual_matches_reference(name, case_fn, td, react, disc, kw,
