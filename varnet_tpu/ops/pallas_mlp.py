@@ -79,6 +79,16 @@ def _act_pair(name: str):
     raise ValueError(f"unknown activation '{name}'")
 
 
+def _small_k_mm(w, xs, n_in):
+    """w [H, n_in] @ xs [n_in, T] as a broadcast-sum: Mosaic rejects tiny-K
+    dots under HIGHEST precision ("only constant accumulators supported"),
+    and for K <= 4 the VPU form also avoids MXU pad waste entirely."""
+    acc = w[:, 0:1] * xs[0:1, :]
+    for j in range(1, n_in):
+        acc = acc + w[:, j : j + 1] * xs[j : j + 1, :]
+    return acc
+
+
 def _make_mm(precision):
     def _mm(a, b):
         return jnp.dot(a, b, preferred_element_type=jnp.float32,
@@ -95,7 +105,7 @@ def _embed(xs, bt2pi, _mm):
     """xs [n_in, T], bt2pi = 2*pi*B^T [F, n_in] ->
     a0 [2F, T], J0 list of n_in panels [2F, T]."""
     n_in = xs.shape[0]
-    ang = _mm(bt2pi, xs)  # [F, T]
+    ang = _small_k_mm(bt2pi, xs, n_in)  # [F, T]
     s, c = jnp.sin(ang), jnp.cos(ang)
     a0 = jnp.concatenate([s, c], axis=0)
     j0 = [
@@ -129,7 +139,7 @@ def _fwd_kernel(n_in: int, n_layers: int, activation: str, precision, *refs):
     # array, so every layer is ONE wide matmul (MXU util ~(1+n)x better
     # than per-panel dots at these tiny hidden sizes).
     xs = xs_ref[:]
-    z = _mm(w_refs[0][:], xs) + w_refs[1][:]
+    z = _small_k_mm(w_refs[0][:], xs, n_in) + w_refs[1][:]
     a = act(z)
     sp = act_p(z, a)
     s_panels = jnp.concatenate(
@@ -304,7 +314,7 @@ def _bwd_kernel(n_in: int, n_layers: int, activation: str, precision, *refs):
     # ---- forward recompute, PANEL-PACKED (see _fwd_kernel) -------------
     xs = xs_ref[:]
     acts, zs, pres_c, s_packed = [], [], [], []
-    z = _mm(w_refs[0][:], xs) + w_refs[1][:]
+    z = _small_k_mm(w_refs[0][:], xs, n_in) + w_refs[1][:]
     a = act(z)
     sp = act_p(z, a)
     s = jnp.concatenate(

@@ -35,7 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_mlp import _act_pair, _make_mm
+from .pallas_mlp import _act_pair, _make_mm, _small_k_mm
 
 DEFAULT_TILE_K = 4096  # measured best on v5e
 
@@ -43,7 +43,7 @@ DEFAULT_TILE_K = 4096  # measured best on v5e
 def _packed_forward(_mm, act, act_p, n_in, n_layers, w_refs, xs, t):
     """Panel-packed MLP forward (cf. pallas_mlp._fwd_kernel body).
     Returns (u [1,T], du list of n_in panels [1,T], s_packed list, zs, acts)."""
-    z = _mm(w_refs[0][:], xs) + w_refs[1][:]
+    z = _small_k_mm(w_refs[0][:], xs, n_in) + w_refs[1][:]
     a = act(z)
     sp = act_p(z, a)
     s = jnp.concatenate(
