@@ -89,6 +89,22 @@ def _small_k_mm(w, xs, n_in):
     return acc
 
 
+def _outer(col, row):
+    """col [H,1] (x) row [1,T] -> [H,T] — outer product as a broadcast
+    multiply (Mosaic rejects K=1 dots)."""
+    return col * row
+
+
+def _small_n_mm_t(a, xs, n_in):
+    """a [H,T] @ xs.T [T,n_in] -> [H,n_in] via per-column broadcast-sums
+    (Mosaic rejects tiny-N reduction dots)."""
+    cols = [
+        jnp.sum(a * xs[j : j + 1, :], axis=1, keepdims=True)
+        for j in range(n_in)
+    ]
+    return jnp.concatenate(cols, axis=1)
+
+
 def _make_mm(precision):
     def _mm(a, b):
         return jnp.dot(a, b, preferred_element_type=jnp.float32,
@@ -363,8 +379,8 @@ def _bwd_kernel(n_in: int, n_layers: int, activation: str, precision, *refs):
         jnp.sum(g_rows[0], axis=1, keepdims=True),
     )
     g_s = jnp.concatenate(
-        [_mm(wt_last.T, g_rows[j]) for j in range(1 + n_in)], axis=1
-    )  # [H, (1+n) T]
+        [_outer(wt_last.T, g_rows[j]) for j in range(1 + n_in)], axis=1
+    )  # [H, (1+n) T] — wt_last.T is [H, 1]: outer, not dot
 
     # hidden layers, deepest first
     for l in range(n_layers - 2, -1, -1):
@@ -388,7 +404,7 @@ def _bwd_kernel(n_in: int, n_layers: int, activation: str, precision, *refs):
 
         wt_l = w_refs[2 * l][:]
         if l == 0:
-            d_wt = _mm(gz, xs.T)
+            d_wt = _small_n_mm_t(gz, xs, n_in)
             cols = [
                 jnp.sum(g_p[:, j * t : (j + 1) * t], axis=1, keepdims=True)
                 for j in range(n_in)

@@ -35,7 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_mlp import _act_pair, _make_mm, _small_k_mm
+from .pallas_mlp import _act_pair, _make_mm, _outer, _small_k_mm, _small_n_mm_t
 
 DEFAULT_TILE_K = 4096  # measured best on v5e
 
@@ -171,7 +171,7 @@ def _fused_bwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
         jnp.sum(g_rows[0], axis=1, keepdims=True),
     )
     g_s = jnp.concatenate(
-        [_mm(wt_last.T, g_rows[j]) for j in range(1 + n_in)], axis=1
+        [_outer(wt_last.T, g_rows[j]) for j in range(1 + n_in)], axis=1
     )
 
     for l in range(n_layers - 2, -1, -1):
@@ -201,7 +201,7 @@ def _fused_bwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
 
         wt_l = w_refs[2 * l][:]
         if l == 0:
-            d_wt = _mm(gz, xs.T)
+            d_wt = _small_n_mm_t(gz, xs, n_in)
             cols = [
                 jnp.sum(g_p[:, j * t : (j + 1) * t], axis=1, keepdims=True)
                 for j in range(n_in)
