@@ -108,7 +108,7 @@ def test_fixed_data_shapes_transient_2d():
     k = 5 * 5 * 4          # (7-2)^2 interior spatial x (6-2+1)=4 interior time
     assert q.coords.shape == (k, 64, 3)  # (2*2)^3 quad pts, inputs (x,y,t)
     assert q.dN.shape == (64, 2)         # spatial gradient only
-    assert fixed.bc.coords.shape[0] == 4 * 4 * 6   # 4 edges x 4 pts x 6 t-nodes
+    assert fixed.bc.coords.shape[0] == 4 * 3 * 6   # 4 half-open edges x 3 pts x 6 t-nodes
     assert fixed.ic.coords.shape[0] == 5 * 5       # strict-interior grid at t=0
     np.testing.assert_allclose(fixed.ic.coords[:, 2], 0.0)
     assert fixed.static.time_dependent

@@ -1,0 +1,56 @@
+"""Validate the classical FDM reference solver itself.
+
+The solver (problems/classical.py) is the independent ground truth for the
+contaminant-transport cross-validation (SURVEY.md §4 item 2, VERDICT r1
+missing #1), so it must first be proven on a problem with a closed form —
+exactly what the reference's COMSOL comparison presumes of COMSOL.
+"""
+
+import numpy as np
+import pytest
+
+from varnet_tpu.problems.analytic import transient_ad_2d
+from varnet_tpu.problems.classical import solve_ad_fdm_2d
+from varnet_tpu.utils.helpers import rel_l2_error
+
+
+def _fdm_error(nx, nt):
+    case = transient_ad_2d()  # kappa=0.05, v=(0.5,0.25), all-Dirichlet
+    pde = case["pde"]
+    times = np.linspace(0.0, 0.5, 6)
+    out = solve_ad_fdm_2d(pde, nx=nx, ny=nx, nt=nt, sample_times=times)
+    errs = []
+    for s, t in enumerate(out["times"]):
+        exact = case["c_ex"](out["x"], np.full(out["x"].shape[0], t))
+        errs.append((out["u"][s], exact))
+    pred = np.concatenate([p for p, _ in errs])
+    true = np.concatenate([e for _, e in errs])
+    return rel_l2_error(pred, true)
+
+
+def test_fdm_matches_analytic_solution():
+    err = _fdm_error(nx=48, nt=96)
+    assert err < 5e-3, f"FDM vs analytic rel-L2 {err:.2e}"
+
+
+def test_fdm_second_order_convergence():
+    e_coarse = _fdm_error(nx=24, nt=48)
+    e_fine = _fdm_error(nx=48, nt=96)
+    # CN + central differences: halving h and dt shrinks the error ~4x;
+    # accept >2.5x to stay robust to the O(h^3) remainder terms.
+    assert e_fine < e_coarse / 2.5, (e_coarse, e_fine)
+
+
+def test_fdm_free_outflow_runs_and_bounded():
+    """The contaminant config (free right edge -> one-sided stencils) runs,
+    conserves sign, and stays bounded."""
+    from varnet_tpu.problems.analytic import contaminant_transport_2d
+
+    case = contaminant_transport_2d()
+    out = solve_ad_fdm_2d(case["pde"], nx=64, ny=32, nt=64,
+                          sample_times=np.linspace(0.0, 1.0, 4))
+    u = out["u"]
+    assert np.all(np.isfinite(u))
+    assert u.max() > 1e-3          # the source actually injected mass
+    assert u.min() > -0.05         # no blow-up / oscillation catastrophe
+    assert abs(u[0]).max() == 0.0  # zero IC snapshot

@@ -77,9 +77,14 @@ def test_boundary_points_on_edges():
     segs = dom.boundary_points(4)
     assert len(segs) == 4
     for s in segs:
-        assert s.shape == (5, 2)
+        assert s.shape == (4, 2)  # half-open: start vertex in, end vertex out
     np.testing.assert_allclose(segs[0][:, 1], 0.0)  # bottom edge: y = 0
     np.testing.assert_allclose(segs[2][:, 1], 1.0)  # top edge: y = 1
+    # Each corner appears exactly once across all segments.
+    allpts = np.concatenate(segs)
+    for v in dom.vertices:
+        hits = np.sum(np.all(np.isclose(allpts, v[None, :]), axis=1))
+        assert hits == 1
 
 
 def test_pair_mats():

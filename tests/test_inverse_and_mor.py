@@ -111,5 +111,5 @@ def test_bc_none_segment_skipped():
 
     case = contaminant_transport_2d()
     fd = build_fixed_data(case["pde"], 10, b_disc_num=5, t_disc_num=4)
-    # 3 constrained segments x 6 pts x (t_disc+1=5) time levels
-    assert fd.static.n_bc == 3 * 6 * 5
+    # 3 constrained segments x 5 half-open pts x (t_disc+1=5) time levels
+    assert fd.static.n_bc == 3 * 5 * 5

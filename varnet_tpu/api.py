@@ -45,7 +45,7 @@ from .parallel.mesh import (
     shard_quad,
 )
 from .problems.adpde import ADPDE
-from .train.checkpoint import load_checkpoint, save_checkpoint
+from .train.checkpoint import load_checkpoint, load_meta, save_checkpoint, save_meta
 from .train.loss import make_loss_fn
 from .train.optim import OptimizerConfig, make_optimizer
 from .train.trainer import (
@@ -54,7 +54,7 @@ from .train.trainer import (
     make_eval_fn,
     make_train_step,
 )
-from .utils.helpers import pair_mats, rel_l2_error
+from .utils.helpers import matmul_precision_scope, pair_mats, rel_l2_error
 
 
 class VarNet:
@@ -178,6 +178,12 @@ class VarNet:
         else:
             self.theta = net
         self.opt_state = None  # created lazily in train()/load_model()
+        # Training-time PRNG stream, checkpointed per SURVEY.md §5.4 so any
+        # stochastic feature (minibatch sampling, noise) resumes reproducibly.
+        # Folded separately so the parameter-init stream is untouched.
+        self.prng_key = np.asarray(
+            jax.random.key_data(jax.random.fold_in(jax.random.PRNGKey(self.seed), 1))
+        )
         self.train_result: Optional[TrainResult] = None
         self._apply_override = apply_override
         eval_kwargs = {} if apply_override is None else {"apply_fn": apply_override}
@@ -271,6 +277,24 @@ class VarNet:
                      'highest' buys exact f32 at ~3x matmul cost, needed
                      for the <1e-3 accuracy targets)
         """
+        if resume and folderpath is None:
+            raise ValueError(
+                "resume=True requires folderpath (nothing to resume from)"
+            )
+        with matmul_precision_scope(matmul_precision):
+            return self._train_impl(
+                epoch_num, weight, batch_num, save_freq, folderpath, resume,
+                verbose, error_disc, error_times, value_and_jac, target_error,
+                normalize_residual, profile_dir, profile_steps, debug_nans,
+                matmul_precision,
+            )
+
+    def _train_impl(
+        self, epoch_num, weight, batch_num, save_freq, folderpath, resume,
+        verbose, error_disc, error_times, value_and_jac, target_error,
+        normalize_residual, profile_dir, profile_steps, debug_nans,
+        matmul_precision,
+    ) -> TrainResult:
         td = self.static.time_dependent
         has_obs = self.obs_data is not None
         if weight is None:
@@ -296,8 +320,6 @@ class VarNet:
         ic_d = None if ic_h is None else shard_points(ic_h, self.mesh, dtype=self.dtype)
         obs_d = None if obs_h is None else shard_points(obs_h, self.mesh, dtype=self.dtype)
 
-        if matmul_precision is not None:
-            jax.config.update("jax_default_matmul_precision", matmul_precision)
         loss_kwargs = {}
         fused = None if value_and_jac is not None else self._fused_residual_hook(
             matmul_precision
@@ -335,6 +357,9 @@ class VarNet:
             theta = replicate(state["theta"], self.mesh)
             opt_state = replicate(state["opt_state"], self.mesh)
             start_epoch = step
+            meta = load_meta(folderpath, step)
+            if meta is not None and "prng_key" in meta:
+                self.prng_key = np.asarray(meta["prng_key"], dtype=np.uint32)
             if verbose:
                 print(f"[varnet] resumed from epoch {step} in {folderpath}")
         opt_state = replicate(opt_state, self.mesh)
@@ -411,6 +436,10 @@ class VarNet:
                         {"theta": self.theta, "opt_state": jax.device_get(opt_state)},
                         config=self.config_dict(),
                     )
+                    save_meta(
+                        folderpath, epoch,
+                        {"prng_key": np.asarray(self.prng_key).tolist()},
+                    )
                 report_overhead += time.perf_counter() - t_rep
                 if target_error is not None and err is not None and err < target_error:
                     if verbose:
@@ -470,10 +499,19 @@ class VarNet:
         deep Adam decay schedule is the better final-decade tool there
         (DESIGN.md).
         """
+        with matmul_precision_scope(matmul_precision):
+            return self._refine_lbfgs_impl(
+                steps, weight, save_freq, verbose, error_disc, error_times,
+                memory_size, target_error, matmul_precision,
+                normalize_residual,
+            )
+
+    def _refine_lbfgs_impl(
+        self, steps, weight, save_freq, verbose, error_disc, error_times,
+        memory_size, target_error, matmul_precision, normalize_residual,
+    ) -> TrainResult:
         import optax
 
-        if matmul_precision is not None:
-            jax.config.update("jax_default_matmul_precision", matmul_precision)
         td = self.static.time_dependent
         has_obs = self.obs_data is not None
         if weight is None:
@@ -583,12 +621,22 @@ class VarNet:
         evaluation path (the Pallas kernel's custom VJP has no forward-
         mode rule, which jvp needs).  Start from an Adam-trained state.
         """
+        with matmul_precision_scope(matmul_precision):
+            return self._refine_lm_impl(
+                steps, weight, cg_iters, save_freq, verbose, error_disc,
+                error_times, lam0, target_error, matmul_precision, k_chunks,
+                folderpath, cg_segment,
+            )
+
+    def _refine_lm_impl(
+        self, steps, weight, cg_iters, save_freq, verbose, error_disc,
+        error_times, lam0, target_error, matmul_precision, k_chunks,
+        folderpath, cg_segment,
+    ) -> TrainResult:
         from jax.flatten_util import ravel_pytree
 
         from .train.gauss_newton import LMState, make_lm_step, make_residual_fn
 
-        if matmul_precision is not None:
-            jax.config.update("jax_default_matmul_precision", matmul_precision)
         td = self.static.time_dependent
         has_obs = self.obs_data is not None
         if weight is None:

@@ -165,17 +165,22 @@ class PolygonDomain2D:
         return ok
 
     def boundary_points(self, b_disc_num: int = 10) -> List[np.ndarray]:
-        """Per-edge uniform boundary points (including both edge endpoints).
+        """Per-edge uniform boundary points, HALF-OPEN: each edge owns its
+        start vertex and excludes its end vertex, so every polygon corner
+        appears in exactly ONE segment's point set.  (Closed edges would
+        double-weight corners in the BC MSE and silently average conflicting
+        per-segment g values at a discontinuity.)
 
-        Returns a list of [b_disc_num + 1, 2] arrays, one per edge, in the
-        same order as ``vertices`` so per-segment BC callables line up.
+        Returns a list of [b_disc_num, 2] arrays, one per edge, in the same
+        order as ``vertices`` so per-segment BC callables line up; a corner's
+        Dirichlet value comes from the edge STARTING at it.
         """
         n = int(b_disc_num)
         pts = []
         v = self.vertices
         for i in range(v.shape[0]):
             a, b = v[i], v[(i + 1) % v.shape[0]]
-            t = np.linspace(0.0, 1.0, n + 1)[:, None]
+            t = np.linspace(0.0, 1.0, n + 1)[:-1, None]
             pts.append(a[None, :] * (1 - t) + b[None, :] * t)
         return pts
 

@@ -573,6 +573,12 @@ def pallas_ff_value_and_jac(
         from ..models.mlp import ff_value_and_jac
 
         return ff_value_and_jac(b_mat, params, x, activation, scale, shift)
+    # VMEM cap: the FF backward holds 2F-wide embedding/jacobian panels in
+    # addition to the [H, T] per-layer state, so the tile must be sized to
+    # the WIDER of the two (ADVICE r1: the fixed 4096 tile overflowed the
+    # scoped-VMEM budget at large F exactly like the plain path pre-fix).
+    h_max = max(l["w"].shape[1] for l in params)
+    tile = _auto_tile(tile, max(2 * b_mat.shape[1], h_max), n_layers, n_in)
     f = _fused_fn_ff(n_in, n_layers, activation, tile, bool(interpret),
                      precision)
 

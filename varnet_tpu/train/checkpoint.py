@@ -44,10 +44,13 @@ def save_checkpoint(
     if config is not None:
         with open(os.path.join(folder, "config.json"), "w") as f:
             json.dump(config, f, indent=2, default=_json_default)
-    # Prune: keep the newest ``keep`` checkpoints.
+    # Prune: keep the newest ``keep`` checkpoints (and their meta sidecars).
     steps = sorted(list_checkpoint_steps(folder))
     for old in steps[:-keep]:
         shutil.rmtree(_step_dir(folder, old), ignore_errors=True)
+        meta = _step_dir(folder, old) + ".meta.json"
+        if os.path.exists(meta):
+            os.remove(meta)
     return path
 
 
@@ -89,18 +92,48 @@ def load_checkpoint(
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
         try:
             state = ckptr.restore(path, abstract)
-        except Exception:
+        except (ValueError, KeyError, TypeError) as struct_err:
+            # Structure mismatch (e.g. polishing a checkpoint written with a
+            # different optimizer/schedule): fall back to params-only restore
+            # — the reference's rebuild-graph-and-restore-weights semantics.
+            # Anything else (corrupt/unreadable checkpoint) propagates.
             theta_only = {"theta": abstract["theta"]}
-            with ocp.PyTreeCheckpointer() as pck:
-                restored = pck.restore(
-                    path,
-                    args=ocp.args.PyTreeRestore(
-                        item=theta_only, partial_restore=True
-                    ),
-                )
+            try:
+                with ocp.PyTreeCheckpointer() as pck:
+                    restored = pck.restore(
+                        path,
+                        args=ocp.args.PyTreeRestore(
+                            item=theta_only, partial_restore=True
+                        ),
+                    )
+            except Exception:
+                raise struct_err
+            print(
+                "[varnet/checkpoint] stored optimizer state does not match "
+                f"the target structure ({type(struct_err).__name__}); "
+                "restored parameters only, optimizer state is fresh"
+            )
             state = dict(target)
             state["theta"] = restored["theta"]
     return state, step
+
+
+def save_meta(folder: str, step: int, meta: Dict[str, Any]) -> str:
+    """Small JSON sidecar per checkpoint step (PRNG key, schedule step —
+    SURVEY.md §5.4 asks for '(params, opt_state, step, PRNG key)'; the key
+    lives here so the Orbax tree layout stays unchanged)."""
+    p = _step_dir(folder, step) + ".meta.json"
+    with open(p, "w") as f:
+        json.dump(meta, f, default=_json_default)
+    return p
+
+
+def load_meta(folder: str, step: int) -> Optional[Dict[str, Any]]:
+    p = _step_dir(folder, step) + ".meta.json"
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def load_config(folder: str) -> Optional[Dict[str, Any]]:

@@ -8,9 +8,35 @@ spec rather than file:line).
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 import numpy as np
+
+
+@contextlib.contextmanager
+def matmul_precision_scope(value):
+    """Scoped ``jax_default_matmul_precision`` override.
+
+    The TPU MXU multiplies f32 as bf16 by default (~5e-3 noise floor —
+    BASELINE.md); the <1e-3 accuracy phases run under 'highest'.  The
+    override MUST be scoped: two VarNet instances in one process would
+    otherwise contaminate each other's precision (ADVICE r1).  ``None``
+    is a no-op.
+    """
+    if value is None:
+        yield
+        return
+    import jax
+
+    prev = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", value)
+    try:
+        yield
+    finally:
+        jax.config.update(
+            "jax_default_matmul_precision", prev if prev else "default"
+        )
 
 
 def enable_compilation_cache(path: str = "~/.cache/varnet_tpu_xla") -> bool:
