@@ -1,0 +1,188 @@
+"""Cross-validate the contaminant-transport case against the classical solver.
+
+The reference validated this case against COMSOL FEM data shipped with its
+repo (SURVEY.md §4 item 2); that data is unavailable, so the independent
+ground truth is our Crank-Nicolson FDM solver (problems/classical.py),
+itself validated to second order against the analytic 2-D transient AD
+solution (tests/test_classical.py).
+
+Pipeline:
+  --make-data   (CPU, ~2 min)  run the FDM on a fine grid; ship the field
+                as benchmarks/data/contaminant_fdm.npz + a decimated CSV
+                loadable through utils/io.load_observations_csv.
+  --train       (TPU)          train the VarNet on the same config.
+  --score       (any)          rel-L2 of the trained net vs the FDM field
+                -> benchmarks/results/contaminant_validation.json
+
+Run everything: python benchmarks/contaminant_validation.py --all
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+DATA = Path(__file__).parent / "data"
+RESULTS = Path(__file__).parent / "results"
+N_TIMES = 7
+
+
+def make_data(nx=256, ny=128, nt=400):
+    from varnet_tpu.problems.analytic import contaminant_transport_2d
+    from varnet_tpu.problems.classical import solve_ad_fdm_2d
+    from varnet_tpu.utils.io import save_solution_csv
+
+    case = contaminant_transport_2d()
+    times = np.linspace(0.0, 1.0, N_TIMES)
+    t0 = time.perf_counter()
+    out = solve_ad_fdm_2d(case["pde"], nx=nx, ny=ny, nt=nt,
+                          sample_times=times, verbose=True)
+    print(f"[fdm] solved {nx}x{ny}x{nt} in {time.perf_counter() - t0:.1f}s")
+    DATA.mkdir(exist_ok=True)
+    np.savez_compressed(
+        DATA / "contaminant_fdm.npz",
+        x=out["x"].astype(np.float32),
+        times=out["times"],
+        u=out["u"].astype(np.float32),
+        shape=np.asarray(out["shape"]),
+        meta=np.asarray([nx, ny, nt]),
+    )
+    # Decimated CSV (every 4th node), the reference-style shipped artifact,
+    # loadable through utils/io.load_observations_csv (rows x, y, t, u).
+    nxn, nyn = out["shape"]
+    sel = np.zeros((nxn, nyn), dtype=bool)
+    sel[::4, ::4] = True
+    sel = sel.ravel()
+    rows = []
+    for s, t in enumerate(out["times"]):
+        xs = out["x"][sel]
+        rows.append(np.concatenate(
+            [xs, np.full((xs.shape[0], 1), t), out["u"][s][sel][:, None]],
+            axis=1))
+    rows = np.concatenate(rows)
+    save_solution_csv(str(DATA / "contaminant_fdm.csv"), rows[:, :3], rows[:, 3],
+                      header="x,y,t,u")
+    print(f"[fdm] wrote {DATA}/contaminant_fdm.npz and .csv "
+          f"({rows.shape[0]} csv rows)")
+
+
+def train(args):
+    from varnet_tpu.api import VarNet
+    from varnet_tpu.problems.analytic import contaminant_transport_2d
+    from varnet_tpu.train.optim import OptimizerConfig
+    from varnet_tpu.utils.helpers import enable_compilation_cache
+
+    enable_compilation_cache()
+    case = contaminant_transport_2d()
+    vn = VarNet(
+        case["pde"], layer_width=(args.width,) * args.layers,
+        disc_num=(args.disc, args.disc // 2), b_disc_num=args.disc,
+        t_disc_num=args.tdisc,
+        optimizer=OptimizerConfig(lr=args.lr, decay_rate=0.5,
+                                  decay_steps=max(args.epochs // 5, 1)),
+    )
+    print(f"[train] n_test={vn.static.n_test} x {vn.static.n_quad_per_test} quad")
+    vn.train(
+        epoch_num=args.epochs, weight=(1.0, 10.0, 10.0),
+        save_freq=max(args.epochs // 10, 1), folderpath=args.folder,
+        matmul_precision="highest",
+    )
+    if args.lm_steps:
+        vn.refine_lm(steps=args.lm_steps, weight=(1.0, 10.0, 10.0),
+                     cg_iters=args.lm_cg, cg_segment=40, k_chunks=16,
+                     save_freq=max(args.lm_steps // 5, 1),
+                     folderpath=args.folder + "_lm",
+                     matmul_precision="highest")
+        np.savez(Path(args.folder) / "theta_final.npz",
+                 **{f"l{i}_{k}": np.asarray(v) for i, l in enumerate(vn.theta)
+                    for k, v in l.items()})
+    else:
+        np.savez(Path(args.folder) / "theta_final.npz",
+                 **{f"l{i}_{k}": np.asarray(v) for i, l in enumerate(vn.theta)
+                    for k, v in l.items()})
+    return vn
+
+
+def score(args, vn=None):
+    from varnet_tpu.api import VarNet
+    from varnet_tpu.problems.analytic import contaminant_transport_2d
+    from varnet_tpu.utils.helpers import rel_l2_error
+    from varnet_tpu.utils.io import load_observations_csv
+
+    z = np.load(DATA / "contaminant_fdm.npz")
+    if vn is None:
+        case = contaminant_transport_2d()
+        vn = VarNet(case["pde"], layer_width=(args.width,) * args.layers,
+                    disc_num=8, t_disc_num=4)
+        t = np.load(Path(args.folder) / "theta_final.npz")
+        vn.theta = [{"w": t[f"l{i}_w"], "b": t[f"l{i}_b"]}
+                    for i in range(len(t.files) // 2)]
+    x = z["x"].astype(np.float64)
+    per_time = {}
+    preds, trues = [], []
+    for s, tval in enumerate(z["times"]):
+        u_net = vn.evaluate(x, t=np.full(x.shape[0], tval))
+        u_fdm = z["u"][s].astype(np.float64)
+        preds.append(u_net)
+        trues.append(u_fdm)
+        if tval > 0:
+            per_time[f"t={tval:.3f}"] = rel_l2_error(u_net, u_fdm)
+    overall = rel_l2_error(np.concatenate(preds), np.concatenate(trues))
+
+    # Also score through the shipped CSV via the io layer (SURVEY §2.1 #7).
+    obs = load_observations_csv(str(DATA / "contaminant_fdm.csv"))
+    m = obs.coords[:, 2] > 0
+    u_net_csv = vn.evaluate(obs.coords[m, :2], t=obs.coords[m, 2])
+    csv_rel = rel_l2_error(u_net_csv, obs.values[m])
+
+    out = {
+        "overall_rel_l2": overall,
+        "csv_io_rel_l2": csv_rel,
+        "per_time": per_time,
+        "fdm_grid": [int(v) for v in z["meta"]],
+        "config": {"width": args.width, "layers": args.layers,
+                   "disc": args.disc, "tdisc": args.tdisc,
+                   "epochs": args.epochs, "lm_steps": args.lm_steps},
+        "note": "rel-L2 of the trained net vs the CN-FDM reference field "
+                "(solver itself verified 2nd-order vs the analytic 2Dt "
+                "config, tests/test_classical.py)",
+    }
+    RESULTS.mkdir(exist_ok=True)
+    with open(RESULTS / "contaminant_validation.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--make-data", action="store_true")
+    ap.add_argument("--train", action="store_true")
+    ap.add_argument("--score", action="store_true")
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--folder", type=str, default="/tmp/contaminant_val")
+    ap.add_argument("--width", type=int, default=48)
+    ap.add_argument("--layers", type=int, default=3)
+    ap.add_argument("--disc", type=int, default=64)
+    ap.add_argument("--tdisc", type=int, default=40)
+    ap.add_argument("--epochs", type=int, default=40000)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--lm-steps", type=int, default=10)
+    ap.add_argument("--lm-cg", type=int, default=150)
+    args = ap.parse_args()
+    vn = None
+    if args.make_data or args.all:
+        make_data()
+    if args.train or args.all:
+        Path(args.folder).mkdir(parents=True, exist_ok=True)
+        vn = train(args)
+    if args.score or args.all:
+        score(args, vn)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Measured MOR (parametric) accuracy: per-sample AND held-out-mu error.
+
+VERDICT r1 missing #3: the reference's MOR mode (SURVEY.md §0 item 1, §3.5)
+needs parity EVIDENCE, not just machinery.  Trains the amortized network on
+the sampled mu values and scores (a) each training sample, (b) held-out mu
+values never seen in training (the amortization claim), for both the 1-D
+Peclet family and the 2-D boundary-layer family.
+
+Run: python benchmarks/mor_accuracy.py  (TPU, ~10 min)
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from varnet_tpu.api import VarNet  # noqa: E402
+from varnet_tpu.train.optim import OptimizerConfig  # noqa: E402
+from varnet_tpu.utils.helpers import rel_l2_error  # noqa: E402
+
+RESULTS = Path(__file__).parent / "results"
+
+
+def score_mu(vn, c_ex, mu_vals, grid_pts):
+    out = {}
+    for v in mu_vals:
+        mu = np.array([v])
+        u = vn.evaluate(grid_pts, mu=mu)
+        mu_b = np.broadcast_to(mu[None, :], (grid_pts.shape[0], 1))
+        out[f"{v:g}"] = rel_l2_error(u, c_ex(grid_pts, None, mu_b))
+    return out
+
+
+def run_1d(args):
+    from varnet_tpu.geometry.domain import Domain1D
+    from varnet_tpu.problems.adpde import ADPDE, MORVar
+
+    kappa = 0.1
+    vels = [0.5, 1.0, 1.5, 2.0]
+    holdout = [0.75, 1.25, 1.75]
+
+    def vel(x, t, mu):
+        n = np.atleast_2d(x).shape[0]
+        v = mu[:, 0] if mu is not None else np.full(n, vels[0])
+        return v[:, None]
+
+    def c_ex(x, t, mu):
+        x1 = np.atleast_2d(x)[:, 0]
+        pe = (mu[:, 0] if mu is not None else vels[0]) / kappa
+        return np.expm1(pe * x1) / np.expm1(pe)
+
+    pde = ADPDE(Domain1D(0.0, 1.0), diff=kappa, vel=vel, source=0.0,
+                bcs=[0.0, 1.0], c_ex=c_ex,
+                mor=MORVar(samples=np.array([[v] for v in vels])))
+    vn = VarNet(pde, layer_width=(args.width,) * 2, disc_num=64,
+                optimizer=OptimizerConfig(lr=2e-3, decay_rate=0.4,
+                                          decay_steps=args.epochs // 5))
+    t0 = time.perf_counter()
+    vn.train(epoch_num=args.epochs, weight=(1.0, 10.0),
+             save_freq=args.epochs // 5, matmul_precision="highest")
+    if args.lm_steps:
+        vn.refine_lm(steps=args.lm_steps, weight=(1.0, 10.0),
+                     cg_iters=args.lm_cg, matmul_precision="highest",
+                     save_freq=max(args.lm_steps // 3, 1))
+    wall = time.perf_counter() - t0
+    x = np.linspace(0, 1, 257)[:, None]
+    return {
+        "per_sample_rel_l2": score_mu(vn, c_ex, vels, x),
+        "holdout_rel_l2": score_mu(vn, c_ex, holdout, x),
+        "wall_s": wall,
+        "config": {"disc": 64, "width": args.width, "epochs": args.epochs,
+                   "lm_steps": args.lm_steps, "samples": vels,
+                   "holdout": holdout},
+    }
+
+
+def run_2d(args):
+    from varnet_tpu.problems.analytic import mor_steady_ad_2d
+
+    vels = [0.5, 1.0, 1.5, 2.0]
+    holdout = [0.75, 1.25, 1.75]
+    case = mor_steady_ad_2d(kappa=0.25, vels=tuple(vels))
+    vn = VarNet(case["pde"], layer_width=(args.width,) * 3, disc_num=32,
+                b_disc_num=32,
+                optimizer=OptimizerConfig(lr=2e-3, decay_rate=0.4,
+                                          decay_steps=args.epochs // 5))
+    t0 = time.perf_counter()
+    vn.train(epoch_num=args.epochs, weight=(1.0, 10.0),
+             save_freq=args.epochs // 5, matmul_precision="highest")
+    if args.lm_steps:
+        vn.refine_lm(steps=args.lm_steps, weight=(1.0, 10.0),
+                     cg_iters=args.lm_cg, cg_segment=40, k_chunks=4,
+                     matmul_precision="highest",
+                     save_freq=max(args.lm_steps // 3, 1))
+    wall = time.perf_counter() - t0
+    pts, mask = case["pde"].domain.grid_in_domain((97, 97))
+    pts = pts[mask]
+    return {
+        "per_sample_rel_l2": score_mu(vn, case["c_ex"], vels, pts),
+        "holdout_rel_l2": score_mu(vn, case["c_ex"], holdout, pts),
+        "wall_s": wall,
+        "config": {"disc": 32, "width": args.width, "epochs": args.epochs,
+                   "lm_steps": args.lm_steps, "samples": vels,
+                   "holdout": holdout},
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=30000)
+    ap.add_argument("--width", type=int, default=32)
+    ap.add_argument("--lm-steps", type=int, default=20)
+    ap.add_argument("--lm-cg", type=int, default=100)
+    ap.add_argument("--only", choices=["1d", "2d"], default=None)
+    args = ap.parse_args()
+
+    out = {}
+    if args.only in (None, "1d"):
+        out["mor_1d_peclet"] = run_1d(args)
+        print(json.dumps({"mor_1d_peclet": out["mor_1d_peclet"]}), flush=True)
+    if args.only in (None, "2d"):
+        out["mor_2d_boundary_layer"] = run_2d(args)
+        print(json.dumps({"mor_2d_boundary_layer": out["mor_2d_boundary_layer"]}),
+              flush=True)
+    RESULTS.mkdir(exist_ok=True)
+    existing = {}
+    p = RESULTS / "mor_accuracy.json"
+    if p.exists():
+        existing = json.loads(p.read_text())
+    existing.update(out)
+    p.write_text(json.dumps(existing, indent=2))
+    print(json.dumps(existing, indent=2))
+
+
+if __name__ == "__main__":
+    main()

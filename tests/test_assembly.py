@@ -11,6 +11,7 @@ from varnet_tpu.fem.assembly import build_fixed_data
 from varnet_tpu.geometry.domain import Domain1D, RectangleDomain2D
 from varnet_tpu.problems.adpde import ADPDE, MORVar
 from varnet_tpu.problems.analytic import (
+    lshape_manufactured_2d,
     steady_ad_1d,
     steady_ad_2d,
     transient_ad_1d,
@@ -73,6 +74,8 @@ def test_quadratic_solution_exact_residual_2d():
     # resolved front (kappa, t_eps chosen so the initial width >~ h)
     (lambda: transient_ad_1d(kappa=0.1, t_eps=0.05), (16, 32), (16, 32)),
     (transient_ad_2d, (8, 16), (8, 16)),
+    # non-convex polygon: hats around the re-entrant corner included
+    (lshape_manufactured_2d, (8, 16), None),
 ])
 def test_analytic_solution_residual_converges(case_fn, disc, tdisc):
     """For smooth exact solutions, max_k |r_k| (normalized by the support

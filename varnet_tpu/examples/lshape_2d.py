@@ -17,7 +17,19 @@ from .common import make_parser, run_case
 def main(argv=None):
     p = make_parser("steady AD on an L-shaped domain", epochs=20000, disc=40)
     p.add_argument("--kappa", type=float, default=0.05)
+    p.add_argument("--gaussian-source", action="store_true",
+                   help="the round-1 unscored demo config (Gaussian source, "
+                        "no exact solution) instead of the default "
+                        "manufactured-solution config")
     args = p.parse_args(argv)
+
+    if not args.gaussian_source:
+        # Default: manufactured solution -> quantitative rel-L2 acceptance
+        # (inner re-entrant edges carry non-trivial per-edge Dirichlet data).
+        from ..problems.analytic import lshape_manufactured_2d
+
+        case = lshape_manufactured_2d(kappa=args.kappa)
+        return run_case(case["pde"], args, weight=(1.0, 10.0))
 
     # L-shape: unit square with the top-right quadrant removed.
     domain = PolygonDomain2D(np.array([

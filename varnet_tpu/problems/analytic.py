@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..geometry.domain import Domain1D, RectangleDomain2D
-from .adpde import ADPDE
+from .adpde import ADPDE, MORVar
 
 
 def steady_ad_1d(kappa: float = 0.05, vel: float = 1.0):
@@ -258,6 +258,102 @@ def inverse_source_2d(kappa: float = 0.1, vel=(1.0, 0.5), n_obs: int = 400,
         "obs_x": obs_x,
         "obs_u": obs_u,
     }
+
+
+def mor_steady_ad_2d(kappa: float = 0.25, vels=(0.5, 1.0, 1.5, 2.0)):
+    """2-D parametric (MOR) family with a closed form (SURVEY.md §0 item 1,
+    §3.5; VERDICT r1 missing #3 asked for measured 2-D MOR evidence).
+
+    Velocity v = (mu, 0) with the Peclet boundary layer in x modulated by
+    sin(pi y):
+
+        u*_mu(x, y) = f_mu(x) sin(pi y),
+        f_mu(x) = expm1(mu x / kappa) / expm1(mu / kappa)
+
+    f satisfies mu f' - kappa f'' = 0, so
+        s = v . grad(u*) - kappa lap(u*) = kappa pi^2 u*.
+
+    The solution family genuinely depends on mu (the layer sharpens with
+    Peclet), so the amortized network must actually use its mu input.
+    """
+
+    def _f(x1, mu1):
+        pe = mu1 / kappa
+        return np.expm1(pe * x1) / np.expm1(pe)
+
+    def c_ex(x, t=None, mu=None):
+        x = np.atleast_2d(x)
+        mu1 = mu[:, 0] if mu is not None else np.full(x.shape[0], vels[0])
+        return _f(x[:, 0], mu1) * np.sin(np.pi * x[:, 1])
+
+    def c_ex_grad(x, t=None, mu=None):
+        x = np.atleast_2d(x)
+        mu1 = mu[:, 0] if mu is not None else np.full(x.shape[0], vels[0])
+        pe = mu1 / kappa
+        fx = _f(x[:, 0], mu1)
+        dfx = pe * np.exp(pe * x[:, 0]) / np.expm1(pe)
+        sy, cy = np.sin(np.pi * x[:, 1]), np.cos(np.pi * x[:, 1])
+        return np.stack([dfx * sy, np.pi * fx * cy], axis=-1)
+
+    def vel(x, t=None, mu=None):
+        n = np.atleast_2d(x).shape[0]
+        v = mu[:, 0] if mu is not None else np.full(n, vels[0])
+        return np.stack([v, np.zeros(n)], axis=-1)
+
+    def source(x, t=None, mu=None):
+        return kappa * np.pi**2 * c_ex(x, t, mu)
+
+    def g_edge(x, t=None, mu=None):
+        return c_ex(x, t, mu)
+
+    domain = RectangleDomain2D((0.0, 0.0), (1.0, 1.0))
+    pde = ADPDE(
+        domain, diff=kappa, vel=vel, source=source,
+        bcs=[g_edge] * 4, c_ex=c_ex,
+        mor=MORVar(samples=np.array([[v] for v in vels])),
+    )
+    return {"pde": pde, "c_ex": c_ex, "c_ex_grad": c_ex_grad, "c_ex_dt": None}
+
+
+def lshape_manufactured_2d(kappa: float = 0.05, vel=(1.0, 0.5)):
+    """Steady AD on the non-convex L-shape with a MANUFACTURED solution
+    (VERDICT r1 weak #4: the round-1 L-shape example had no acceptance
+    criterion).  u* = sin(pi x) sin(pi y) vanishes on the four outer edges
+    but NOT on the two inner (re-entrant) edges, so the per-edge Dirichlet
+    machinery is genuinely exercised: edges 2 (x = 0.5 wall) and 3
+    (y = 0.5 wall) carry non-trivial g = u*.
+
+    Vertex order: (0,0) (1,0) (1,.5) (.5,.5) (.5,1) (0,1); edge i runs from
+    vertex i to i+1, so edges are: 0 bottom, 1 right(lower), 2 inner
+    horizontal y=0.5, 3 inner vertical x=0.5, 4 top(left half), 5 left.
+    """
+    from ..geometry.domain import PolygonDomain2D
+
+    vx, vy = float(vel[0]), float(vel[1])
+
+    def c_ex(x, t=None):
+        x = np.atleast_2d(x)
+        return np.sin(np.pi * x[:, 0]) * np.sin(np.pi * x[:, 1])
+
+    def c_ex_grad(x, t=None):
+        x = np.atleast_2d(x)
+        sx, cx = np.sin(np.pi * x[:, 0]), np.cos(np.pi * x[:, 0])
+        sy, cy = np.sin(np.pi * x[:, 1]), np.cos(np.pi * x[:, 1])
+        return np.stack([np.pi * cx * sy, np.pi * sx * cy], axis=-1)
+
+    def source(x, t=None):
+        g = c_ex_grad(x)
+        lap = -2.0 * np.pi**2 * c_ex(x)
+        return vx * g[:, 0] + vy * g[:, 1] - kappa * lap
+
+    domain = PolygonDomain2D(np.array([
+        [0.0, 0.0], [1.0, 0.0], [1.0, 0.5], [0.5, 0.5], [0.5, 1.0], [0.0, 1.0],
+    ]))
+    pde = ADPDE(
+        domain, diff=kappa, vel=np.array([vx, vy]), source=source,
+        bcs=[lambda x, t=None: c_ex(x)] * 6, c_ex=c_ex,
+    )
+    return {"pde": pde, "c_ex": c_ex, "c_ex_grad": c_ex_grad, "c_ex_dt": None}
 
 
 def transient_ad_2d(kappa: float = 0.05, vel=(0.5, 0.25), t_final: float = 0.5):
