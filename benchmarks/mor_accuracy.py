@@ -111,6 +111,9 @@ def run_2d(args):
 
 
 def main():
+    from varnet_tpu.utils.helpers import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=30000)
     ap.add_argument("--width", type=int, default=32)

@@ -118,6 +118,75 @@ def test_ff_kernel_param_grads():
         np.testing.assert_allclose(a, b2, rtol=5e-4, atol=5e-5)
 
 
+@pytest.mark.parametrize("activation", ["tanh", "sigmoid", "sin"])
+def test_jvp_kernel_matches_auto(activation):
+    """The custom-JVP twin (Levenberg-Marquardt's J v path) must reproduce
+    jax.jvp of the stock matmul-chain path w.r.t. params."""
+    from varnet_tpu.ops.pallas_mlp import pallas_value_and_jac_jvp
+
+    n_in = 3
+    params = init_mlp(jax.random.PRNGKey(0), n_in, (8, 8))
+    tangent = jax.tree_util.tree_map(
+        lambda a: jax.random.normal(jax.random.PRNGKey(7), a.shape), params
+    )
+    scale, shift = make_input_scaling(np.zeros(n_in), 2 * np.ones(n_in))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (300, n_in), maxval=2.0)
+    pvj_jvp = functools.partial(pallas_value_and_jac_jvp, tile=128, interpret=True)
+
+    def f(vj_fn, p):
+        u, du = vj_fn(p, x, activation, scale, shift)
+        # touch both outputs nonlinearly so primal-out errors would show too
+        return jnp.concatenate([u[None, :] ** 2, du.T * u[None, :]])
+
+    out_ref, dout_ref = jax.jvp(
+        functools.partial(f, mlp_value_and_jac), (params,), (tangent,)
+    )
+    out, dout = jax.jvp(functools.partial(f, pvj_jvp), (params,), (tangent,))
+    np.testing.assert_allclose(out, out_ref, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(dout, dout_ref, rtol=5e-4, atol=5e-5)
+
+
+def test_lm_rides_jvp_kernel_pair():
+    """End-to-end: make_lm_step with the (VJP, JVP) kernel-closure pair
+    reduces the loss exactly like the XLA-only pair on a tiny problem."""
+    from varnet_tpu.ops.pallas_mlp import pallas_value_and_jac_jvp
+    from varnet_tpu.train.gauss_newton import LMState, make_lm_step
+
+    params = init_mlp(jax.random.PRNGKey(0), 2, (8, 8))
+    from jax.flatten_util import ravel_pytree
+
+    flat0, unravel = ravel_pytree(params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (128, 2))
+    target = jnp.sin(x[:, 0]) * x[:, 1]
+
+    def make_closure(vj_fn):
+        def closure(flat):
+            u, du = vj_fn(unravel(flat), x, "tanh")
+            return jnp.concatenate([u - target, 0.1 * du[:, 0]])
+
+        return closure
+
+    c_vjp = make_closure(functools.partial(pallas_value_and_jac, tile=128,
+                                           interpret=True))
+    c_jvp = make_closure(functools.partial(pallas_value_and_jac_jvp, tile=128,
+                                           interpret=True))
+    c_xla = make_closure(mlp_value_and_jac)
+
+    def run(step_fn, closure):
+        r0 = closure(flat0)
+        st = LMState(flat=flat0, lam=jnp.asarray(1e-2), loss=jnp.dot(r0, r0))
+        for _ in range(3):
+            st = step_fn(st)
+        return float(st.loss)
+
+    loss_kernel = run(
+        make_lm_step(c_vjp, cg_iters=20, residual_jvp=c_jvp), c_vjp
+    )
+    loss_xla = run(make_lm_step(c_xla, cg_iters=20), c_xla)
+    assert loss_kernel < 0.9 * float(jnp.dot(c_xla(flat0), c_xla(flat0)))
+    np.testing.assert_allclose(loss_kernel, loss_xla, rtol=1e-3)
+
+
 def test_param_grads_with_scaling_multitile():
     n_in = 2
     params = init_mlp(jax.random.PRNGKey(0), n_in, (16, 16))

@@ -56,10 +56,12 @@ def test_fused_residual_sin_activation():
     np.testing.assert_allclose(r, r_ref, rtol=1e-5, atol=1e-8)
 
 
+@pytest.mark.parametrize("directional", [True, False],
+                         ids=["directional", "jacobian"])
 @pytest.mark.parametrize("name,case_fn,td,react,disc,kw,tile", CASES,
                          ids=[c[0] for c in CASES])
 def test_fused_residual_matches_reference(name, case_fn, td, react, disc, kw,
-                                          tile):
+                                          tile, directional):
     case = case_fn()
     fd = build_fixed_data(case["pde"], disc, **kw)
     st = fd.static
@@ -71,13 +73,17 @@ def test_fused_residual_matches_reference(name, case_fn, td, react, disc, kw,
     r = pallas_fused_residual(
         params, quad, "tanh", scale, shift,
         time_dependent=td, has_react=react, tile=tile, interpret=True,
+        directional=directional,
     )
     np.testing.assert_allclose(r, r_ref, rtol=1e-5, atol=1e-8)
 
 
+@pytest.mark.parametrize("directional", [True, False],
+                         ids=["directional", "jacobian"])
 @pytest.mark.parametrize("name,case_fn,td,react,disc,kw,tile", CASES,
                          ids=[c[0] for c in CASES])
-def test_fused_residual_param_grads(name, case_fn, td, react, disc, kw, tile):
+def test_fused_residual_param_grads(name, case_fn, td, react, disc, kw, tile,
+                                    directional):
     case = case_fn()
     fd = build_fixed_data(case["pde"], disc, **kw)
     st = fd.static
@@ -95,6 +101,7 @@ def test_fused_residual_param_grads(name, case_fn, td, react, disc, kw, tile):
         r = pallas_fused_residual(
             p, quad, "tanh", scale, shift,
             time_dependent=td, has_react=react, tile=tile, interpret=True,
+            directional=directional,
         )
         return jnp.sum(r * cw) + jnp.sum(r * r)
 

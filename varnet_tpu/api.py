@@ -98,6 +98,7 @@ class VarNet:
         obs_data: Optional[PointData] = None,
         use_pallas="auto",
         use_fused_residual: bool = True,
+        fused_directional: bool = True,
         fourier_features: Optional[int] = None,
         fourier_scale: float = 0.5,
         omega0: float = 6.0,
@@ -116,6 +117,10 @@ class VarNet:
         self.source_fn = source_fn
         self.obs_data = obs_data
         self.use_fused_residual = bool(use_fused_residual)
+        # Directional-tangent residual kernel (2 packed panels) vs the
+        # round-1 jacobian-panel kernel (1 + n_in panels); see
+        # ops/pallas_residual.py.  The switch exists for benchmarking.
+        self.fused_directional = bool(fused_directional)
         if source_fn is not None and source_init is None:
             raise ValueError("source_fn requires source_init")
 
@@ -199,6 +204,8 @@ class VarNet:
             or not self.use_fused_residual
             or self.source_fn is not None
             or self.fourier_b is not None
+            or self.static.n_mor > 0  # kernel contracts d(+1) derivative
+            # rows only; MOR inputs ride the general fused value+jac path
         ):
             return None
         import functools
@@ -215,6 +222,7 @@ class VarNet:
             time_dependent=self.static.time_dependent,
             has_react=self.has_react,
             precision=prec,
+            directional=self.fused_directional,
         )
 
     def _pallas_value_and_jac(self, matmul_precision):
@@ -617,9 +625,11 @@ class VarNet:
 
         The final-decade tool: the variational loss is a nonlinear least
         squares, so GN curvature is available through one jvp + one vjp
-        per CG iteration (see train/gauss_newton.py).  Uses the XLA
-        evaluation path (the Pallas kernel's custom VJP has no forward-
-        mode rule, which jvp needs).  Start from an Adam-trained state.
+        per CG iteration (see train/gauss_newton.py).  On TPU the network
+        evaluation rides the fused Pallas kernels: J v through the
+        custom-JVP twin, J^T w through the custom-VJP one (JAX allows one
+        rule per function, so LM carries both closures).  Start from an
+        Adam-trained state.
         """
         with matmul_precision_scope(matmul_precision):
             return self._refine_lm_impl(
@@ -660,15 +670,38 @@ class VarNet:
             res_kwargs["value_and_jac"] = self._value_and_jac_default
         if self._apply_override is not None:
             res_kwargs["apply_fn"] = self._apply_override
-        res_fn = make_residual_fn(
-            self.static,
+        jvp_kwargs = dict(res_kwargs)
+        if self.use_pallas and self.fourier_b is None:
+            # Fused kernels: the VJP-wrapped one backs J^T w (reverse mode),
+            # the JVP-wrapped twin backs J v (forward mode).
+            from .ops.pallas_mlp import pallas_value_and_jac_jvp
+
+            res_kwargs["value_and_jac"] = self._pallas_value_and_jac(
+                matmul_precision
+            )
+            prec = (
+                jax.lax.Precision.HIGHEST
+                if matmul_precision in ("highest", "float32")
+                else None
+            )
+            import functools
+
+            jvp_kwargs["value_and_jac"] = functools.partial(
+                pallas_value_and_jac_jvp, precision=prec
+            )
+        common = dict(
             activation=self.activation,
             input_scaling=self.input_scaling,
             source_fn=self.source_fn,
             has_obs=has_obs,
             n_obs_real=0 if not has_obs else int(self.obs_data.mask.sum()),
             has_react=self.has_react,
-            **res_kwargs,
+        )
+        res_fn = make_residual_fn(self.static, **common, **res_kwargs)
+        res_fn_jvp = (
+            res_fn
+            if jvp_kwargs == res_kwargs
+            else make_residual_fn(self.static, **common, **jvp_kwargs)
         )
         theta0 = replicate(self.theta, self.mesh)
         flat0, unravel = ravel_pytree(theta0)
@@ -676,7 +709,17 @@ class VarNet:
         def closure(flat):
             return res_fn(unravel(flat), quad_d, bc_d, ic_d, obs_d, weights_arr)
 
-        lm_step = make_lm_step(closure, cg_iters=cg_iters, cg_segment=cg_segment)
+        closure_jvp = None
+        if res_fn_jvp is not res_fn:
+            def closure_jvp(flat):
+                return res_fn_jvp(
+                    unravel(flat), quad_d, bc_d, ic_d, obs_d, weights_arr
+                )
+
+        lm_step = make_lm_step(
+            closure, cg_iters=cg_iters, cg_segment=cg_segment,
+            residual_jvp=closure_jvp,
+        )
         r0 = closure(flat0)
         state = LMState(
             flat=flat0,

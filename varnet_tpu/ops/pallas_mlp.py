@@ -41,7 +41,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_TILE = 4096  # measured best on v5e (benchmarks/kernel_bench.py)
-_VMEM_BUDGET_BYTES = 10 * 1024 * 1024  # of the ~16MB scoped VMEM
+# Of the 16MB scoped-VMEM limit.  9MB (not 10) because the surrounding
+# program context (remat-under-while in the LM CG loop) adds stack
+# allocations on top of the model below — measured 33KB over the limit at
+# 10MB budget, width 48 x 3 hidden (round-2 LM bench).
+_VMEM_BUDGET_BYTES = 9 * 1024 * 1024
 
 
 def _auto_tile(requested: int, h_max: int, n_layers: int, n_in: int) -> int:
@@ -307,6 +311,180 @@ def _bwd_kernel_ff(n_in: int, n_layers: int, activation: str, precision, *refs):
         if l > 0:
             ga = _mm(wt_l.T, gz)
             g_jac = [_mm(wt_l.T, gp[j]) for j in range(n_in)]
+
+
+# ---------------------------------------------------------------------- #
+# JVP (parameter-tangent) kernel — forward-mode through the packed forward
+#
+# Needed by Levenberg-Marquardt: GN curvature is one jvp + one vjp per CG
+# iteration (train/gauss_newton.py), and the custom-VJP'd fused op has no
+# forward rule.  This kernel propagates the parameter tangents (dW, db)
+# alongside the panel-packed primal state, producing d(out) for fixed xs:
+#
+#     dz_1 = dWt_1 @ xs + db_1 ;  da = act'(z) dz ;  dsp = act''(z) dz
+#     dJ_1^j = dsp * Wt_1[:, j] + sp * dWt_1[:, j]
+#     dzc_l = dWt_l @ s + Wt_l @ ds ;  ds = [da | dsp~*zc_j + sp~*dzc_j]
+#     dout  = dWt_L @ s + Wt_L @ ds (+ db_L on the value row)
+#
+# Only the CURRENT layer's (s, ds) pair lives in VMEM (no stored panels),
+# so the state is ~2x the forward kernel's — comfortably under the budget
+# at the same tile sizes.
+
+
+def _jvp_kernel(n_in: int, n_layers: int, activation: str, precision, *refs):
+    """refs: xs, Wt/b pairs, dWt/db pairs, out dout [1 + n_in, T]."""
+    _mm = _make_mm(precision)
+    act, act_p, act_pp = _act_pair(activation)
+    xs_ref = refs[0]
+    w_refs = refs[1 : 1 + 2 * n_layers]
+    dw_refs = refs[1 + 2 * n_layers : 1 + 4 * n_layers]
+    out_ref = refs[1 + 4 * n_layers]
+    t = xs_ref.shape[1]
+
+    xs = xs_ref[:]
+    w1, b1 = w_refs[0][:], w_refs[1][:]
+    dw1, db1 = dw_refs[0][:], dw_refs[1][:]
+    z = _small_k_mm(w1, xs, n_in) + b1
+    dz = _small_k_mm(dw1, xs, n_in) + db1
+    a = act(z)
+    sp = act_p(z, a)
+    spp = act_pp(z, a, sp)
+    da = sp * dz
+    dsp = spp * dz
+    s = jnp.concatenate(
+        [a] + [sp * w1[:, j : j + 1] for j in range(n_in)], axis=1
+    )
+    ds = jnp.concatenate(
+        [da]
+        + [dsp * w1[:, j : j + 1] + sp * dw1[:, j : j + 1] for j in range(n_in)],
+        axis=1,
+    )
+    for l in range(1, n_layers - 1):
+        wt, b = w_refs[2 * l][:], w_refs[2 * l + 1][:]
+        dwt, db = dw_refs[2 * l][:], dw_refs[2 * l + 1][:]
+        zc = _mm(wt, s)
+        dzc = _mm(dwt, s) + _mm(wt, ds)
+        z = zc[:, :t] + b
+        dz = dzc[:, :t] + db
+        a = act(z)
+        sp = act_p(z, a)
+        spp = act_pp(z, a, sp)
+        da = sp * dz
+        dsp = spp * dz
+        sp_tiled = jnp.concatenate([sp] * n_in, axis=1)
+        dsp_tiled = jnp.concatenate([dsp] * n_in, axis=1)
+        s_new = jnp.concatenate([a, sp_tiled * zc[:, t:]], axis=1)
+        ds = jnp.concatenate(
+            [da, dsp_tiled * zc[:, t:] + sp_tiled * dzc[:, t:]], axis=1
+        )
+        s = s_new
+    wt, b = w_refs[2 * (n_layers - 1)][:], w_refs[2 * (n_layers - 1) + 1][:]
+    dwt, db = dw_refs[2 * (n_layers - 1)][:], dw_refs[2 * (n_layers - 1) + 1][:]
+    doc = _mm(dwt, s) + _mm(wt, ds)  # [1, (1+n) T]
+    out_ref[0:1, :] = doc[:, :t] + db
+    for j in range(n_in):
+        out_ref[j + 1 : j + 2, :] = doc[:, (j + 1) * t : (j + 2) * t]
+
+
+def _jvp_pallas(wts, bs, dwts, dbs, xs_t, *, n_in, tile, activation, precision,
+                interpret):
+    n_layers = len(wts)
+    p_total = xs_t.shape[1]
+    in_specs = [
+        pl.BlockSpec((n_in, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    ]
+    wb = []
+    for wt, b in list(zip(wts, bs)) + list(zip(dwts, dbs)):
+        wb += [wt, b]
+        in_specs += [
+            pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+    kernel = functools.partial(_jvp_kernel, n_in, n_layers, activation, precision)
+    return pl.pallas_call(
+        kernel,
+        grid=(p_total // tile,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1 + n_in, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1 + n_in, p_total), jnp.float32),
+        interpret=interpret,
+    )(xs_t, *wb)
+
+
+@functools.lru_cache(maxsize=16)
+def _fused_fn_jvp(n_in: int, n_layers: int, activation: str, tile: int,
+                  interpret: bool, precision=None):
+    """custom_jvp'd fused evaluation (forward-mode companion of _fused_fn).
+
+    PARAMETER tangents only: xs_t is fixed data in every caller (quadrature
+    coordinates), so its tangent is ignored.  Use _fused_fn for reverse mode.
+    """
+
+    @jax.custom_jvp
+    def f(wts, bs, xs_t):
+        return _fwd_pallas(
+            wts, bs, xs_t, n_in=n_in, tile=tile,
+            activation=activation, precision=precision, interpret=interpret,
+        )
+
+    @f.defjvp
+    def f_jvp(primals, tangents):
+        wts, bs, xs_t = primals
+        dwts, dbs, _ = tangents  # d(xs_t) ignored: fixed quadrature coords
+        out = f(wts, bs, xs_t)
+        dout = _jvp_pallas(
+            wts, bs, tuple(dwts), tuple(dbs), xs_t, n_in=n_in, tile=tile,
+            activation=activation, precision=precision, interpret=interpret,
+        )
+        return out, dout
+
+    return f
+
+
+def pallas_value_and_jac_jvp(
+    params,
+    x: jax.Array,
+    activation: str = "tanh",
+    scale: Optional[jax.Array] = None,
+    shift: Optional[jax.Array] = None,
+    *,
+    tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+    precision=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Forward-mode-differentiable variant of :func:`pallas_value_and_jac`.
+
+    Same signature/semantics; supports ``jax.jvp`` w.r.t. PARAMS (the input
+    points are treated as constants — exactly the Levenberg-Marquardt use,
+    where quadrature coordinates are fixed data).  NOT reverse-mode
+    differentiable: pair it with :func:`pallas_value_and_jac` when both
+    directions are needed (see ``VarNet.refine_lm``).
+    """
+    p, n_in = x.shape
+    n_layers = len(params)
+    if n_layers < 2:
+        from ..models.mlp import mlp_value_and_jac
+
+        return mlp_value_and_jac(params, x, activation, scale, shift)
+    h_max = max(l["w"].shape[1] for l in params)
+    tile = _auto_tile(tile, h_max, n_layers, n_in)
+    f = _fused_fn_jvp(n_in, n_layers, activation, tile, bool(interpret),
+                      precision)
+
+    xs = x if scale is None else (x - shift) * scale
+    xs_t = jnp.transpose(xs).astype(jnp.float32)
+    p_pad = _round_up(max(p, 1), tile)
+    if p_pad != p:
+        xs_t = jnp.pad(xs_t, ((0, 0), (0, p_pad - p)))
+    wts = tuple(jnp.transpose(l["w"]).astype(jnp.float32) for l in params)
+    bs = tuple(jnp.reshape(l["b"], (-1, 1)).astype(jnp.float32) for l in params)
+    out = f(wts, bs, xs_t)
+    u = out[0, :p]
+    du_scaled = out[1:, :p]
+    if scale is not None:
+        du_scaled = du_scaled * scale[:, None].astype(du_scaled.dtype)
+    return u, jnp.transpose(du_scaled)
 
 
 # ---------------------------------------------------------------------- #

@@ -216,13 +216,186 @@ def _fused_bwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
             g_s = _mm(wt_l.T, g_zc)
 
 
+# ---------------------------------------------------------------------- #
+# DIRECTIONAL variant (round 2): the weak integrand only ever uses the
+# CONTRACTION of the network jacobian with a fixed per-point vector,
+#
+#     contrib(x, q) = du . c(x, q) + cu u + c_src,
+#     c_j = w_q s_j (v_j N_q + kappa dN_qj)   (j < d),   c_t = w_q s_t N_q,
+#
+# i.e. a DIRECTIONAL derivative with direction c computable from the fixed
+# data in-kernel.  Forward-mode therefore needs ONE seeded tangent panel
+# instead of n_in jacobian panels: the packed state shrinks from
+# [H, (1+n_in) T] to [H, 2 T] — ~(1+n_in)/2 x less matmul work per layer
+# (2x on the 2-D transient flagship).  The backward shrinks identically.
+# This is a kernel the reference's TF1 graph could never express: the
+# contraction direction lives inside the quadrature tables.
+
+
+def _dir_coeffs(f_ref, tab_ref, scale_ref, q, d, td, has_react, like):
+    """Per-point tangent direction c [rows list], u coefficient, source term.
+
+    like: an [1, T] array for broadcasting shapes.
+    """
+    n_q = tab_ref[q, 0]
+    w_q = tab_ref[q, 1]
+    kappa = f_ref[0:1, :]
+    c_rows = []
+    for j in range(d):
+        vel_j = f_ref[1 + j : 2 + j, :]
+        dn_qj = tab_ref[q, 2 + j]
+        c_rows.append(w_q * scale_ref[j, 0] * (vel_j * n_q + kappa * dn_qj))
+    if td:
+        c_rows.append(w_q * scale_ref[d, 0] * n_q * jnp.ones_like(like))
+    cu = None
+    if has_react:
+        react = f_ref[2 + d : 3 + d, :]
+        cu = w_q * n_q * react
+    src = f_ref[1 + d : 2 + d, :]
+    return c_rows, cu, -w_q * n_q * src
+
+
+def _dir_forward(_mm, act, act_p, n_in, n_layers, w_refs, xs, c_rows, t):
+    """2-panel packed forward: s = [a | tangent].  Returns (u, dd, s_packed,
+    zs, acts, jpre0) — jpre0 is the layer-1 tangent pre-activation (needed
+    by the backward's gz term)."""
+    c = jnp.concatenate(c_rows, axis=0)  # [n_in, T]
+    z = _small_k_mm(w_refs[0][:], xs, n_in) + w_refs[1][:]
+    a = act(z)
+    sp = act_p(z, a)
+    jpre0 = _small_k_mm(w_refs[0][:], c, n_in)  # [H, T]
+    s = jnp.concatenate([a, sp * jpre0], axis=1)  # [H, 2T]
+    zs, acts, s_packed = [z], [a], [s]
+    for l in range(1, n_layers - 1):
+        wt, b = w_refs[2 * l][:], w_refs[2 * l + 1][:]
+        zc = _mm(wt, s)
+        z = zc[:, :t] + b
+        a = act(z)
+        sp = act_p(z, a)
+        s = jnp.concatenate([a, sp * zc[:, t:]], axis=1)
+        zs.append(z)
+        acts.append(a)
+        s_packed.append(s)
+    wt, b = w_refs[2 * (n_layers - 1)][:], w_refs[2 * (n_layers - 1) + 1][:]
+    oc = _mm(wt, s)
+    u = oc[:, :t] + b
+    dd = oc[:, t:]
+    return u, dd, s_packed, zs, acts, jpre0
+
+
+def _dir_fwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
+                    *refs):
+    """refs: xs [n_in,T], f [n_f,T], tab (SMEM), scale (SMEM), Wt/b, r [1,T]."""
+    _mm = _make_mm(precision)
+    act, act_p, _ = _act_pair(activation)
+    xs_ref, f_ref, tab_ref, scale_ref = refs[:4]
+    w_refs = refs[4 : 4 + 2 * n_layers]
+    r_ref = refs[4 + 2 * n_layers]
+    t = xs_ref.shape[1]
+    q = pl.program_id(1)
+
+    c_rows, cu, c_src = _dir_coeffs(
+        f_ref, tab_ref, scale_ref, q, d, td, has_react, f_ref[0:1, :]
+    )
+    u, dd, _, _, _, _ = _dir_forward(
+        _mm, act, act_p, n_in, n_layers, w_refs, xs_ref[:], c_rows, t
+    )
+    contrib = dd + c_src
+    if cu is not None:
+        contrib = contrib + cu * u
+
+    @pl.when(q == 0)
+    def _():
+        r_ref[:] = contrib
+
+    @pl.when(q != 0)
+    def _():
+        r_ref[:] = r_ref[:] + contrib
+
+
+def _dir_bwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
+                    *refs):
+    """refs: xs, f, tab, scale, gr [1,T], Wt/b pairs, outs dWt/db pairs."""
+    _mm = _make_mm(precision)
+    act, act_p, act_pp = _act_pair(activation)
+    xs_ref, f_ref, tab_ref, scale_ref, gr_ref = refs[:5]
+    w_refs = refs[5 : 5 + 2 * n_layers]
+    out_refs = refs[5 + 2 * n_layers :]
+    t = xs_ref.shape[1]
+    i = pl.program_id(0)
+    q = pl.program_id(1)
+    xs = xs_ref[:]
+
+    c_rows, cu, _ = _dir_coeffs(
+        f_ref, tab_ref, scale_ref, q, d, td, has_react, f_ref[0:1, :]
+    )
+    u, dd, s_packed, zs, acts, jpre0 = _dir_forward(
+        _mm, act, act_p, n_in, n_layers, w_refs, xs, c_rows, t
+    )
+    del u, dd
+    gr = gr_ref[:]
+    g_val = gr * cu if cu is not None else None  # value-row cotangent
+    g_tan = gr                                   # tangent row IS the contrib
+
+    def accum(ref, val):
+        @pl.when((i == 0) & (q == 0))
+        def _():
+            ref[:] = val
+
+        @pl.when((i != 0) | (q != 0))
+        def _():
+            ref[:] = ref[:] + val
+
+    wt_last = w_refs[2 * (n_layers - 1)][:]
+    d_wt_last = _mm(g_tan, s_packed[-1][:, t:].T)
+    if g_val is not None:
+        d_wt_last = d_wt_last + _mm(g_val, s_packed[-1][:, :t].T)
+    accum(out_refs[2 * (n_layers - 1)], d_wt_last)
+    accum(
+        out_refs[2 * (n_layers - 1) + 1],
+        jnp.sum(g_val, axis=1, keepdims=True)
+        if g_val is not None
+        else jnp.zeros_like(w_refs[2 * (n_layers - 1) + 1][:]),
+    )
+    zero_val = g_val is None
+    g_s = jnp.concatenate(
+        [
+            _outer(wt_last.T, g_val) if not zero_val
+            else jnp.zeros((wt_last.shape[1], t), jnp.float32),
+            _outer(wt_last.T, g_tan),
+        ],
+        axis=1,
+    )  # [H, 2T]
+
+    for l in range(n_layers - 2, -1, -1):
+        sp = act_p(zs[l], acts[l])
+        spp = act_pp(zs[l], acts[l], sp)
+        ga = g_s[:, :t]
+        g_jac = g_s[:, t:]
+        pre = jpre0 if l == 0 else _mm(
+            w_refs[2 * l][:], s_packed[l - 1][:, t:]
+        )
+        gz = sp * ga + spp * (g_jac * pre)
+        g_p = sp * g_jac
+        if l == 0:
+            c = jnp.concatenate(c_rows, axis=0)
+            d_wt = _small_n_mm_t(gz, xs, n_in) + _small_n_mm_t(g_p, c, n_in)
+            accum(out_refs[0], d_wt)
+            accum(out_refs[1], jnp.sum(gz, axis=1, keepdims=True))
+        else:
+            g_zc = jnp.concatenate([gz, g_p], axis=1)
+            accum(out_refs[2 * l], _mm(g_zc, s_packed[l - 1].T))
+            accum(out_refs[2 * l + 1], jnp.sum(gz, axis=1, keepdims=True))
+            g_s = _mm(w_refs[2 * l][:].T, g_zc)
+
+
 def _round_up(n, m):
     return -(-n // m) * m
 
 
-@functools.lru_cache(maxsize=16)
+@functools.lru_cache(maxsize=32)
 def _fused_residual_fn(n_in, n_layers, d, td, has_react, activation, tile,
-                       nq, interpret, precision=None):
+                       nq, interpret, precision=None, directional=True):
     n_f = 1 + d + 1 + (1 if has_react else 0)  # kappa, vel, src[, react]
 
     def make_call(kernel, extra_in, out_specs, out_shape):
@@ -269,12 +442,12 @@ def _fused_residual_fn(n_in, n_layers, d, td, has_react, activation, tile,
         return call
 
     fwd_kernel = functools.partial(
-        _fused_fwd_kernel, n_in, n_layers, d, td, has_react, activation,
-        precision,
+        _dir_fwd_kernel if directional else _fused_fwd_kernel,
+        n_in, n_layers, d, td, has_react, activation, precision,
     )
     bwd_kernel = functools.partial(
-        _fused_bwd_kernel, n_in, n_layers, d, td, has_react, activation,
-        precision,
+        _dir_bwd_kernel if directional else _fused_bwd_kernel,
+        n_in, n_layers, d, td, has_react, activation, precision,
     )
 
     fwd_call = make_call(
@@ -339,13 +512,20 @@ def pallas_fused_residual(
     tile: int = DEFAULT_TILE_K,
     interpret: bool = False,
     precision=None,
+    directional: bool = True,
 ):
     """Weak residual r [K] via the fully-fused kernel.
 
     params: MLP pytree; quad: QuadData (device arrays); scale/shift: input
     scaling (or None).  Restriction: plain MLP trial function, fixed source
-    (no trainable source_fn, no Fourier embedding, no MOR extras beyond
-    what n_in carries — the general path handles those).
+    (no trainable source_fn, no Fourier embedding, no MOR inputs — the
+    general path handles those).
+
+    directional=True (default) uses the 2-panel directional-tangent kernel
+    (the integrand contracts du with a fixed per-point direction, so the
+    full jacobian is never needed) — ~(1+n_in)/2 x less matmul work than
+    the jacobian-panel kernel it replaces; False keeps the round-1 kernel
+    (comparison/benchmarking).
     """
     k, nq, n_in = quad.coords.shape
     d = quad.dN.shape[1]
@@ -353,7 +533,9 @@ def pallas_fused_residual(
     from .pallas_mlp import _auto_tile
 
     h_max = max(l["w"].shape[1] for l in params)
-    tile = _auto_tile(tile, h_max, n_layers, n_in)
+    # The directional state is 2 panels vs (1 + n_in): size its tile by an
+    # effective input count of 1.
+    tile = _auto_tile(tile, h_max, n_layers, 1 if directional else n_in)
 
     # scaled coords, q-major: [n_in, nQ * Kp]
     flat = quad.coords  # [K, nQ, n_in]
@@ -393,6 +575,7 @@ def pallas_fused_residual(
     f = _fused_residual_fn(
         n_in, n_layers, d, bool(time_dependent), bool(has_react),
         activation, tile, nq, bool(interpret), precision,
+        directional=bool(directional),
     )
     wts = tuple(jnp.transpose(l["w"]).astype(jnp.float32) for l in params)
     bs = tuple(jnp.reshape(l["b"], (-1, 1)).astype(jnp.float32) for l in params)

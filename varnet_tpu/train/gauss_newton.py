@@ -139,10 +139,17 @@ def make_lm_step(
     lam_up: float = 4.0,
     lam_down: float = 0.5,
     cg_segment: int = 0,
+    residual_jvp: Optional[Callable] = None,
 ):
     """One Levenberg-Marquardt iteration on RAVELED parameters.
 
     residual_closure must close over the (device-resident) fixed data.
+
+    residual_jvp: optional forward-mode-capable twin of residual_closure
+    (same values, supports ``jax.jvp``).  The fused Pallas evaluation has
+    separate custom-JVP and custom-VJP wrappers (JAX allows one rule per
+    function), so LM takes both: J v rides the JVP twin, J^T w rides the
+    VJP one.  Defaults to residual_closure (the XLA path supports both).
 
     cg_segment == 0: linearize + CG + accept fused into ONE jitted
     program — fastest, but a long program at large cg_iters can exceed
@@ -151,6 +158,8 @@ def make_lm_step(
     iterations, each a bounded program; the jacobian linearization is
     recomputed per segment (one extra forward each).
     """
+    if residual_jvp is None:
+        residual_jvp = residual_closure
 
     def loss_of(flat):
         r = residual_closure(flat)
@@ -158,7 +167,7 @@ def make_lm_step(
 
     def make_cg_body(flat, lam, pullback):
         def jtj_v(v):
-            jv = jax.jvp(residual_closure, (flat,), (v,))[1]
+            jv = jax.jvp(residual_jvp, (flat,), (v,))[1]
             return pullback(jv)[0] + lam * v
 
         def cg_body(_, carry):
