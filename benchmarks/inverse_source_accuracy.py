@@ -33,14 +33,19 @@ RESULTS = Path(__file__).parent / "results"
 
 
 def score(vn, case, source_fn):
+    from varnet_tpu.utils.helpers import matmul_precision_scope
+
     pde = case["pde"]
     pts, mask = pde.domain.grid_in_domain((97, 97))
     pts = pts[mask]
-    u = vn.evaluate(pts)
+    u = vn.evaluate(pts)  # exact-f32 eval by default
     u_err = rel_l2_error(u, case["c_ex"](pts))
     import jax.numpy as jnp
 
-    s_rec = np.asarray(source_fn(vn.theta["src"], jnp.asarray(pts, jnp.float32)))
+    with matmul_precision_scope("highest"):
+        s_rec = np.asarray(
+            source_fn(vn.theta["src"], jnp.asarray(pts, jnp.float32))
+        )
     s_err = rel_l2_error(s_rec, case["s_true"](pts))
     return u_err, s_err
 
@@ -80,6 +85,16 @@ def run_one(args, w_obs):
     rec = {"w_obs": w_obs, "u_rel_l2": u_err, "source_rel_l2": s_err,
            "adam_u": u_mid, "adam_source": s_mid, "wall_s": wall}
     print(json.dumps(rec), flush=True)
+    # Persist the joint {net, src} parameters for the pin test.
+    RESULTS.mkdir(exist_ok=True)
+    flat = {}
+    for i, l in enumerate(vn.theta["net"]):
+        flat[f"net_l{i}_w"] = np.asarray(l["w"])
+        flat[f"net_l{i}_b"] = np.asarray(l["b"])
+    for i, l in enumerate(vn.theta["src"]):
+        flat[f"src_l{i}_w"] = np.asarray(l["w"])
+        flat[f"src_l{i}_b"] = np.asarray(l["b"])
+    np.savez(RESULTS / f"theta_inverse_source_wobs{w_obs:g}.npz", **flat)
     return rec, vn
 
 

@@ -52,3 +52,40 @@ def test_flagship_intermediate_theta_consistent(flagship_vn):
     theta = _load_theta(path)
     err = flagship_vn.compute_error(theta, disc=96, n_times=7)
     assert 6e-4 < err < 1e-3, f"expected ~8.3e-4, got {err:.3e}"
+
+
+def test_inverse_source_theta_beats_targets():
+    """Config 5 (round 2): the persisted joint {net, src} parameters score
+    solution < 1e-3 AND recovered source < 1.2e-2 rel-L2 (measured
+    3.42e-4 / 9.2e-3 — benchmarks/results/inverse_source_accuracy.json)."""
+    import jax
+    import jax.numpy as jnp
+
+    from varnet_tpu.api import VarNet
+    from varnet_tpu.models.source import make_mlp_source
+    from varnet_tpu.problems.analytic import inverse_source_2d
+    from varnet_tpu.utils.helpers import matmul_precision_scope, rel_l2_error
+
+    path = os.path.join(RESULTS, "theta_inverse_source_wobs100.npz")
+    z = np.load(path)
+    n_net = sum(1 for k in z.files if k.startswith("net_") and k.endswith("_w"))
+    n_src = sum(1 for k in z.files if k.startswith("src_") and k.endswith("_w"))
+    net = [{"w": z[f"net_l{i}_w"], "b": z[f"net_l{i}_b"]} for i in range(n_net)]
+    src = [{"w": z[f"src_l{i}_w"], "b": z[f"src_l{i}_b"]} for i in range(n_src)]
+
+    case = inverse_source_2d(kappa=0.1, n_obs=400)
+    pde = case["pde"]
+    lo, hi = pde.domain.bounds
+    source_fn, _ = make_mlp_source(jax.random.PRNGKey(1), pde.dim,
+                                   hidden=(16, 16), lo=lo, hi=hi)
+    vn = VarNet(pde, layer_width=(32, 32), disc_num=8, n_devices=1,
+                source_fn=source_fn, source_init=src)
+    vn.theta = {"net": net, "src": src}
+    pts, mask = pde.domain.grid_in_domain((97, 97))
+    pts = pts[mask]
+    u_err = rel_l2_error(vn.evaluate(pts), case["c_ex"](pts))
+    with matmul_precision_scope("highest"):
+        s_rec = np.asarray(source_fn(src, jnp.asarray(pts, jnp.float32)))
+    s_err = rel_l2_error(s_rec, case["s_true"](pts))
+    assert u_err < 1e-3, f"solution regression: {u_err:.3e}"
+    assert s_err < 1.2e-2, f"source regression: {s_err:.3e}"

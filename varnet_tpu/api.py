@@ -778,6 +778,7 @@ class VarNet:
         mu: Optional[np.ndarray] = None,
         theta: Any = None,
         chunk: int = 1 << 20,
+        matmul_precision: Optional[str] = "highest",
     ) -> np.ndarray:
         """u_theta at points (reference ``VarNet.evaluate``).
 
@@ -786,7 +787,17 @@ class VarNet:
         Large point sets are evaluated in padded fixed-size chunks so
         arbitrarily fine evaluation grids never exhaust device memory (and
         at most two program shapes are compiled).
+
+        matmul_precision defaults to 'highest': the TPU MXU's bf16 default
+        adds ~5e-3 relative noise — enough to hide a 1e-3-level solution
+        entirely (measured on config 5: a 3.3e-4 solution scored 3.0e-3
+        through a bf16 evaluation).  Pass None to inherit the ambient
+        precision.
         """
+        with matmul_precision_scope(matmul_precision):
+            return self._evaluate_inner(x, t, mu, theta, chunk)
+
+    def _evaluate_inner(self, x, t, mu, theta, chunk) -> np.ndarray:
         theta = self.theta if theta is None else theta
         coords = self._make_coords(x, t, mu)
         n = coords.shape[0]
