@@ -78,33 +78,53 @@ def train(args):
     from varnet_tpu.utils.helpers import enable_compilation_cache
 
     enable_compilation_cache()
-    case = contaminant_transport_2d()
-    vn = VarNet(
-        case["pde"], layer_width=(args.width,) * args.layers,
-        disc_num=(args.disc, args.disc // 2), b_disc_num=args.disc,
-        t_disc_num=args.tdisc,
-        optimizer=OptimizerConfig(lr=args.lr, decay_rate=0.5,
-                                  decay_steps=max(args.epochs // 5, 1)),
-    )
-    print(f"[train] n_test={vn.static.n_test} x {vn.static.n_quad_per_test} quad")
-    vn.train(
-        epoch_num=args.epochs, weight=(1.0, 10.0, 10.0),
-        save_freq=max(args.epochs // 10, 1), folderpath=args.folder,
-        matmul_precision="highest",
-    )
+    # kappa-CURRICULUM: at the target kappa=0.01 the source is so localized
+    # that u = 0 is a strong quasi-minimum (its interior loss is 2.5e-5,
+    # the true solution's is 9.4e-10 — measured; Adam from scratch stalls
+    # at exactly the u=0 plateau).  Training diffusion-dominated first
+    # (smooth, global solution) and annealing kappa down with warm starts
+    # walks the net into the transport basin.  u_theta is mesh- and
+    # PDE-independent, so parameters transfer across stages directly.
+    kappas = [float(v) for v in args.curriculum.split(",")] + [args.kappa]
+    theta = None
+    vn = None
+    for stage, kap in enumerate(kappas):
+        case = contaminant_transport_2d(kappa=kap, u_max=args.umax)
+        last = stage == len(kappas) - 1
+        epochs = args.epochs if last else args.epochs // 4
+        vn = VarNet(
+            case["pde"], layer_width=(args.width,) * args.layers,
+            disc_num=(args.disc, args.disc // 2), b_disc_num=args.disc,
+            t_disc_num=args.tdisc,
+            optimizer=OptimizerConfig(
+                lr=args.lr if stage == 0 else args.lr / 2,
+                decay_rate=0.5 if last else None,
+                decay_steps=max(epochs // 5, 1)),
+        )
+        if theta is not None:
+            vn.theta = theta
+        if stage == 0:
+            print(f"[train] n_test={vn.static.n_test} x "
+                  f"{vn.static.n_quad_per_test} quad, stages kappa={kappas}")
+        vn.train(
+            epoch_num=epochs, weight=(1.0, 10.0, 10.0),
+            save_freq=max(epochs // 5, 1),
+            folderpath=args.folder if last else None,
+            matmul_precision="highest",
+        )
+        theta = vn.theta
+        print(f"[train] stage kappa={kap} done", flush=True)
     if args.lm_steps:
         vn.refine_lm(steps=args.lm_steps, weight=(1.0, 10.0, 10.0),
                      cg_iters=args.lm_cg, cg_segment=40, k_chunks=16,
                      save_freq=max(args.lm_steps // 5, 1),
                      folderpath=args.folder + "_lm",
                      matmul_precision="highest")
-        np.savez(Path(args.folder) / "theta_final.npz",
-                 **{f"l{i}_{k}": np.asarray(v) for i, l in enumerate(vn.theta)
-                    for k, v in l.items()})
-    else:
-        np.savez(Path(args.folder) / "theta_final.npz",
-                 **{f"l{i}_{k}": np.asarray(v) for i, l in enumerate(vn.theta)
-                    for k, v in l.items()})
+    flat = {f"l{i}_{k}": np.asarray(v) for i, l in enumerate(vn.theta)
+            for k, v in l.items()}
+    np.savez(Path(args.folder) / "theta_final.npz", **flat)
+    RESULTS.mkdir(exist_ok=True)
+    np.savez(RESULTS / "theta_contaminant.npz", **flat)  # pinned by tests
     return vn
 
 
@@ -173,6 +193,10 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--lm-steps", type=int, default=10)
     ap.add_argument("--lm-cg", type=int, default=150)
+    ap.add_argument("--kappa", type=float, default=0.01)
+    ap.add_argument("--umax", type=float, default=1.0)
+    ap.add_argument("--curriculum", type=str, default="0.1,0.03",
+                    help="comma-separated warm-up kappas (annealed to --kappa)")
     args = ap.parse_args()
     vn = None
     if args.make_data or args.all:

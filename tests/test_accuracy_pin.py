@@ -54,6 +54,42 @@ def test_flagship_intermediate_theta_consistent(flagship_vn):
     assert 6e-4 < err < 1e-3, f"expected ~8.3e-4, got {err:.3e}"
 
 
+PER_CONFIG = {
+    # name: (factory kwargs key in benchmarks/per_config_accuracy.CONFIGS,
+    #        layer spec, rel-L2 bound)
+    "1d_steady": ((20, 20), 1e-3),
+    "1d_transient": ((20, 20), 1e-3),
+    "2d_steady": ((20, 20), 1e-3),
+    "2d_transient": ((32, 32), 1e-3),
+    "lshape_manufactured": ((24, 24), 2e-3),
+}
+
+
+@pytest.mark.parametrize("name", list(PER_CONFIG))
+def test_per_config_theta_beats_target(name):
+    """Persisted per-config parameters (benchmarks/per_config_accuracy.py)
+    re-score under their recorded bound — no training.  Skips until the
+    TPU run has persisted the theta."""
+    path = os.path.join(RESULTS, f"theta_{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"no persisted theta for {name} yet")
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from benchmarks.per_config_accuracy import CONFIGS
+
+    from varnet_tpu.api import VarNet
+
+    factory, disc, tdisc, width, layers, _ = CONFIGS[name]
+    case = factory()
+    vn = VarNet(case["pde"], layer_width=(width,) * layers, disc_num=8,
+                t_disc_num=None if tdisc is None else 4, n_devices=1)
+    theta = _load_theta(path)
+    err = vn.compute_error(theta, disc=96, n_times=7)
+    bound = PER_CONFIG[name][1]
+    assert err < bound, f"{name}: rel-L2 {err:.3e} >= {bound:g}"
+
+
 def test_inverse_source_theta_beats_targets():
     """Config 5 (round 2): the persisted joint {net, src} parameters score
     solution < 1e-3 AND recovered source < 1.2e-2 rel-L2 (measured
