@@ -185,10 +185,11 @@ class VarNet:
         self.opt_state = None  # created lazily in train()/load_model()
         # Training-time PRNG stream, checkpointed per SURVEY.md §5.4 so any
         # stochastic feature (minibatch sampling, noise) resumes reproducibly.
-        # Folded separately so the parameter-init stream is untouched.
-        self.prng_key = np.asarray(
-            jax.random.key_data(jax.random.fold_in(jax.random.PRNGKey(self.seed), 1))
-        )
+        # Raw threefry key data for PRNGKey(seed + 1) — computed HOST-SIDE
+        # (np only): __init__ must not touch the device (a device_get here
+        # once hit a transient tunnel FAILED_PRECONDITION and killed a run).
+        # Consume via jax.random.wrap_key_data when stochastic features land.
+        self.prng_key = np.array([0, np.uint32(self.seed + 1)], dtype=np.uint32)
         self.train_result: Optional[TrainResult] = None
         self._apply_override = apply_override
         eval_kwargs = {} if apply_override is None else {"apply_fn": apply_override}
