@@ -1,15 +1,27 @@
-"""Cross-validate the contaminant-transport case against the classical solver.
+"""Cross-validate the contaminant-transport cases against the classical solver.
 
-The reference validated this case against COMSOL FEM data shipped with its
-repo (SURVEY.md §4 item 2); that data is unavailable, so the independent
-ground truth is our Crank-Nicolson FDM solver (problems/classical.py),
-itself validated to second order against the analytic 2-D transient AD
-solution (tests/test_classical.py).
+The reference validated its contaminant case against COMSOL FEM data shipped
+with its repo (SURVEY.md §4 item 2); that data is unavailable, so the
+independent ground truth is our Crank-Nicolson FDM solver
+(problems/classical.py), itself validated to second order against the
+analytic 2-D transient AD solution (tests/test_classical.py).
 
-Pipeline:
-  --make-data   (CPU, ~2 min)  run the FDM on a fine grid; ship the field
-                as benchmarks/data/contaminant_fdm.npz + a decimated CSV
-                loadable through utils/io.load_observations_csv.
+Two variants of the shear-flow channel transport problem:
+
+  inlet   (PRIMARY, validated): contaminant enters through a time-gated
+          Dirichlet inlet profile — the nonzero boundary data drives the
+          network exactly like the flagship's BCs.
+  source  (documented limitation): volumetric gated Gaussian source with
+          homogeneous BC/IC.  Measured (r2): u = 0 is a quasi-minimum whose
+          interior loss (2.5e-5) Adam/LM cannot escape — kappa curricula,
+          source-width curricula, physics-informed pretraining and deep-CG
+          Gauss-Newton all fail, and a supervised fit of the true field
+          only reaches ~30% rel-L2 (spectral bias vs the kappa/|v|-thin
+          adjoint layers).  See DESIGN.md 'zero-data attractor'.
+
+Pipeline per variant:
+  --make-data   (CPU, ~1 min)  FDM on a fine grid -> benchmarks/data/
+                contaminant[_inlet]_fdm.npz + decimated CSV via utils/io.
   --train       (TPU)          train the VarNet on the same config.
   --score       (any)          rel-L2 of the trained net vs the FDM field
                 -> benchmarks/results/contaminant_validation.json
@@ -32,20 +44,35 @@ RESULTS = Path(__file__).parent / "results"
 N_TIMES = 7
 
 
-def make_data(nx=256, ny=128, nt=400):
+def get_case(args):
+    if args.variant == "inlet":
+        from varnet_tpu.problems.analytic import contaminant_inlet_2d
+
+        return contaminant_inlet_2d(kappa=args.kappa, u_max=args.umax)
     from varnet_tpu.problems.analytic import contaminant_transport_2d
+
+    return contaminant_transport_2d(kappa=args.kappa, u_max=args.umax,
+                                    src_sigma=args.sigma)
+
+
+def _stem(args):
+    return "contaminant_inlet" if args.variant == "inlet" else "contaminant"
+
+
+def make_data(args, nx=256, ny=128, nt=400):
     from varnet_tpu.problems.classical import solve_ad_fdm_2d
     from varnet_tpu.utils.io import save_solution_csv
 
-    case = contaminant_transport_2d()
+    case = get_case(args)
     times = np.linspace(0.0, 1.0, N_TIMES)
     t0 = time.perf_counter()
     out = solve_ad_fdm_2d(case["pde"], nx=nx, ny=ny, nt=nt,
                           sample_times=times, verbose=True)
     print(f"[fdm] solved {nx}x{ny}x{nt} in {time.perf_counter() - t0:.1f}s")
     DATA.mkdir(exist_ok=True)
+    stem = _stem(args)
     np.savez_compressed(
-        DATA / "contaminant_fdm.npz",
+        DATA / f"{stem}_fdm.npz",
         x=out["x"].astype(np.float32),
         times=out["times"],
         u=out["u"].astype(np.float32),
@@ -65,55 +92,33 @@ def make_data(nx=256, ny=128, nt=400):
             [xs, np.full((xs.shape[0], 1), t), out["u"][s][sel][:, None]],
             axis=1))
     rows = np.concatenate(rows)
-    save_solution_csv(str(DATA / "contaminant_fdm.csv"), rows[:, :3], rows[:, 3],
+    save_solution_csv(str(DATA / f"{stem}_fdm.csv"), rows[:, :3], rows[:, 3],
                       header="x,y,t,u")
-    print(f"[fdm] wrote {DATA}/contaminant_fdm.npz and .csv "
+    print(f"[fdm] wrote {DATA}/{stem}_fdm.npz and .csv "
           f"({rows.shape[0]} csv rows)")
 
 
 def train(args):
     from varnet_tpu.api import VarNet
-    from varnet_tpu.problems.analytic import contaminant_transport_2d
     from varnet_tpu.train.optim import OptimizerConfig
     from varnet_tpu.utils.helpers import enable_compilation_cache
 
     enable_compilation_cache()
-    # kappa-CURRICULUM: at the target kappa=0.01 the source is so localized
-    # that u = 0 is a strong quasi-minimum (its interior loss is 2.5e-5,
-    # the true solution's is 9.4e-10 — measured; Adam from scratch stalls
-    # at exactly the u=0 plateau).  Training diffusion-dominated first
-    # (smooth, global solution) and annealing kappa down with warm starts
-    # walks the net into the transport basin.  u_theta is mesh- and
-    # PDE-independent, so parameters transfer across stages directly.
-    kappas = [float(v) for v in args.curriculum.split(",")] + [args.kappa]
-    theta = None
-    vn = None
-    for stage, kap in enumerate(kappas):
-        case = contaminant_transport_2d(kappa=kap, u_max=args.umax)
-        last = stage == len(kappas) - 1
-        epochs = args.epochs if last else args.epochs // 4
-        vn = VarNet(
-            case["pde"], layer_width=(args.width,) * args.layers,
-            disc_num=(args.disc, args.disc // 2), b_disc_num=args.disc,
-            t_disc_num=args.tdisc,
-            optimizer=OptimizerConfig(
-                lr=args.lr if stage == 0 else args.lr / 2,
-                decay_rate=0.5 if last else None,
-                decay_steps=max(epochs // 5, 1)),
-        )
-        if theta is not None:
-            vn.theta = theta
-        if stage == 0:
-            print(f"[train] n_test={vn.static.n_test} x "
-                  f"{vn.static.n_quad_per_test} quad, stages kappa={kappas}")
-        vn.train(
-            epoch_num=epochs, weight=(1.0, 10.0, 10.0),
-            save_freq=max(epochs // 5, 1),
-            folderpath=args.folder if last else None,
-            matmul_precision="highest",
-        )
-        theta = vn.theta
-        print(f"[train] stage kappa={kap} done", flush=True)
+    case = get_case(args)
+    vn = VarNet(
+        case["pde"], layer_width=(args.width,) * args.layers,
+        disc_num=(args.disc, args.disc // 2), b_disc_num=args.disc,
+        t_disc_num=args.tdisc,
+        optimizer=OptimizerConfig(lr=args.lr, decay_rate=0.5,
+                                  decay_steps=max(args.epochs // 5, 1)),
+    )
+    print(f"[train] variant={args.variant} n_test={vn.static.n_test} x "
+          f"{vn.static.n_quad_per_test} quad")
+    vn.train(
+        epoch_num=args.epochs, weight=(1.0, 10.0, 10.0),
+        save_freq=max(args.epochs // 5, 1), folderpath=args.folder,
+        matmul_precision="highest",
+    )
     if args.lm_steps:
         vn.refine_lm(steps=args.lm_steps, weight=(1.0, 10.0, 10.0),
                      cg_iters=args.lm_cg, cg_segment=40, k_chunks=16,
@@ -124,19 +129,19 @@ def train(args):
             for k, v in l.items()}
     np.savez(Path(args.folder) / "theta_final.npz", **flat)
     RESULTS.mkdir(exist_ok=True)
-    np.savez(RESULTS / "theta_contaminant.npz", **flat)  # pinned by tests
+    np.savez(RESULTS / f"theta_{_stem(args)}.npz", **flat)  # pinned by tests
     return vn
 
 
 def score(args, vn=None):
     from varnet_tpu.api import VarNet
-    from varnet_tpu.problems.analytic import contaminant_transport_2d
     from varnet_tpu.utils.helpers import rel_l2_error
     from varnet_tpu.utils.io import load_observations_csv
 
-    z = np.load(DATA / "contaminant_fdm.npz")
+    stem = _stem(args)
+    z = np.load(DATA / f"{stem}_fdm.npz")
     if vn is None:
-        case = contaminant_transport_2d()
+        case = get_case(args)
         vn = VarNet(case["pde"], layer_width=(args.width,) * args.layers,
                     disc_num=8, t_disc_num=4)
         t = np.load(Path(args.folder) / "theta_final.npz")
@@ -155,52 +160,60 @@ def score(args, vn=None):
     overall = rel_l2_error(np.concatenate(preds), np.concatenate(trues))
 
     # Also score through the shipped CSV via the io layer (SURVEY §2.1 #7).
-    obs = load_observations_csv(str(DATA / "contaminant_fdm.csv"))
+    obs = load_observations_csv(str(DATA / f"{stem}_fdm.csv"))
     m = obs.coords[:, 2] > 0
     u_net_csv = vn.evaluate(obs.coords[m, :2], t=obs.coords[m, 2])
     csv_rel = rel_l2_error(u_net_csv, obs.values[m])
 
-    out = {
+    rec = {
         "overall_rel_l2": overall,
         "csv_io_rel_l2": csv_rel,
         "per_time": per_time,
         "fdm_grid": [int(v) for v in z["meta"]],
-        "config": {"width": args.width, "layers": args.layers,
-                   "disc": args.disc, "tdisc": args.tdisc,
-                   "epochs": args.epochs, "lm_steps": args.lm_steps},
+        "config": {"variant": args.variant, "width": args.width,
+                   "layers": args.layers, "disc": args.disc,
+                   "tdisc": args.tdisc, "epochs": args.epochs,
+                   "lm_steps": args.lm_steps, "kappa": args.kappa},
         "note": "rel-L2 of the trained net vs the CN-FDM reference field "
                 "(solver itself verified 2nd-order vs the analytic 2Dt "
                 "config, tests/test_classical.py)",
     }
     RESULTS.mkdir(exist_ok=True)
-    with open(RESULTS / "contaminant_validation.json", "w") as f:
-        json.dump(out, f, indent=2)
-    print(json.dumps(out, indent=2))
+    p = RESULTS / "contaminant_validation.json"
+    out = json.loads(p.read_text()) if p.exists() else {}
+    out[args.variant] = rec
+    p.write_text(json.dumps(out, indent=2))
+    print(json.dumps(rec, indent=2))
 
 
 def main():
+    from varnet_tpu.utils.helpers import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--make-data", action="store_true")
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--score", action="store_true")
     ap.add_argument("--all", action="store_true")
+    ap.add_argument("--variant", choices=["inlet", "source"], default="inlet")
     ap.add_argument("--folder", type=str, default="/tmp/contaminant_val")
     ap.add_argument("--width", type=int, default=48)
     ap.add_argument("--layers", type=int, default=3)
     ap.add_argument("--disc", type=int, default=64)
     ap.add_argument("--tdisc", type=int, default=40)
-    ap.add_argument("--epochs", type=int, default=40000)
+    ap.add_argument("--epochs", type=int, default=30000)
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--lm-steps", type=int, default=10)
     ap.add_argument("--lm-cg", type=int, default=150)
-    ap.add_argument("--kappa", type=float, default=0.01)
+    ap.add_argument("--kappa", type=float, default=None)
     ap.add_argument("--umax", type=float, default=1.0)
-    ap.add_argument("--curriculum", type=str, default="0.1,0.03",
-                    help="comma-separated warm-up kappas (annealed to --kappa)")
+    ap.add_argument("--sigma", type=float, default=0.06)
     args = ap.parse_args()
+    if args.kappa is None:
+        args.kappa = 0.03 if args.variant == "inlet" else 0.01
     vn = None
     if args.make_data or args.all:
-        make_data()
+        make_data(args)
     if args.train or args.all:
         Path(args.folder).mkdir(parents=True, exist_ok=True)
         vn = train(args)

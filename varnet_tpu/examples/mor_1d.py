@@ -44,15 +44,23 @@ def main(argv=None):
                 bcs=[0.0, 1.0], c_ex=c_ex, mor=mor)
     vn = run_case(pde, args, weight=(1.0, 10.0))
 
-    # Per-sample error of the single amortized network.
+    # Per-sample error of the single amortized network, plus held-out mu
+    # values never seen in training (the amortization claim; measured TPU
+    # numbers in benchmarks/results/mor_accuracy.json).
     x = np.linspace(0, 1, 201)[:, None]
-    per_sample = {}
-    for v in vels:
-        mu = np.array([v])
-        u = vn.evaluate(x, mu=mu)
-        ex = c_ex(x, None, np.broadcast_to(mu[None, :], (x.shape[0], 1)))
-        per_sample[str(v)] = rel_l2_error(u, ex)
-    print(json.dumps({"per_sample_rel_l2": per_sample}))
+
+    def score(vals):
+        out = {}
+        for v in vals:
+            mu = np.array([v])
+            u = vn.evaluate(x, mu=mu)
+            ex = c_ex(x, None, np.broadcast_to(mu[None, :], (x.shape[0], 1)))
+            out[str(v)] = rel_l2_error(u, ex)
+        return out
+
+    holdout = [0.5 * (a + b) for a, b in zip(vels[:-1], vels[1:])]
+    print(json.dumps({"per_sample_rel_l2": score(vels),
+                      "holdout_rel_l2": score(holdout)}))
     return vn
 
 

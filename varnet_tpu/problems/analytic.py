@@ -205,6 +205,57 @@ def contaminant_transport_2d(
     return {"pde": pde, "c_ex": None, "c_ex_grad": None, "c_ex_dt": None}
 
 
+def contaminant_inlet_2d(
+    kappa: float = 0.03,
+    u_max: float = 1.0,
+    t_final: float = 1.0,
+    inlet_center: float = 0.5,
+    inlet_sigma: float = 0.12,
+    t_on: float = 0.1,
+    t_off: float = 0.5,
+):
+    """2-D transient contaminant transport, BOUNDARY-driven variant:
+    contaminant enters through the INLET (left edge) as a time-gated
+    Dirichlet concentration profile and is advected down the channel by
+    the Poiseuille flow.  Same physics class as the volumetric-source
+    config (shear transport, free outflow); unlike it, the nonzero inlet
+    data drives the network the way the flagship's BCs do, avoiding the
+    measured u=0 quasi-minimum of source-driven configs with homogeneous
+    BC/IC (see DESIGN.md 'zero-data attractor').
+    """
+
+    def gate(t):
+        # starts ~0 at t=0 (gate(0) < 1e-2) so the zero IC is consistent
+        t = np.asarray(t, dtype=np.float64)
+        return 0.5 * (np.tanh((t - t_on) / 0.04) - np.tanh((t - t_off) / 0.04))
+
+    def g_inlet(x, t=None):
+        x = np.atleast_2d(x)
+        prof = np.exp(-((x[:, 1] - inlet_center) ** 2) / (2 * inlet_sigma**2))
+        if t is None:
+            return prof
+        return prof * gate(t)
+
+    def vel(x, t=None):
+        x = np.atleast_2d(x)
+        vx = 4.0 * u_max * x[:, 1] * (1.0 - x[:, 1])
+        return np.stack([vx, np.zeros_like(vx)], axis=-1)
+
+    domain = RectangleDomain2D((0.0, 0.0), (2.0, 1.0))
+    pde = ADPDE(
+        domain,
+        diff=kappa,
+        vel=vel,
+        source=0.0,
+        t_interval=(0.0, t_final),
+        # bottom, outflow(right)=free, top, inlet(left)
+        bcs=[0.0, None, 0.0, g_inlet],
+        ic=0.0,
+    )
+    return {"pde": pde, "c_ex": None, "c_ex_grad": None, "c_ex_dt": None,
+            "g_inlet": g_inlet}
+
+
 def inverse_source_2d(kappa: float = 0.1, vel=(1.0, 0.5), n_obs: int = 400,
                       noise: float = 0.0, seed: int = 0):
     """Inverse source identification (BASELINE config 5 — stretch):
