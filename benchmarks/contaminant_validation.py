@@ -56,7 +56,9 @@ def get_case(args):
 
 
 def _stem(args):
-    return "contaminant_inlet" if args.variant == "inlet" else "contaminant"
+    return {"inlet": "contaminant_inlet",
+            "source": "contaminant",
+            "source-ff": "contaminant_src_ff"}[args.variant]
 
 
 def make_data(args, nx=256, ny=128, nt=400):
@@ -105,12 +107,18 @@ def train(args):
 
     enable_compilation_cache()
     case = get_case(args)
+    extra = {}
+    if args.variant == "source-ff":
+        # Fourier features counter the tanh NTK's spectral bias — the
+        # measured escape from the u=0 zero-data attractor (DESIGN.md).
+        extra = dict(fourier_features=args.ff, fourier_scale=args.ff_scale)
     vn = VarNet(
         case["pde"], layer_width=(args.width,) * args.layers,
         disc_num=(args.disc, args.disc // 2), b_disc_num=args.disc,
         t_disc_num=args.tdisc,
         optimizer=OptimizerConfig(lr=args.lr, decay_rate=0.5,
                                   decay_steps=max(args.epochs // 5, 1)),
+        **extra,
     )
     print(f"[train] variant={args.variant} n_test={vn.static.n_test} x "
           f"{vn.static.n_quad_per_test} quad")
@@ -142,8 +150,11 @@ def score(args, vn=None):
     z = np.load(DATA / f"{stem}_fdm.npz")
     if vn is None:
         case = get_case(args)
+        extra = {}
+        if args.variant == "source-ff":
+            extra = dict(fourier_features=args.ff, fourier_scale=args.ff_scale)
         vn = VarNet(case["pde"], layer_width=(args.width,) * args.layers,
-                    disc_num=8, t_disc_num=4)
+                    disc_num=8, t_disc_num=4, **extra)
         t = np.load(Path(args.folder) / "theta_final.npz")
         vn.theta = [{"w": t[f"l{i}_w"], "b": t[f"l{i}_b"]}
                     for i in range(len(t.files) // 2)]
@@ -195,7 +206,10 @@ def main():
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--score", action="store_true")
     ap.add_argument("--all", action="store_true")
-    ap.add_argument("--variant", choices=["inlet", "source"], default="inlet")
+    ap.add_argument("--variant", choices=["inlet", "source", "source-ff"],
+                    default="inlet")
+    ap.add_argument("--ff", type=int, default=64)
+    ap.add_argument("--ff-scale", type=float, default=0.5)
     ap.add_argument("--folder", type=str, default="/tmp/contaminant_val")
     ap.add_argument("--width", type=int, default=48)
     ap.add_argument("--layers", type=int, default=3)
@@ -210,7 +224,9 @@ def main():
     ap.add_argument("--sigma", type=float, default=0.06)
     args = ap.parse_args()
     if args.kappa is None:
-        args.kappa = 0.03 if args.variant == "inlet" else 0.01
+        args.kappa = 0.01 if args.variant == "source" else 0.03
+    if args.variant == "source-ff" and args.sigma == 0.06:
+        args.sigma = 0.12  # the resolvable setting (see DESIGN.md)
     vn = None
     if args.make_data or args.all:
         make_data(args)
