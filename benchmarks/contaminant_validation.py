@@ -221,12 +221,14 @@ def main():
     ap.add_argument("--lm-cg", type=int, default=150)
     ap.add_argument("--kappa", type=float, default=None)
     ap.add_argument("--umax", type=float, default=1.0)
-    ap.add_argument("--sigma", type=float, default=0.06)
+    ap.add_argument("--sigma", type=float, default=None)
     args = ap.parse_args()
     if args.kappa is None:
         args.kappa = 0.01 if args.variant == "source" else 0.03
-    if args.variant == "source-ff" and args.sigma == 0.06:
-        args.sigma = 0.12  # the resolvable setting (see DESIGN.md)
+    if args.sigma is None:
+        # source: the documented-limitation parameters; source-ff: the
+        # resolvable setting (see DESIGN.md)
+        args.sigma = 0.12 if args.variant == "source-ff" else 0.06
     vn = None
     if args.make_data or args.all:
         make_data(args)

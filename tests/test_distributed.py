@@ -55,9 +55,14 @@ _CHILD = textwrap.dedent(
     reason="explicitly disabled via VARNET_SKIP_DIST",
 )
 def test_two_process_distributed_train_step(tmp_path):
+    import socket
+
     script = tmp_path / "child.py"
     script.write_text(_CHILD)
-    port = "12411"
+    # Pick a genuinely free port (hardcoding collides with parallel runs).
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     procs = [
         subprocess.Popen(

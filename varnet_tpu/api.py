@@ -844,14 +844,8 @@ class VarNet:
         """
         if self.pde.c_ex is None:
             return None
-        prev = jax.config.jax_default_matmul_precision
-        jax.config.update("jax_default_matmul_precision", "highest")
-        try:
+        with matmul_precision_scope("highest"):
             return self._compute_error_inner(theta, disc, n_times)
-        finally:
-            jax.config.update(
-                "jax_default_matmul_precision", prev if prev else "default"
-            )
 
     def _compute_error_inner(
         self, theta: Any = None, disc: int = 64, n_times: int = 5

@@ -24,10 +24,11 @@ def main(argv=None):
                    help="the source-driven variant (see module docstring)")
     args = p.parse_args(argv)
     if args.volumetric_source:
-        case = contaminant_transport_2d(kappa=args.kappa or 0.01,
-                                        u_max=args.umax)
+        kap = 0.01 if args.kappa is None else args.kappa
+        case = contaminant_transport_2d(kappa=kap, u_max=args.umax)
     else:
-        case = contaminant_inlet_2d(kappa=args.kappa or 0.03, u_max=args.umax)
+        kap = 0.03 if args.kappa is None else args.kappa
+        case = contaminant_inlet_2d(kappa=kap, u_max=args.umax)
     return run_case(
         case["pde"], args, weight=(1.0, 10.0, 10.0), t_disc_num=args.tdisc
     )

@@ -371,8 +371,9 @@ def lshape_manufactured_2d(kappa: float = 0.05, vel=(1.0, 0.5)):
     (VERDICT r1 weak #4: the round-1 L-shape example had no acceptance
     criterion).  u* = sin(pi x) sin(pi y) vanishes on the four outer edges
     but NOT on the two inner (re-entrant) edges, so the per-edge Dirichlet
-    machinery is genuinely exercised: edges 2 (x = 0.5 wall) and 3
-    (y = 0.5 wall) carry non-trivial g = u*.
+    machinery is genuinely exercised: edge 2 (the inner horizontal y = 0.5
+    wall) and edge 3 (the inner vertical x = 0.5 wall) carry non-trivial
+    g = u*.
 
     Vertex order: (0,0) (1,0) (1,.5) (.5,.5) (.5,1) (0,1); edge i runs from
     vertex i to i+1, so edges are: 0 bottom, 1 right(lower), 2 inner

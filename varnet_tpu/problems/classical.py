@@ -78,10 +78,11 @@ def solve_ad_fdm_2d(
     vel = pde.eval_vel(nodes, tz)             # [N, 2]
     react = pde.eval_react(nodes, tz)         # [N]
 
-    # Cell-Peclet sanity for central advection.
+    # Cell-Peclet sanity for central advection (always warn: a silent
+    # violation would pollute downstream cross-validation numbers).
     pe = np.max(np.abs(vel[:, 0])) * hx / max(kappa.min(), 1e-300)
     pe = max(pe, np.max(np.abs(vel[:, 1])) * hy / max(kappa.min(), 1e-300))
-    if pe >= 2.0 and verbose:
+    if pe >= 2.0:
         print(f"[classical] WARNING cell Peclet {pe:.2f} >= 2; refine the grid")
 
     # Midpoint kappa for the conservative diffusion stencil, precomputed
@@ -188,7 +189,6 @@ def solve_ad_fdm_2d(
 
     dt = (t1 - t0) / nt
     eye = sp.identity(n, format="csr")
-    free = sp.diags((~is_dir).astype(np.float64))
     lhs = (eye - theta * dt * a_mat).tolil()
     rhs_op = (eye + (1.0 - theta) * dt * a_mat).tocsr()
     # Dirichlet rows: identity in LHS (value set directly in the RHS).

@@ -34,9 +34,11 @@ def matmul_precision_scope(value):
     try:
         yield
     finally:
-        jax.config.update(
-            "jax_default_matmul_precision", prev if prev else "default"
-        )
+        # Restore prev VERBATIM (None is legal): rewriting None to
+        # 'default' changes the jit trace context and silently invalidates
+        # every previously-traced jit cache entry (measured: 1 -> 2 traces)
+        # — minutes of recompilation for the big TPU train step.
+        jax.config.update("jax_default_matmul_precision", prev)
 
 
 def enable_compilation_cache(path: str = "~/.cache/varnet_tpu_xla") -> bool:
