@@ -79,6 +79,36 @@ def test_contaminant_inlet_theta_matches_fdm():
     assert err < 0.08, f"contaminant-inlet vs FDM regression: rel-L2 {err:.3f}"
 
 
+def test_contaminant_source_ff_theta_matches_fdm():
+    """Pin the source-driven contaminant cross-validation (Fourier-feature
+    variant, kappa=0.03/sigma=0.12 — measured 2.25% overall): the
+    zero-data attractor's FF escape, re-scored with no training."""
+    import os
+
+    from varnet_tpu.api import VarNet
+    from varnet_tpu.problems.analytic import contaminant_transport_2d
+    from varnet_tpu.utils.io import load_observations_csv
+
+    base = os.path.join(os.path.dirname(__file__), "..", "benchmarks")
+    theta_path = os.path.join(base, "results", "theta_contaminant_src_ff.npz")
+    if not os.path.exists(theta_path):
+        pytest.skip("no persisted source-ff theta yet")
+    z = np.load(theta_path)
+    theta = [{"w": z[f"l{i}_w"], "b": z[f"l{i}_b"]}
+             for i in range(len(z.files) // 2)]
+    obs = load_observations_csv(os.path.join(base, "data",
+                                             "contaminant_src_ff_fdm.csv"))
+    m = obs.coords[:, 2] > 0
+    case = contaminant_transport_2d(kappa=0.03, src_sigma=0.12)
+    vn = VarNet(case["pde"], layer_width=(48, 48, 48), disc_num=8,
+                t_disc_num=4, n_devices=1,
+                fourier_features=64, fourier_scale=0.5)
+    vn.theta = theta
+    u = vn.evaluate(obs.coords[m, :2], t=obs.coords[m, 2])
+    err = rel_l2_error(u, obs.values[m])
+    assert err < 0.06, f"source-ff vs FDM regression: rel-L2 {err:.3f}"
+
+
 def test_fdm_free_outflow_runs_and_bounded():
     """The contaminant config (free right edge -> one-sided stencils) runs,
     conserves sign, and stays bounded."""
