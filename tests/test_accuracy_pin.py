@@ -46,6 +46,15 @@ def test_flagship_theta_beats_north_star(flagship_vn):
     assert err < 1e-3  # the BASELINE north-star criterion itself
 
 
+def test_flagship_r2_theta_beats_round1(flagship_vn):
+    """Round-2 deep-LM continuation result: 1.62e-4 (6.2x under the
+    north star; ladder in flagship_accuracy.json)."""
+    path = os.path.join(RESULTS, "flagship_theta_1.6e-4.npz")
+    theta = _load_theta(path)
+    err = flagship_vn.compute_error(theta, disc=96, n_times=7)
+    assert err < 2.2e-4, f"flagship r2 eval regression: rel-L2 {err:.3e}"
+
+
 def test_flagship_intermediate_theta_consistent(flagship_vn):
     """The first-LM-phase parameters score at their recorded 8.3e-4."""
     path = os.path.join(RESULTS, "flagship_theta_8.3e-4.npz")
