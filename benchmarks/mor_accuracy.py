@@ -41,8 +41,9 @@ def run_1d(args):
     from varnet_tpu.problems.adpde import ADPDE, MORVar
 
     kappa = 0.1
-    vels = [0.5, 1.0, 1.5, 2.0]
-    holdout = [0.75, 1.25, 1.75]
+    vels = [float(v) for v in args.samples_1d.split(",")]
+    # Held-out mu: midpoints of consecutive training samples.
+    holdout = [0.5 * (a + b) for a, b in zip(vels[:-1], vels[1:])]
 
     def vel(x, t, mu):
         n = np.atleast_2d(x).shape[0]
@@ -120,12 +121,15 @@ def main():
     ap.add_argument("--lm-steps", type=int, default=20)
     ap.add_argument("--lm-cg", type=int, default=100)
     ap.add_argument("--only", choices=["1d", "2d"], default=None)
+    ap.add_argument("--samples-1d", type=str, default="0.5,1.0,1.5,2.0")
+    ap.add_argument("--key", type=str, default="mor_1d_peclet",
+                    help="result key for the 1d run (e.g. mor_1d_peclet_dense)")
     args = ap.parse_args()
 
     out = {}
     if args.only in (None, "1d"):
-        out["mor_1d_peclet"] = run_1d(args)
-        print(json.dumps({"mor_1d_peclet": out["mor_1d_peclet"]}), flush=True)
+        out[args.key] = run_1d(args)
+        print(json.dumps({args.key: out[args.key]}), flush=True)
     if args.only in (None, "2d"):
         out["mor_2d_boundary_layer"] = run_2d(args)
         print(json.dumps({"mor_2d_boundary_layer": out["mor_2d_boundary_layer"]}),

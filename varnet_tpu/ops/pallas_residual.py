@@ -37,7 +37,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_mlp import _act_pair, _make_mm, _outer, _small_k_mm, _small_n_mm_t
 
-DEFAULT_TILE_K = 4096  # measured best on v5e
+DEFAULT_TILE_K = 4096        # jacobian-panel kernel: measured best on v5e
+DEFAULT_TILE_K_DIR = 8192    # directional kernel: smaller VMEM state admits
+                             # bigger tiles; measured +7.7% over 4096 and the
+                             # start of the 8192/12288/16384 plateau (least
+                             # K-padding waste of the plateau)
 
 
 def _packed_forward(_mm, act, act_p, n_in, n_layers, w_refs, xs, t):
@@ -509,7 +513,7 @@ def pallas_fused_residual(
     *,
     time_dependent: bool,
     has_react: bool = False,
-    tile: int = DEFAULT_TILE_K,
+    tile: Optional[int] = None,
     interpret: bool = False,
     precision=None,
     directional: bool = True,
@@ -532,6 +536,8 @@ def pallas_fused_residual(
     n_layers = len(params)
     from .pallas_mlp import _auto_tile
 
+    if tile is None:
+        tile = DEFAULT_TILE_K_DIR if directional else DEFAULT_TILE_K
     h_max = max(l["w"].shape[1] for l in params)
     # The directional state is 2 panels vs (1 + n_in): size its tile by an
     # effective input count of 1.
