@@ -164,9 +164,12 @@ def score(args, vn=None):
     for s, tval in enumerate(z["times"]):
         u_net = vn.evaluate(x, t=np.full(x.shape[0], tval))
         u_fdm = z["u"][s].astype(np.float64)
-        preds.append(u_net)
-        trues.append(u_fdm)
+        # t=0 is excluded from BOTH the per-time and overall metrics (both
+        # fields are ~0 for zero-IC configs and would flatter the headline;
+        # the CSV scoring path below applies the same t>0 mask) — ADVICE r2.
         if tval > 0:
+            preds.append(u_net)
+            trues.append(u_fdm)
             per_time[f"t={tval:.3f}"] = rel_l2_error(u_net, u_fdm)
     overall = rel_l2_error(np.concatenate(preds), np.concatenate(trues))
 

@@ -63,14 +63,14 @@ def test_flagship_intermediate_theta_consistent(flagship_vn):
     assert 6e-4 < err < 1e-3, f"expected ~8.3e-4, got {err:.3e}"
 
 
+# name -> rel-L2 bound (widths/layers come from
+# benchmarks.per_config_accuracy.CONFIGS — the single source of truth)
 PER_CONFIG = {
-    # name: (factory kwargs key in benchmarks/per_config_accuracy.CONFIGS,
-    #        layer spec, rel-L2 bound)
-    "1d_steady": ((20, 20), 1e-3),
-    "1d_transient": ((20, 20), 1e-3),
-    "2d_steady": ((20, 20), 1e-3),
-    "2d_transient": ((32, 32), 1e-3),
-    "lshape_manufactured": ((24, 24), 2e-3),
+    "1d_steady": 1e-3,
+    "1d_transient": 1e-3,
+    "2d_steady": 1e-3,
+    "2d_transient": 1e-3,
+    "lshape_manufactured": 2e-3,
 }
 
 
@@ -95,7 +95,7 @@ def test_per_config_theta_beats_target(name):
                 t_disc_num=None if tdisc is None else 4, n_devices=1)
     theta = _load_theta(path)
     err = vn.compute_error(theta, disc=96, n_times=7)
-    bound = PER_CONFIG[name][1]
+    bound = PER_CONFIG[name]
     assert err < bound, f"{name}: rel-L2 {err:.3e} >= {bound:g}"
 
 

@@ -111,6 +111,122 @@ def test_fused_residual_param_grads(name, case_fn, td, react, disc, kw, tile,
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-6)
 
 
+@pytest.mark.parametrize("g", [2, 3, 4])
+@pytest.mark.parametrize("name,case_fn,td,react,disc,kw,tile", CASES,
+                         ids=[c[0] for c in CASES])
+def test_qblocked_residual_matches_reference(name, case_fn, td, react, disc,
+                                             kw, tile, g):
+    """The q-blocked directional kernel (G quadrature points per program,
+    block-diagonal weights — round-3 MXU-pass optimization) matches the
+    compositional path in values and parameter gradients.  g=3 forces
+    nq padding (nq = 2^(d+1) never divides by 3)."""
+    case = case_fn()
+    fd = build_fixed_data(case["pde"], disc, **kw)
+    st = fd.static
+    quad = jax.tree_util.tree_map(jnp.asarray, fd.quad)
+    params = init_mlp(jax.random.PRNGKey(0), st.n_inputs, (16, 16))
+    scale, shift = make_input_scaling(st.input_lo, st.input_hi)
+
+    r_ref = _reference_r(params, quad, st, scale, shift, td, react)
+    r = pallas_fused_residual(
+        params, quad, "tanh", scale, shift,
+        time_dependent=td, has_react=react, tile=tile, interpret=True,
+        q_block=g,
+    )
+    np.testing.assert_allclose(r, r_ref, rtol=1e-5, atol=1e-8)
+
+    k = quad.coords.shape[0]
+    cw = jax.random.normal(jax.random.PRNGKey(5), (k,))
+
+    def loss_ref(p):
+        rr = _reference_r(p, quad, st, scale, shift, td, react)
+        return jnp.sum(rr * cw) + jnp.sum(rr * rr)
+
+    def loss_fused(p):
+        rr = pallas_fused_residual(
+            p, quad, "tanh", scale, shift,
+            time_dependent=td, has_react=react, tile=tile, interpret=True,
+            q_block=g,
+        )
+        return jnp.sum(rr * cw) + jnp.sum(rr * rr)
+
+    g1 = jax.grad(loss_ref)(params)
+    g2 = jax.grad(loss_fused)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-6)
+
+
+def test_qblocked_deep_and_sin():
+    """3-hidden-layer SIREN net through the q-blocked kernel (exercises
+    the multi-hidden blocked loop and the sin activation pair)."""
+    from varnet_tpu.models.mlp import init_siren
+
+    case = transient_ad_2d()
+    fd = build_fixed_data(case["pde"], 8, t_disc_num=4, b_disc_num=4)
+    st = fd.static
+    quad = jax.tree_util.tree_map(jnp.asarray, fd.quad)
+    params = init_siren(jax.random.PRNGKey(2), st.n_inputs, (12, 12, 12))
+    scale, shift = make_input_scaling(st.input_lo, st.input_hi)
+
+    k, nq, _ = quad.coords.shape
+    flat = quad.coords.reshape(k * nq, st.n_inputs)
+    u, du = mlp_value_and_jac(params, flat, "sin", scale, shift)
+    gu = du[:, : st.n_space].reshape(k, nq, st.n_space)
+    ut = du[:, st.n_space].reshape(k, nq)
+    r_ref = weak_residual(gu, quad.N, quad.dN, quad.w, quad.kappa, quad.vel,
+                          quad.src, ut)
+    r = pallas_fused_residual(params, quad, "sin", scale, shift,
+                              time_dependent=True, tile=49, interpret=True,
+                              q_block=4)
+    np.testing.assert_allclose(r, r_ref, rtol=1e-5, atol=1e-8)
+
+
+@pytest.mark.parametrize("directional", [True, False],
+                         ids=["directional", "jacobian"])
+def test_fused_residual_mor_matches_reference(directional):
+    """Parametric (MOR) problems are fused-kernel eligible (VERDICT r2
+    next #5): the mu coordinate rows get a zero contraction direction, so
+    values AND parameter gradients must match the general path."""
+    from varnet_tpu.problems.analytic import mor_steady_ad_2d
+
+    case = mor_steady_ad_2d(vels=(0.5, 1.5))
+    fd = build_fixed_data(case["pde"], 6, b_disc_num=4)
+    st = fd.static
+    assert st.n_mor == 1
+    quad = jax.tree_util.tree_map(jnp.asarray, fd.quad)
+    params = init_mlp(jax.random.PRNGKey(0), st.n_inputs, (16, 16))
+    scale, shift = make_input_scaling(st.input_lo, st.input_hi)
+    tile = 25
+
+    r_ref = _reference_r(params, quad, st, scale, shift, False, False)
+    r = pallas_fused_residual(
+        params, quad, "tanh", scale, shift,
+        time_dependent=False, has_react=False, tile=tile, interpret=True,
+        directional=directional,
+    )
+    np.testing.assert_allclose(r, r_ref, rtol=1e-5, atol=1e-8)
+
+    k = quad.coords.shape[0]
+    cw = jax.random.normal(jax.random.PRNGKey(5), (k,))
+
+    def loss_ref(p):
+        r = _reference_r(p, quad, st, scale, shift, False, False)
+        return jnp.sum(r * cw) + jnp.sum(r * r)
+
+    def loss_fused(p):
+        r = pallas_fused_residual(
+            p, quad, "tanh", scale, shift,
+            time_dependent=False, has_react=False, tile=tile,
+            interpret=True, directional=directional,
+        )
+        return jnp.sum(r * cw) + jnp.sum(r * r)
+
+    g1 = jax.grad(loss_ref)(params)
+    g2 = jax.grad(loss_fused)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-6)
+
+
 def test_varnet_trains_with_fused_residual():
     """End-to-end: force the fused path on the CPU backend (interpret off is
     TPU-only, so use the hook manually with interpret=True)."""

@@ -189,7 +189,12 @@ class VarNet:
         # (np only): __init__ must not touch the device (a device_get here
         # once hit a transient tunnel FAILED_PRECONDITION and killed a run).
         # Consume via jax.random.wrap_key_data when stochastic features land.
-        self.prng_key = np.array([0, np.uint32(self.seed + 1)], dtype=np.uint32)
+        _s = np.uint64(self.seed + 1)
+        self.prng_key = np.array(
+            [(_s >> np.uint64(32)) & np.uint64(0xFFFFFFFF),
+             _s & np.uint64(0xFFFFFFFF)],
+            dtype=np.uint64,
+        ).astype(np.uint32)
         self.train_result: Optional[TrainResult] = None
         self._apply_override = apply_override
         eval_kwargs = {} if apply_override is None else {"apply_fn": apply_override}
@@ -205,8 +210,6 @@ class VarNet:
             or not self.use_fused_residual
             or self.source_fn is not None
             or self.fourier_b is not None
-            or self.static.n_mor > 0  # kernel contracts d(+1) derivative
-            # rows only; MOR inputs ride the general fused value+jac path
         ):
             return None
         import functools
@@ -707,21 +710,41 @@ class VarNet:
         theta0 = replicate(self.theta, self.mesh)
         flat0, unravel = ravel_pytree(theta0)
 
-        def closure(flat):
-            return res_fn(unravel(flat), quad_d, bc_d, ic_d, obs_d, weights_arr)
+        # Explicit shard_map LM (same design as the Adam step — packed
+        # psums over the data axis; see train/gauss_newton.py): the
+        # closures take the sharded data pytree and compute the PER-SHARD
+        # residual slice.
+        def closure(flat, data):
+            quad, bc, ic, obs = data
+            return res_fn(unravel(flat), quad, bc, ic, obs, weights_arr)
 
         closure_jvp = None
         if res_fn_jvp is not res_fn:
-            def closure_jvp(flat):
-                return res_fn_jvp(
-                    unravel(flat), quad_d, bc_d, ic_d, obs_d, weights_arr
-                )
+            def closure_jvp(flat, data):
+                quad, bc, ic, obs = data
+                return res_fn_jvp(unravel(flat), quad, bc, ic, obs, weights_arr)
+
+        from jax.sharding import PartitionSpec as P
+
+        from .fem.assembly import QuadData
+        from .parallel.mesh import DATA_AXIS
+
+        rep = P()
+        per_node = P(DATA_AXIS)
+        quad_spec = QuadData(
+            coords=per_node, N=rep, dN=rep, w=rep,
+            kappa=per_node, vel=per_node, src=per_node, react=per_node,
+            mask=per_node,
+        )
+        data = (quad_d, bc_d, ic_d, obs_d)
+        data_specs = (quad_spec, per_node, per_node, per_node)
 
         lm_step = make_lm_step(
             closure, cg_iters=cg_iters, cg_segment=cg_segment,
-            residual_jvp=closure_jvp,
+            residual_jvp=closure_jvp, mesh=self.mesh, data=data,
+            data_specs=data_specs,
         )
-        r0 = closure(flat0)
+        r0 = closure(flat0, data)
         state = LMState(
             flat=flat0,
             lam=jnp.asarray(float(lam0), self.dtype),
@@ -798,11 +821,22 @@ class VarNet:
         with matmul_precision_scope(matmul_precision):
             return self._evaluate_inner(x, t, mu, theta, chunk)
 
+    def _replicated(self, theta):
+        """Replicate theta onto the mesh, cached by object identity —
+        error reports and chunked evaluation call this once per time
+        slice/chunk with the SAME host pytree (VERDICT r2 hygiene)."""
+        cached = getattr(self, "_theta_d_cache", None)
+        if cached is not None and cached[0] is theta:
+            return cached[1]
+        theta_d = replicate(theta, self.mesh)
+        self._theta_d_cache = (theta, theta_d)
+        return theta_d
+
     def _evaluate_inner(self, x, t, mu, theta, chunk) -> np.ndarray:
         theta = self.theta if theta is None else theta
         coords = self._make_coords(x, t, mu)
         n = coords.shape[0]
-        theta_d = replicate(theta, self.mesh)
+        theta_d = self._replicated(theta)
         if n <= chunk:
             out = self._eval_fn(theta_d, jnp.asarray(coords, self.dtype))
             return np.asarray(jax.device_get(out), dtype=np.float64)
@@ -863,7 +897,7 @@ class VarNet:
                 tcol = np.full(pts.shape[0], tv)
                 coords = self._make_coords(pts, tcol, mu0)
                 u = self._eval_fn(
-                    replicate(theta, self.mesh), jnp.asarray(coords, self.dtype)
+                    self._replicated(theta), jnp.asarray(coords, self.dtype)
                 )
                 preds.append(np.asarray(jax.device_get(u)))
                 mu_b = (
@@ -874,7 +908,7 @@ class VarNet:
                 exacts.append(self.pde.eval_exact(pts, tcol, mu_b))
             return rel_l2_error(np.concatenate(preds), np.concatenate(exacts))
         coords = self._make_coords(pts, None, mu0)
-        u = self._eval_fn(replicate(theta, self.mesh), jnp.asarray(coords, self.dtype))
+        u = self._eval_fn(self._replicated(theta), jnp.asarray(coords, self.dtype))
         mu_b = (
             None
             if mu0 is None

@@ -72,24 +72,30 @@ def _packed_forward(_mm, act, act_p, n_in, n_layers, w_refs, xs, t):
     return u, du, s_packed, zs, acts
 
 
-def _integrand_coeffs(f_ref, tab_ref, scale_ref, q, d, td, has_react):
+def _integrand_coeffs(f_ref, tab_ref, scale_ref, q, d, td, has_react,
+                      n_mor=0):
     """Per-point coefficients of (u, du_scaled_j) in the weighted integrand.
 
     Returns (cu [1,T] or None, cdu list of n_in [1,T] panels) such that
     contribution = cu * u + sum_j cdu_j * du_scaled_j  (source term handled
     separately).  tab_ref rows: [N | w | dN_1..dN_d] with shape [nQ, 2+d].
+    MOR inputs (n_mor trailing coordinate rows, SURVEY.md §3.5) never
+    appear differentiated in the weak form — their panels get ZERO
+    coefficients, which is what makes parametric problems eligible for
+    this kernel.
     """
     n_q = tab_ref[q, 0]
     w_q = tab_ref[q, 1]
     kappa = f_ref[0:1, :]
     cdu = []
-    n_sp = d + (1 if td else 0)
     for j in range(d):
         vel_j = f_ref[1 + j : 2 + j, :]
         dn_qj = tab_ref[q, 2 + j]
         cdu.append(w_q * scale_ref[j, 0] * (vel_j * n_q + kappa * dn_qj))
     if td:
         cdu.append(w_q * scale_ref[d, 0] * n_q * jnp.ones_like(kappa))
+    for _ in range(n_mor):
+        cdu.append(jnp.zeros_like(kappa))
     cu = None
     if has_react:
         react = f_ref[2 + d : 3 + d, :]
@@ -115,7 +121,8 @@ def _fused_fwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
         _mm, act, act_p, n_in, n_layers, w_refs, xs_ref[:], t
     )
     cu, cdu, c_src = _integrand_coeffs(
-        f_ref, tab_ref, scale_ref, q, d, td, has_react
+        f_ref, tab_ref, scale_ref, q, d, td, has_react,
+        n_mor=n_in - d - (1 if td else 0),
     )
     contrib = c_src
     for j in range(n_in):
@@ -149,7 +156,10 @@ def _fused_bwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
         _mm, act, act_p, n_in, n_layers, w_refs, xs, t
     )
     del u, du
-    cu, cdu, _ = _integrand_coeffs(f_ref, tab_ref, scale_ref, q, d, td, has_react)
+    cu, cdu, _ = _integrand_coeffs(
+        f_ref, tab_ref, scale_ref, q, d, td, has_react,
+        n_mor=n_in - d - (1 if td else 0),
+    )
     gr = gr_ref[:]
     g_rows = [gr * cu if cu is not None else jnp.zeros_like(gr)]
     g_rows += [gr * cdu[j] for j in range(n_in)]
@@ -236,10 +246,14 @@ def _fused_bwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
 # contraction direction lives inside the quadrature tables.
 
 
-def _dir_coeffs(f_ref, tab_ref, scale_ref, q, d, td, has_react, like):
+def _dir_coeffs(f_ref, tab_ref, scale_ref, q, d, td, has_react, like,
+                n_mor=0):
     """Per-point tangent direction c [rows list], u coefficient, source term.
 
-    like: an [1, T] array for broadcasting shapes.
+    like: an [1, T] array for broadcasting shapes.  MOR rows (trailing
+    n_mor inputs) get a ZERO direction: the weak form never differentiates
+    in mu, so the directional derivative simply ignores those inputs
+    (SURVEY.md §3.5 — this is what admits parametric problems here).
     """
     n_q = tab_ref[q, 0]
     w_q = tab_ref[q, 1]
@@ -251,6 +265,8 @@ def _dir_coeffs(f_ref, tab_ref, scale_ref, q, d, td, has_react, like):
         c_rows.append(w_q * scale_ref[j, 0] * (vel_j * n_q + kappa * dn_qj))
     if td:
         c_rows.append(w_q * scale_ref[d, 0] * n_q * jnp.ones_like(like))
+    for _ in range(n_mor):
+        c_rows.append(jnp.zeros_like(like))
     cu = None
     if has_react:
         react = f_ref[2 + d : 3 + d, :]
@@ -299,7 +315,8 @@ def _dir_fwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
     q = pl.program_id(1)
 
     c_rows, cu, c_src = _dir_coeffs(
-        f_ref, tab_ref, scale_ref, q, d, td, has_react, f_ref[0:1, :]
+        f_ref, tab_ref, scale_ref, q, d, td, has_react, f_ref[0:1, :],
+        n_mor=n_in - d - (1 if td else 0),
     )
     u, dd, _, _, _, _ = _dir_forward(
         _mm, act, act_p, n_in, n_layers, w_refs, xs_ref[:], c_rows, t
@@ -331,7 +348,8 @@ def _dir_bwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
     xs = xs_ref[:]
 
     c_rows, cu, _ = _dir_coeffs(
-        f_ref, tab_ref, scale_ref, q, d, td, has_react, f_ref[0:1, :]
+        f_ref, tab_ref, scale_ref, q, d, td, has_react, f_ref[0:1, :],
+        n_mor=n_in - d - (1 if td else 0),
     )
     u, dd, s_packed, zs, acts, jpre0 = _dir_forward(
         _mm, act, act_p, n_in, n_layers, w_refs, xs, c_rows, t
@@ -504,6 +522,359 @@ def _fused_residual_fn(n_in, n_layers, d, td, has_react, activation, tile,
     return f
 
 
+# ---------------------------------------------------------------------- #
+# Q-BLOCKED directional variant (round 3): the directional kernel's hidden
+# matmuls are [H, H] @ [H, 2T] with H ~ 20 — the MXU's 128 sublane rows are
+# ~84% idle and throughput is bound by COLUMN PASSES, not FLOPs (measured:
+# width 20 -> 48 is 5.7x the FLOPs for ~1.27x the time, BASELINE.md).  Here
+# G quadrature points share one program: their states stack along the
+# sublane axis ([G*H, 2T]) and the hidden weights become BLOCK-DIAGONAL
+# [G*H, G*H] matrices (same pass cost as [H, H] for G*H <= 128), cutting
+# MXU passes per point by ~G.  The output layer's block form [G, G*H] also
+# SUMS the G contributions for free via the final contraction row layout.
+# Per-q work that must stay per-q (layer-0 small-K products, coefficient
+# construction) loops over compile-time g with row slices.
+#
+# Parameter gradients accumulate in BLOCKED shapes in-kernel (the MXU
+# produces [G*H, G*H] including garbage off-diagonal blocks — one pass,
+# harmless); the XLA-side wrapper sums the G diagonal blocks, which is the
+# correct gradient because every block is the SAME parameter.
+
+
+def _dirq_coeffs(f_ref, tab_ref, scale_ref, qg, d, td, has_react, n_in,
+                 n_f, G, like):
+    """Blocked per-point coefficients for q = qg*G + g, g = 0..G-1.
+
+    Returns (c_blk [G*n_in, T], cu_blk [G, T] or None, csrc_blk [G, T]).
+    Padded q rows (beyond the real nq) carry w_q = 0 in the table, zeroing
+    every coefficient, so garbage columns contribute exactly 0."""
+    n_mor = n_in - d - (1 if td else 0)
+    c_parts, cu_parts, csrc_parts = [], [], []
+    for g in range(G):
+        fg = f_ref[g * n_f : (g + 1) * n_f, :]
+        c_rows, cu, csrc = _dir_coeffs(
+            fg, tab_ref, scale_ref, qg * G + g, d, td, has_react,
+            fg[0:1, :], n_mor=n_mor,
+        )
+        c_parts.extend(c_rows)
+        if cu is not None:
+            cu_parts.append(cu)
+        csrc_parts.append(csrc)
+    c_blk = jnp.concatenate(c_parts, axis=0)
+    cu_blk = jnp.concatenate(cu_parts, axis=0) if cu_parts else None
+    csrc_blk = jnp.concatenate(csrc_parts, axis=0)
+    return c_blk, cu_blk, csrc_blk
+
+
+def _dirq_forward(_mm, act, act_p, n_in, n_layers, G, w_refs, xs, c_blk, t):
+    """Blocked 2-panel forward.  w_refs layout: [w0 core [H0,n_in], b0,
+    (wblk_l [G*Hl,G*Hl-1], b_l)…, wlast_blk [G,G*Hlast], b_last].
+    Returns (u [G,T], dd [G,T], s_packed, zs, acts, jpre0)."""
+    w0, b0 = w_refs[0][:], w_refs[1][:]
+    zg, jg = [], []
+    for g in range(G):
+        xg = xs[g * n_in : (g + 1) * n_in, :]
+        cg = c_blk[g * n_in : (g + 1) * n_in, :]
+        zg.append(_small_k_mm(w0, xg, n_in) + b0)
+        jg.append(_small_k_mm(w0, cg, n_in))
+    z = jnp.concatenate(zg, axis=0)        # [G*H0, T]
+    jpre0 = jnp.concatenate(jg, axis=0)    # [G*H0, T]
+    a = act(z)
+    sp = act_p(z, a)
+    s = jnp.concatenate([a, sp * jpre0], axis=1)  # [G*H0, 2T]
+    zs, acts, s_packed = [z], [a], [s]
+    for l in range(1, n_layers - 1):
+        wblk, b = w_refs[2 * l][:], w_refs[2 * l + 1][:]
+        zc = _mm(wblk, s)
+        bt = jnp.concatenate([b] * G, axis=0)
+        z = zc[:, :t] + bt
+        a = act(z)
+        sp = act_p(z, a)
+        s = jnp.concatenate([a, sp * zc[:, t:]], axis=1)
+        zs.append(z)
+        acts.append(a)
+        s_packed.append(s)
+    wlast, blast = w_refs[2 * (n_layers - 1)][:], w_refs[2 * (n_layers - 1) + 1][:]
+    oc = _mm(wlast, s)                     # [G, 2T]
+    u = oc[:, :t] + blast                  # bias broadcasts over G rows
+    dd = oc[:, t:]
+    return u, dd, s_packed, zs, acts, jpre0
+
+
+def _dirq_fwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
+                     G, n_f, *refs):
+    """refs: xs [G*n_in,T], f [G*n_f,T], tab SMEM [nqp,2+d], scale SMEM,
+    w/b per layer (see _dirq_forward), out r [1,T]."""
+    _mm = _make_mm(precision)
+    act, act_p, _ = _act_pair(activation)
+    xs_ref, f_ref, tab_ref, scale_ref = refs[:4]
+    w_refs = refs[4 : 4 + 2 * n_layers]
+    r_ref = refs[4 + 2 * n_layers]
+    t = xs_ref.shape[1]
+    qg = pl.program_id(1)
+
+    c_blk, cu_blk, csrc_blk = _dirq_coeffs(
+        f_ref, tab_ref, scale_ref, qg, d, td, has_react, n_in, n_f, G,
+        f_ref[0:1, :],
+    )
+    u, dd, _, _, _, _ = _dirq_forward(
+        _mm, act, act_p, n_in, n_layers, G, w_refs, xs_ref[:], c_blk, t
+    )
+    per_g = dd + csrc_blk
+    if cu_blk is not None:
+        per_g = per_g + cu_blk * u
+    contrib = jnp.sum(per_g, axis=0, keepdims=True)  # [1, T]
+
+    @pl.when(qg == 0)
+    def _():
+        r_ref[:] = contrib
+
+    @pl.when(qg != 0)
+    def _():
+        r_ref[:] = r_ref[:] + contrib
+
+
+def _dirq_bwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
+                     G, n_f, *refs):
+    """refs: xs, f, tab, scale, gr [1,T], wl_col [Hlast,1], w/b pairs,
+    outs: d_w0 [H0,n_in], d_b0 [G*H0,1], (d_wblk_l [G*Hl,G*Hl-1],
+    d_b_l [G*Hl,1])…, d_wlast_blk [G,G*Hlast], d_blast [1,1].
+    Blocked grads are diagonal-summed by the XLA wrapper."""
+    _mm = _make_mm(precision)
+    act, act_p, act_pp = _act_pair(activation)
+    xs_ref, f_ref, tab_ref, scale_ref, gr_ref, wl_col_ref = refs[:6]
+    w_refs = refs[6 : 6 + 2 * n_layers]
+    out_refs = refs[6 + 2 * n_layers :]
+    t = xs_ref.shape[1]
+    i = pl.program_id(0)
+    qg = pl.program_id(1)
+    xs = xs_ref[:]
+
+    c_blk, cu_blk, _ = _dirq_coeffs(
+        f_ref, tab_ref, scale_ref, qg, d, td, has_react, n_in, n_f, G,
+        f_ref[0:1, :],
+    )
+    u, dd, s_packed, zs, acts, jpre0 = _dirq_forward(
+        _mm, act, act_p, n_in, n_layers, G, w_refs, xs, c_blk, t
+    )
+    del u, dd
+    gr = gr_ref[:]                                  # [1, T]
+    g_tan = jnp.concatenate([gr] * G, axis=0)       # [G, T]
+    g_val = gr * cu_blk if cu_blk is not None else None
+
+    def accum(ref, val):
+        @pl.when((i == 0) & (qg == 0))
+        def _():
+            ref[:] = val
+
+        @pl.when((i != 0) | (qg != 0))
+        def _():
+            ref[:] = ref[:] + val
+
+    d_wlast = _mm(g_tan, s_packed[-1][:, t:].T)     # [G, G*Hlast]
+    if g_val is not None:
+        d_wlast = d_wlast + _mm(g_val, s_packed[-1][:, :t].T)
+    accum(out_refs[2 * (n_layers - 1)], d_wlast)
+    accum(
+        out_refs[2 * (n_layers - 1) + 1],
+        jnp.sum(g_val, keepdims=True).reshape(1, 1)
+        if g_val is not None
+        else jnp.zeros((1, 1), jnp.float32),
+    )
+
+    wl_col = wl_col_ref[:]                          # [Hlast, 1]
+    tan_row = _outer(wl_col, gr)                    # same for every g
+    tan_panel = jnp.concatenate([tan_row] * G, axis=0)
+    if g_val is not None:
+        val_panel = jnp.concatenate(
+            [_outer(wl_col, g_val[g : g + 1, :]) for g in range(G)], axis=0
+        )
+    else:
+        val_panel = jnp.zeros_like(tan_panel)
+    g_s = jnp.concatenate([val_panel, tan_panel], axis=1)  # [G*Hlast, 2T]
+
+    for l in range(n_layers - 2, -1, -1):
+        sp = act_p(zs[l], acts[l])
+        spp = act_pp(zs[l], acts[l], sp)
+        ga = g_s[:, :t]
+        g_jac = g_s[:, t:]
+        pre = jpre0 if l == 0 else _mm(
+            w_refs[2 * l][:], s_packed[l - 1][:, t:]
+        )
+        gz = sp * ga + spp * (g_jac * pre)
+        g_p = sp * g_jac
+        if l == 0:
+            h0 = gz.shape[0] // G
+            acc_w = None
+            for g in range(G):
+                gzg = gz[g * h0 : (g + 1) * h0, :]
+                gpg = g_p[g * h0 : (g + 1) * h0, :]
+                xg = xs[g * n_in : (g + 1) * n_in, :]
+                cg = c_blk[g * n_in : (g + 1) * n_in, :]
+                term = _small_n_mm_t(gzg, xg, n_in) + _small_n_mm_t(
+                    gpg, cg, n_in
+                )
+                acc_w = term if acc_w is None else acc_w + term
+            accum(out_refs[0], acc_w)
+            accum(out_refs[1], jnp.sum(gz, axis=1, keepdims=True))
+        else:
+            g_zc = jnp.concatenate([gz, g_p], axis=1)
+            accum(out_refs[2 * l], _mm(g_zc, s_packed[l - 1].T))
+            accum(out_refs[2 * l + 1], jnp.sum(gz, axis=1, keepdims=True))
+            g_s = _mm(w_refs[2 * l][:].T, g_zc)
+
+
+@functools.lru_cache(maxsize=32)
+def _dirq_residual_fn(n_in, n_layers, d, td, has_react, activation, tile,
+                      nqp, G, interpret, precision=None):
+    """Q-blocked directional kernel factory.  nqp = padded (G-divisible)
+    quadrature count; the q-major column layout groups G consecutive q's
+    per program."""
+    n_f = 1 + d + 1 + (1 if has_react else 0)
+    n_qg = nqp // G
+
+    def blocked_weights(wts, bs):
+        """Core param pytree -> kernel weight operand list (XLA-side,
+        per call — tiny arrays, fused into the surrounding graph)."""
+        eye = jnp.eye(G, dtype=jnp.float32)
+        ops = [wts[0], jnp.reshape(bs[0], (-1, 1))]
+        for l in range(1, n_layers - 1):
+            ops += [jnp.kron(eye, wts[l]), jnp.reshape(bs[l], (-1, 1))]
+        ops += [jnp.kron(eye, wts[-1]), jnp.reshape(bs[-1], (1, 1))]
+        return ops
+
+    def make_call(kernel, extra_in, out_specs, out_shape):
+        def call(wts, bs, xs, f, tab, scale, *extra):
+            kp = xs.shape[1] // n_qg
+            n_i = kp // tile
+            grid = (n_i, n_qg)
+
+            def col_map(i, qg):
+                return (0, qg * n_i + i)
+
+            in_specs = [
+                pl.BlockSpec((G * n_in, tile), col_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G * n_f, tile), col_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(tab.shape, lambda i, qg: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(scale.shape, lambda i, qg: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ]
+            if extra_in:  # gr cotangent + wl_col (backward only)
+                in_specs.append(
+                    pl.BlockSpec((1, tile), lambda i, qg: (0, i),
+                                 memory_space=pltpu.VMEM)
+                )
+            ops = blocked_weights(wts, bs)
+            if extra_in:
+                wl_col = jnp.transpose(wts[-1])  # [Hlast, 1]
+                ops = [wl_col] + ops
+                in_specs.append(
+                    pl.BlockSpec(wl_col.shape, lambda i, qg: (0, 0),
+                                 memory_space=pltpu.VMEM)
+                )
+                extra = (*extra, ops[0])
+                ops = ops[1:]
+            for op in ops:
+                in_specs.append(
+                    pl.BlockSpec(op.shape, lambda i, qg: (0, 0),
+                                 memory_space=pltpu.VMEM)
+                )
+            return pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_specs(wts, bs, kp),
+                out_shape=out_shape(wts, bs, kp),
+                interpret=interpret,
+            )(xs, f, tab, scale, *extra, *ops)
+
+        return call
+
+    fwd_kernel = functools.partial(
+        _dirq_fwd_kernel, n_in, n_layers, d, td, has_react, activation,
+        precision, G, n_f,
+    )
+    bwd_kernel = functools.partial(
+        _dirq_bwd_kernel, n_in, n_layers, d, td, has_react, activation,
+        precision, G, n_f,
+    )
+
+    fwd_call = make_call(
+        fwd_kernel, extra_in=False,
+        out_specs=lambda wts, bs, kp: pl.BlockSpec(
+            (1, tile), lambda i, qg: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=lambda wts, bs, kp: jax.ShapeDtypeStruct((1, kp), jnp.float32),
+    )
+
+    def bwd_shapes(wts):
+        """(shape list) of the BLOCKED gradient outputs."""
+        shapes = [
+            (wts[0].shape[0], n_in), (G * wts[0].shape[0], 1),
+        ]
+        for l in range(1, n_layers - 1):
+            shapes += [
+                (G * wts[l].shape[0], G * wts[l].shape[1]),
+                (G * wts[l].shape[0], 1),
+            ]
+        shapes += [(G, G * wts[-1].shape[1]), (1, 1)]
+        return shapes
+
+    def bwd_out_specs(wts, bs, kp):
+        return [
+            pl.BlockSpec(s, lambda i, qg: (0, 0), memory_space=pltpu.VMEM)
+            for s in bwd_shapes(wts)
+        ]
+
+    def bwd_out_shape(wts, bs, kp):
+        return [jax.ShapeDtypeStruct(s, jnp.float32) for s in bwd_shapes(wts)]
+
+    bwd_call = make_call(bwd_kernel, extra_in=True,
+                         out_specs=bwd_out_specs, out_shape=bwd_out_shape)
+
+    def reduce_blocked(grads, wts):
+        """Sum the G parameter copies back to core shapes."""
+        d_wts, d_bs = [], []
+        # layer 0: weight already core; bias is [G*H0, 1]
+        d_wts.append(grads[0])
+        h0 = wts[0].shape[0]
+        d_bs.append(jnp.sum(grads[1].reshape(G, h0), axis=0)[:, None])
+        idx = 2
+        for l in range(1, n_layers - 1):
+            ho, hi = wts[l].shape
+            blk = grads[idx].reshape(G, ho, G, hi)
+            # diagonal blocks blk[g, :, g, :] summed over g
+            d_wts.append(jnp.sum(blk[jnp.arange(G), :, jnp.arange(G), :], axis=0))
+            d_bs.append(jnp.sum(grads[idx + 1].reshape(G, ho), axis=0)[:, None])
+            idx += 2
+        hl = wts[-1].shape[1]
+        blk_last = grads[idx].reshape(G, G, hl)
+        d_wts.append(jnp.sum(blk_last[jnp.arange(G), jnp.arange(G), :],
+                             axis=0)[None, :])
+        d_bs.append(jnp.reshape(grads[idx + 1], (1, 1)))
+        return tuple(d_wts), tuple(d_bs)
+
+    @jax.custom_vjp
+    def f(wts, bs, xs, flds, tab, scale):
+        return fwd_call(wts, bs, xs, flds, tab, scale)
+
+    def f_fwd(wts, bs, xs, flds, tab, scale):
+        return f(wts, bs, xs, flds, tab, scale), (wts, bs, xs, flds, tab, scale)
+
+    def f_bwd(res, gr):
+        wts, bs, xs, flds, tab, scale = res
+        grads = bwd_call(wts, bs, xs, flds, tab, scale, gr)
+        d_wts, d_bs = reduce_blocked(grads, wts)
+        return (d_wts, d_bs, jnp.zeros_like(xs), jnp.zeros_like(flds),
+                jnp.zeros_like(tab), jnp.zeros_like(scale))
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
 def pallas_fused_residual(
     params,
     quad,
@@ -517,53 +888,72 @@ def pallas_fused_residual(
     interpret: bool = False,
     precision=None,
     directional: bool = True,
+    q_block: Optional[int] = None,
 ):
     """Weak residual r [K] via the fully-fused kernel.
 
     params: MLP pytree; quad: QuadData (device arrays); scale/shift: input
     scaling (or None).  Restriction: plain MLP trial function, fixed source
-    (no trainable source_fn, no Fourier embedding, no MOR inputs — the
-    general path handles those).
+    (no trainable source_fn, no Fourier embedding — the general path
+    handles those).  MOR/parametric inputs ARE supported: any coordinate
+    columns beyond x (and t) get zero derivative coefficients (the weak
+    form never differentiates in mu — SURVEY.md §3.5).
 
     directional=True (default) uses the 2-panel directional-tangent kernel
     (the integrand contracts du with a fixed per-point direction, so the
     full jacobian is never needed) — ~(1+n_in)/2 x less matmul work than
     the jacobian-panel kernel it replaces; False keeps the round-1 kernel
     (comparison/benchmarking).
+
+    q_block: process G quadrature points per program with block-diagonal
+    hidden weights (see the Q-BLOCKED section above) — cuts MXU column
+    passes per point by ~G for narrow nets.  None = auto: the largest G
+    with G * width <= 128 (capped at 8) on the compiled (non-interpret)
+    path, 1 under interpret so existing CPU tests keep exercising the
+    plain kernels.  Requires directional=True when > 1.
     """
     k, nq, n_in = quad.coords.shape
     d = quad.dN.shape[1]
     n_layers = len(params)
     from .pallas_mlp import _auto_tile
 
+    h_max = max(l["w"].shape[1] for l in params)
+    if q_block is None:
+        q_block = (
+            min(max(128 // max(h_max, 1), 1), nq, 8)
+            if (directional and not interpret)
+            else 1
+        )
+    G = int(q_block)
+    if G > 1 and not directional:
+        raise ValueError("q_block > 1 requires directional=True")
+
     if tile is None:
         tile = DEFAULT_TILE_K_DIR if directional else DEFAULT_TILE_K
-    h_max = max(l["w"].shape[1] for l in params)
     # The directional state is 2 panels vs (1 + n_in): size its tile by an
-    # effective input count of 1.
-    tile = _auto_tile(tile, h_max, n_layers, 1 if directional else n_in)
+    # effective input count of 1; the q-blocked state is G x taller.
+    tile = _auto_tile(tile, G * h_max, n_layers, 1 if directional else n_in)
 
-    # scaled coords, q-major: [n_in, nQ * Kp]
-    flat = quad.coords  # [K, nQ, n_in]
-    xs = flat if scale is None else (flat - shift) * scale
-    xs = jnp.transpose(xs.astype(jnp.float32), (2, 1, 0))  # [n_in, nQ, K]
     kp = _round_up(max(k, 1), tile)
-    if kp != k:
-        xs = jnp.pad(xs, ((0, 0), (0, 0), (0, kp - k)))
-    xs = xs.reshape(n_in, nq * kp)
+    nqp = _round_up(nq, G)
 
-    def reorder(a):  # [K, nQ] -> [1, nQ * Kp]
-        a = jnp.transpose(a.astype(jnp.float32))  # [nQ, K]
-        if kp != k:
-            a = jnp.pad(a, ((0, 0), (0, kp - k)))
-        return a.reshape(1, nq * kp)
+    # scaled coords as [n_in, nQ(p), Kp]
+    flat = quad.coords  # [K, nQ, n_in]
+    xs3 = flat if scale is None else (flat - shift) * scale
+    xs3 = jnp.transpose(xs3.astype(jnp.float32), (2, 1, 0))  # [n_in, nQ, K]
+    xs3 = jnp.pad(xs3, ((0, 0), (0, nqp - nq), (0, kp - k)))
 
-    fld_rows = [reorder(quad.kappa)]
-    fld_rows += [reorder(quad.vel[:, :, j]) for j in range(d)]
-    fld_rows += [reorder(quad.src)]
+    def row3(a):  # [K, nQ] -> [1, nQp, Kp]
+        a = jnp.transpose(a.astype(jnp.float32))[None]
+        return jnp.pad(a, ((0, 0), (0, nqp - nq), (0, kp - k)))
+
+    fld_rows = [row3(quad.kappa)]
+    fld_rows += [row3(quad.vel[:, :, j]) for j in range(d)]
+    fld_rows += [row3(quad.src)]
     if has_react:
-        fld_rows += [reorder(quad.react)]
-    flds = jnp.concatenate(fld_rows, axis=0)
+        fld_rows += [row3(quad.react)]
+    flds3 = jnp.concatenate(fld_rows, axis=0)  # [n_f, nQp, Kp]
+    n_f = flds3.shape[0]
 
     tab = jnp.concatenate(
         [
@@ -573,17 +963,41 @@ def pallas_fused_residual(
         ],
         axis=1,
     ).astype(jnp.float32)
+    if nqp != nq:
+        # zero rows: w_q = 0 zeroes every padded-q coefficient in-kernel
+        tab = jnp.pad(tab, ((0, nqp - nq), (0, 0)))
     if scale is None:
         scale_col = jnp.ones((n_in, 1), jnp.float32)
     else:
         scale_col = jnp.reshape(scale, (n_in, 1)).astype(jnp.float32)
 
-    f = _fused_residual_fn(
-        n_in, n_layers, d, bool(time_dependent), bool(has_react),
-        activation, tile, nq, bool(interpret), precision,
-        directional=bool(directional),
-    )
     wts = tuple(jnp.transpose(l["w"]).astype(jnp.float32) for l in params)
     bs = tuple(jnp.reshape(l["b"], (-1, 1)).astype(jnp.float32) for l in params)
+
+    if G > 1:
+        # blocked q-major layout: [G*rows, (nQp/G) * Kp], G consecutive
+        # q's stacked along the sublane axis
+        def blocked(a3, rows):
+            a = a3.reshape(rows, nqp // G, G, kp)
+            return jnp.transpose(a, (2, 0, 1, 3)).reshape(
+                G * rows, (nqp // G) * kp
+            )
+
+        xs = blocked(xs3, n_in)
+        flds = blocked(flds3, n_f)
+        f = _dirq_residual_fn(
+            n_in, n_layers, d, bool(time_dependent), bool(has_react),
+            activation, tile, nqp, G, bool(interpret), precision,
+        )
+        r = f(wts, bs, xs, flds, tab, scale_col)  # [1, kp]
+        return r[0, :k]
+
+    xs = xs3.reshape(n_in, nqp * kp)
+    flds = flds3.reshape(n_f, nqp * kp)
+    f = _fused_residual_fn(
+        n_in, n_layers, d, bool(time_dependent), bool(has_react),
+        activation, tile, nqp, bool(interpret), precision,
+        directional=bool(directional),
+    )
     r = f(wts, bs, xs, flds, tab, scale_col)  # [1, kp]
     return r[0, :k]

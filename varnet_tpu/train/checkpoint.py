@@ -17,9 +17,21 @@ import os
 import shutil
 from typing import Any, Dict, Optional, Tuple
 
+import warnings
+
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
+
+# Orbax/tensorstore surface structure mismatches through their own
+# exception types on some versions; treat those like ValueError for the
+# params-only fallback (ADVICE r2).  Resolved defensively: the module
+# layout has moved across orbax releases.
+_OCP_STRUCT_ERRORS: tuple = ()
+for _name in ("CheckpointError", "StructureError"):
+    _exc = getattr(getattr(ocp, "errors", ocp), _name, None)
+    if isinstance(_exc, type) and issubclass(_exc, Exception):
+        _OCP_STRUCT_ERRORS += (_exc,)
 
 
 def _step_dir(folder: str, step: int) -> str:
@@ -92,7 +104,7 @@ def load_checkpoint(
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
         try:
             state = ckptr.restore(path, abstract)
-        except (ValueError, KeyError, TypeError) as struct_err:
+        except (ValueError, KeyError, TypeError) + _OCP_STRUCT_ERRORS as struct_err:
             # Structure mismatch (e.g. polishing a checkpoint written with a
             # different optimizer/schedule): fall back to params-only restore
             # — the reference's rebuild-graph-and-restore-weights semantics.
@@ -108,10 +120,11 @@ def load_checkpoint(
                     )
             except Exception:
                 raise struct_err
-            print(
-                "[varnet/checkpoint] stored optimizer state does not match "
-                f"the target structure ({type(struct_err).__name__}); "
-                "restored parameters only, optimizer state is fresh"
+            warnings.warn(
+                "stored optimizer state does not match the target structure "
+                f"({type(struct_err).__name__}); restored parameters only, "
+                "optimizer state is fresh",
+                stacklevel=2,
             )
             state = dict(target)
             state["theta"] = restored["theta"]

@@ -140,6 +140,9 @@ def make_lm_step(
     lam_down: float = 0.5,
     cg_segment: int = 0,
     residual_jvp: Optional[Callable] = None,
+    mesh=None,
+    data=None,
+    data_specs=None,
 ):
     """One Levenberg-Marquardt iteration on RAVELED parameters.
 
@@ -157,7 +160,24 @@ def make_lm_step(
     cg_segment > 0: CG runs in host-looped segments of that many
     iterations, each a bounded program; the jacobian linearization is
     recomputed per segment (one extra forward each).
+
+    mesh: when given, the step is an EXPLICIT ``shard_map`` over the
+    ``data`` mesh axis — the same design as the Adam step (SURVEY.md
+    §2.2): per-shard residual/jvp/vjp with a small fixed number of packed
+    ``psum`` collectives (one per CG application, inside the fori_loop
+    body; one packed init; one accept) instead of relying on the GSPMD
+    auto-partitioner, which was measured to REPLICATE the whole LM
+    computation per partition (zero collectives, 8x redundant work —
+    tests/test_lm_multichip.py pins the fixed structure).  In this mode
+    ``residual_closure``/``residual_jvp`` take ``(flat, data)`` where
+    ``data`` is the sharded pytree and ``data_specs`` its PartitionSpec
+    tree; both must compute the PER-SHARD slice of the residual vector.
     """
+    if mesh is not None:
+        return _make_lm_step_sharded(
+            residual_closure, cg_iters, lam_up, lam_down, cg_segment,
+            residual_jvp, mesh, data, data_specs,
+        )
     if residual_jvp is None:
         residual_jvp = residual_closure
 
@@ -232,3 +252,116 @@ def make_lm_step(
         return accept_impl(flat, lam, loss, delta)
 
     return jax.jit(step)
+
+
+def _make_lm_step_sharded(
+    res, cg_iters, lam_up, lam_down, cg_segment, res_jvp, mesh, data,
+    data_specs,
+):
+    """shard_map LM step: per-shard linear algebra, packed psums (see
+    make_lm_step docstring).  Collective census per iteration: 1 packed
+    all-reduce at init (b ++ loss), 1 inside the CG while-body (J^T J v),
+    1 at accept (candidate loss) — pinned by test_lm_multichip.py."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    if res_jvp is None:
+        res_jvp = res
+    psum = functools.partial(jax.lax.psum, axis_name=DATA_AXIS)
+    rep = P()
+    state_spec = LMState(flat=rep, lam=rep, loss=rep)
+
+    def make_cg_body(flat, lam, data, pullback):
+        def jtj_v(v):
+            jv = jax.jvp(lambda f: res_jvp(f, data), (flat,), (v,))[1]
+            return psum(pullback(jv)[0]) + lam * v
+
+        def cg_body(_, carry):
+            x, p, resid, rs = carry
+            ap = jtj_v(p)
+            alpha = rs / jnp.maximum(jnp.dot(p, ap), 1e-30)
+            x = x + alpha * p
+            resid = resid - alpha * ap
+            rs_new = jnp.dot(resid, resid)
+            p = resid + (rs_new / jnp.maximum(rs, 1e-30)) * p
+            return (x, p, resid, rs_new)
+
+        return cg_body
+
+    def init_parts(flat, data):
+        """(b, loss, pullback) with b/loss globally reduced in ONE psum."""
+        r, pullback = jax.vjp(lambda f: res(f, data), flat)
+        b_part = -pullback(r)[0]
+        packed = psum(jnp.concatenate([b_part, jnp.dot(r, r)[None]]))
+        return packed[:-1], packed[-1], pullback
+
+    def accept_impl(flat, lam, loss, delta, data):
+        cand = flat + delta
+        rc = res(cand, data)
+        cand_loss = psum(jnp.dot(rc, rc))
+        improved = cand_loss < loss
+        new_flat = jnp.where(improved, cand, flat)
+        new_loss = jnp.where(improved, cand_loss, loss)
+        new_lam = jnp.where(improved, lam * lam_down, lam * lam_up)
+        return LMState(
+            flat=new_flat, lam=jnp.clip(new_lam, 1e-12, 1e6), loss=new_loss
+        )
+
+    def smap(fn, in_specs, out_specs):
+        return jax.jit(jax.shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        ))
+
+    if cg_segment and int(cg_segment) > 0:
+        seg = int(cg_segment)
+
+        def cg_init_body(flat, data):
+            b, loss, _ = init_parts(flat, data)
+            return (jnp.zeros_like(flat), b, b, jnp.dot(b, b)), loss
+
+        def cg_seg_body(flat, lam, carry, data):
+            _, pullback = jax.vjp(lambda f: res(f, data), flat)
+            body = make_cg_body(flat, lam, data, pullback)
+            return jax.lax.fori_loop(0, seg, body, carry)
+
+        def accept_body(flat, lam, loss, delta, data):
+            return accept_impl(flat, lam, loss, delta, data)
+
+        cg_init = smap(cg_init_body, (rep, data_specs), ((rep,) * 4, rep))
+        cg_seg = smap(cg_seg_body, (rep, rep, (rep,) * 4, data_specs),
+                      (rep,) * 4)
+        accept = smap(accept_body, (rep, rep, rep, rep, data_specs),
+                      state_spec)
+
+        def step(state: LMState) -> LMState:
+            flat, lam = state.flat, state.lam
+            carry, loss = cg_init(flat, data)
+            for _ in range(-(-int(cg_iters) // seg)):
+                carry = cg_seg(flat, lam, carry, data)
+            return accept(flat, lam, loss, carry[0], data)
+
+        return step
+
+    def step_body(state, data):
+        flat, lam = state.flat, state.lam
+        b, loss, pullback = init_parts(flat, data)
+        body = make_cg_body(flat, lam, data, pullback)
+        delta, *_ = jax.lax.fori_loop(
+            0, cg_iters, body, (jnp.zeros_like(flat), b, b, jnp.dot(b, b))
+        )
+        return accept_impl(flat, lam, loss, delta, data)
+
+    jitted = smap(step_body, (state_spec, data_specs), state_spec)
+
+    def step(state: LMState) -> LMState:
+        return jitted(state, data)
+
+    # Exposed for the collective-census regression test
+    # (tests/test_lm_multichip.py): the jitted body + its data operand.
+    step.jitted = jitted
+    step.data = data
+    return step
