@@ -30,6 +30,9 @@ WIDTH = int(os.environ.get("BENCH_WIDTH", 20))
 # the tile-8192 directional kernel by ~30% (measured 7.6e8 at 30 epochs vs
 # a steady-state 1.13e9 at 200).
 EPOCHS = int(os.environ.get("BENCH_EPOCHS", 200))
+# Quadrature points per kernel program (0 = kernel auto; see
+# ops/pallas_residual.py q_block)
+QBLOCK = int(os.environ.get("BENCH_QBLOCK", 0)) or None
 
 
 def main():
@@ -49,6 +52,7 @@ def main():
         disc_num=DISC,
         b_disc_num=DISC,
         t_disc_num=TDISC,
+        fused_q_block=QBLOCK,
     )
     n_chips = vn.n_shards
     res = vn.train(

@@ -59,22 +59,24 @@ def main():
 
     out = {"n_pts": n_pts, "experiments": {}}
 
-    def make_fwd(params, activation="tanh", precision=None, tile=None):
+    def make_fwd(params, activation="tanh", precision=None, tile=None,
+                 q_block=1):
         @jax.jit
         def f(p):
             return pr.pallas_fused_residual(
                 p, quad, activation, scale, shift, time_dependent=True,
-                precision=precision, tile=tile,
+                precision=precision, tile=tile, q_block=q_block,
             )
         return functools.partial(f, params)
 
-    def make_fwdbwd(params, activation="tanh", precision=None, tile=None):
+    def make_fwdbwd(params, activation="tanh", precision=None, tile=None,
+                    q_block=1):
         @jax.jit
         def f(p):
             def loss(pp):
                 r = pr.pallas_fused_residual(
                     pp, quad, activation, scale, shift, time_dependent=True,
-                    precision=precision, tile=tile,
+                    precision=precision, tile=tile, q_block=q_block,
                 )
                 return jnp.sum(r * r)
             return jax.value_and_grad(loss)(p)
@@ -121,6 +123,23 @@ def main():
     tf_hi = timeit(make_fwd(params, precision=jax.lax.Precision.HIGHEST))
     out["experiments"]["highest_precision_w20_fwd_ms"] = tf_hi * 1e3
     print(f"highest f32 w20: fwd {tf_hi*1e3:.2f} ms", file=sys.stderr)
+
+    # 5: q-block sweep at width 20 (the round-3 MXU-pass optimization)
+    qsweep = {}
+    for g in [2, 4, 6]:
+        params = init_mlp(jax.random.PRNGKey(0), st.n_inputs, (20, 20))
+        try:
+            tf = timeit(make_fwd(params, q_block=g))
+            tb = timeit(make_fwdbwd(params, q_block=g), iters=15)
+        except Exception as e:  # Mosaic may reject a layout — record it
+            qsweep[g] = {"error": repr(e)[:300]}
+            print(f"q_block {g}: FAILED {e!r}"[:200], file=sys.stderr)
+            continue
+        qsweep[g] = {"fwd_ms": tf * 1e3, "fwdbwd_ms": tb * 1e3,
+                     "fwd_evals_per_s": n_pts / tf}
+        print(f"q_block {g}: fwd {tf*1e3:7.2f} ms  fwd+bwd {tb*1e3:7.2f} ms",
+              file=sys.stderr)
+    out["experiments"]["q_block_sweep_w20"] = qsweep
 
     RESULTS.mkdir(exist_ok=True)
     (RESULTS / "kernel_probe.json").write_text(json.dumps(out, indent=2))

@@ -28,10 +28,13 @@ def main():
 
     enable_compilation_cache()
     ap = argparse.ArgumentParser()
-    ap.add_argument("--coarse-epochs", type=int, default=30000)
-    ap.add_argument("--fine-epochs", type=int, default=10000)
-    ap.add_argument("--lm-steps", type=int, default=20)
-    ap.add_argument("--width", type=int, default=32)
+    # round-3 recipe (VERDICT r2 next #1): wider net (free capacity below
+    # the MXU width), shorter Adam stages, LM budget doubled + early stop
+    ap.add_argument("--coarse-epochs", type=int, default=20000)
+    ap.add_argument("--fine-epochs", type=int, default=3000)
+    ap.add_argument("--lm-steps", type=int, default=40)
+    ap.add_argument("--lm-cg", type=int, default=200)
+    ap.add_argument("--width", type=int, default=48)
     args = ap.parse_args()
 
     case = transient_ad_2d()
@@ -54,21 +57,24 @@ def main():
     vn2 = VarNet(case["pde"], layer_width=(args.width, args.width),
                  disc_num=48, b_disc_num=48, t_disc_num=32,
                  optimizer=OptimizerConfig(lr=5e-4, decay_rate=0.4,
-                                           decay_steps=args.fine_epochs // 3))
+                                           decay_steps=max(args.fine_epochs // 3, 1)))
     vn2.theta = vn.theta
-    r2 = vn2.train(epoch_num=args.fine_epochs, weight=w,
-                   save_freq=args.fine_epochs // 2, error_disc=96,
-                   error_times=7, matmul_precision="highest", verbose=True)
-    marks["fine_done_s"] = time.perf_counter() - t0
-    marks["fine_rel_l2"] = r2.best_error()
+    r2_errors = []
+    if args.fine_epochs > 0:
+        r2 = vn2.train(epoch_num=args.fine_epochs, weight=w,
+                       save_freq=max(args.fine_epochs // 2, 1), error_disc=96,
+                       error_times=7, matmul_precision="highest", verbose=True)
+        r2_errors = r2.errors
+        marks["fine_done_s"] = time.perf_counter() - t0
+        marks["fine_rel_l2"] = r2.best_error()
 
     # Stage 3: LM on the fused JVP/VJP pair, early-stop at the target.
-    r3 = vn2.refine_lm(steps=args.lm_steps, weight=w, cg_iters=200,
+    r3 = vn2.refine_lm(steps=args.lm_steps, weight=w, cg_iters=args.lm_cg,
                        cg_segment=40, k_chunks=16, save_freq=1,
                        error_disc=96, error_times=7, target_error=1e-3,
                        matmul_precision="highest", verbose=True)
     wall = time.perf_counter() - t0
-    best = min(e for e in (r1.errors + r2.errors + r3.errors)
+    best = min(e for e in (r1.errors + r2_errors + r3.errors)
                if e == e)  # drop NaNs
     out = {
         "target": 1e-3,

@@ -99,6 +99,7 @@ class VarNet:
         use_pallas="auto",
         use_fused_residual: bool = True,
         fused_directional: bool = True,
+        fused_q_block: Optional[int] = None,
         fourier_features: Optional[int] = None,
         fourier_scale: float = 0.5,
         omega0: float = 6.0,
@@ -121,6 +122,10 @@ class VarNet:
         # round-1 jacobian-panel kernel (1 + n_in panels); see
         # ops/pallas_residual.py.  The switch exists for benchmarking.
         self.fused_directional = bool(fused_directional)
+        # Quadrature points per kernel program (None = kernel auto: the
+        # largest G in {4,2} fitting the MXU height — measured best on
+        # v5e, benchmarks/results/kernel_probe.json).
+        self.fused_q_block = fused_q_block
         if source_fn is not None and source_init is None:
             raise ValueError("source_fn requires source_init")
 
@@ -227,6 +232,7 @@ class VarNet:
             has_react=self.has_react,
             precision=prec,
             directional=self.fused_directional,
+            q_block=self.fused_q_block,
         )
 
     def _pallas_value_and_jac(self, matmul_precision):

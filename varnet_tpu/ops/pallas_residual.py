@@ -919,11 +919,18 @@ def pallas_fused_residual(
 
     h_max = max(l["w"].shape[1] for l in params)
     if q_block is None:
-        q_block = (
-            min(max(128 // max(h_max, 1), 1), nq, 8)
-            if (directional and not interpret)
-            else 1
-        )
+        # Auto: the largest G in {4, 2} whose blocked state fits the MXU
+        # height and divides nq — measured best on v5e (G=4/tile-4096 is
+        # 1.47x the G=1/tile-8192 fwd+bwd at width 20, kernel_probe.json).
+        # G=6 additionally triggers a pathological (~14 min) Mosaic
+        # compile from the unaligned 20-row block concats; G in {2,4}
+        # compiles in seconds.  Explicit q_block overrides.
+        q_block = 1
+        if directional and not interpret:
+            for g_try in (4, 2):
+                if g_try * h_max <= 128 and nq % g_try == 0:
+                    q_block = g_try
+                    break
     G = int(q_block)
     if G > 1 and not directional:
         raise ValueError("q_block > 1 requires directional=True")
@@ -931,8 +938,22 @@ def pallas_fused_residual(
     if tile is None:
         tile = DEFAULT_TILE_K_DIR if directional else DEFAULT_TILE_K
     # The directional state is 2 panels vs (1 + n_in): size its tile by an
-    # effective input count of 1; the q-blocked state is G x taller.
-    tile = _auto_tile(tile, G * h_max, n_layers, 1 if directional else n_in)
+    # effective input count of 1; the q-blocked state is G x taller.  For
+    # tanh/sigmoid the retained pre-activation panels are DEAD (act' is a
+    # function of the output alone) and Mosaic frees them, so the
+    # effective VMEM budget doubles — measured on v5e: G=4/h=80 compiles
+    # and runs at tile 4096 (9MB-budget cap: 2048) and hits the real
+    # scoped-VMEM wall only at 6144.
+    eff_in = 1 if directional else n_in
+    if directional and activation in ("tanh", "sigmoid"):
+        from .pallas_mlp import _VMEM_BUDGET_BYTES
+
+        denom = 4 * max(G * h_max, 1) * ((1 + eff_in) * (n_layers + 1)
+                                         + 2 * n_layers)
+        cap = max(256, ((2 * _VMEM_BUDGET_BYTES) // denom) // 256 * 256)
+        tile = int(min(tile, cap))
+    else:
+        tile = _auto_tile(tile, G * h_max, n_layers, eff_in)
 
     kp = _round_up(max(k, 1), tile)
     nqp = _round_up(nq, G)
