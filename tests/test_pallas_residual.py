@@ -156,6 +156,126 @@ def test_qblocked_residual_matches_reference(name, case_fn, td, react, disc,
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-6)
 
 
+@pytest.mark.parametrize("g", [1, 2])
+def test_prepared_layout_matches_ingraph(g):
+    """prepare_residual_layout (host NumPy) must reproduce the in-graph
+    transform exactly: same residual AND same gradients through the
+    prepared path (the trainer threads it per shard — api.train)."""
+    from varnet_tpu.ops.pallas_residual import (
+        prepare_residual_layout, resolve_layout,
+    )
+
+    case = transient_ad_2d()
+    fd = build_fixed_data(case["pde"], 8, t_disc_num=4, b_disc_num=4)
+    st = fd.static
+    quad = jax.tree_util.tree_map(jnp.asarray, fd.quad)
+    params = init_mlp(jax.random.PRNGKey(0), st.n_inputs, (16, 16))
+    scale, shift = make_input_scaling(st.input_lo, st.input_hi)
+    tile = 49
+
+    # host-side prepare from the RAW NumPy fixed data
+    xs_np, flds_np = prepare_residual_layout(
+        fd.quad, np.asarray(scale), np.asarray(shift), has_react=False,
+        G=g, tile=tile,
+    )
+    assert isinstance(xs_np, np.ndarray)
+    prepared = (jnp.asarray(xs_np), jnp.asarray(flds_np))
+
+    r_plain = pallas_fused_residual(
+        params, quad, "tanh", scale, shift, time_dependent=True,
+        tile=tile, interpret=True, q_block=g,
+    )
+    r_prep = pallas_fused_residual(
+        params, quad, "tanh", scale, shift, time_dependent=True,
+        tile=tile, interpret=True, q_block=g, prepared=prepared,
+    )
+    np.testing.assert_allclose(r_prep, r_plain, rtol=1e-6, atol=1e-9)
+
+    def loss(p, prep):
+        r = pallas_fused_residual(
+            p, quad, "tanh", scale, shift, time_dependent=True,
+            tile=tile, interpret=True, q_block=g, prepared=prep,
+        )
+        return jnp.sum(r * r)
+
+    g1 = jax.grad(loss)(params, None)
+    g2 = jax.grad(loss)(params, prepared)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-8)
+
+
+def test_train_step_with_prepared_matches(tmp_path):
+    """End-to-end: the shard_map train step with the prepared layout
+    threaded (stacked per-shard) reproduces the unprepared trajectory."""
+    import functools
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from varnet_tpu.fem.assembly import pad_points, pad_quad, QuadData
+    from varnet_tpu.ops.pallas_residual import prepare_residual_layout
+    from varnet_tpu.parallel.mesh import (
+        DATA_AXIS, make_mesh, replicate, shard_points, shard_quad,
+    )
+    from varnet_tpu.problems.analytic import steady_ad_1d
+    from varnet_tpu.train.loss import make_loss_fn
+    from varnet_tpu.train.optim import OptimizerConfig, make_optimizer
+    from varnet_tpu.train.trainer import make_train_step
+
+    case = steady_ad_1d(kappa=0.2)
+    fd = build_fixed_data(case["pde"], 15)
+    n_sh = 2
+    mesh = make_mesh(n_sh)
+    quad_h = pad_quad(fd.quad, n_sh)
+    quad = shard_quad(quad_h, mesh)
+    bc = shard_points(pad_points(fd.bc, n_sh), mesh)
+    scale = shift = None
+    fused = functools.partial(
+        pallas_fused_residual, time_dependent=False, has_react=False,
+        tile=14, interpret=True, q_block=2,
+    )
+    loss_fn = make_loss_fn(fd.static, fused_residual=fused,
+                           input_scaling=True)
+
+    # per-shard host prepare, stacked
+    from varnet_tpu.models.mlp import make_input_scaling as mis
+
+    sc, sh = mis(fd.static.input_lo, fd.static.input_hi)
+    ks = quad_h.coords.shape[0] // n_sh
+    parts = []
+    for s in range(n_sh):
+        sl = slice(s * ks, (s + 1) * ks)
+        shard = QuadData(coords=quad_h.coords[sl], N=quad_h.N, dN=quad_h.dN,
+                         w=quad_h.w, kappa=quad_h.kappa[sl],
+                         vel=quad_h.vel[sl], src=quad_h.src[sl],
+                         react=quad_h.react[sl], mask=quad_h.mask[sl])
+        parts.append(prepare_residual_layout(
+            shard, np.asarray(sc), np.asarray(sh), has_react=False, G=2,
+            tile=14,
+        ))
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    prepared = (
+        jax.device_put(np.stack([p[0] for p in parts]), sharding),
+        jax.device_put(np.stack([p[1] for p in parts]), sharding),
+    )
+
+    opt = make_optimizer(OptimizerConfig())
+    theta0 = replicate(init_mlp(jax.random.PRNGKey(0), 1, (8, 8)), mesh)
+    w = jnp.asarray([1.0, 10.0, 0.0, 0.0])
+
+    def run(prep):
+        theta = jax.tree_util.tree_map(jnp.copy, theta0)
+        opt_state = replicate(opt.init(theta), mesh)
+        step = make_train_step(loss_fn, opt, mesh=mesh, donate=False)
+        losses = []
+        for _ in range(5):
+            theta, opt_state, aux = step(theta, opt_state, quad, bc, None,
+                                         None, w, prep)
+            losses.append(float(aux["loss"]))
+        return losses
+
+    np.testing.assert_allclose(run(prepared), run(None), rtol=1e-6)
+
+
 def test_qblocked_deep_and_sin():
     """3-hidden-layer SIREN net through the q-blocked kernel (exercises
     the multi-hidden blocked loop and the sin activation pair)."""

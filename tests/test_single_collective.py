@@ -33,7 +33,9 @@ def test_step_has_exactly_one_all_reduce():
     step = make_train_step(loss_fn, opt, mesh=mesh, donate=False)
     w = jnp.asarray([1.0, 10.0, 0.0, 0.0])
 
-    compiled = step.lower(theta, opt_state, quad, bc, None, None, w).compile()
+    compiled = step.jitted.lower(
+        theta, opt_state, quad, bc, None, None, w, None
+    ).compile()
     hlo = compiled.as_text()
     # Count distinct all-reduce ops (async start/done pairs count once).
     import re

@@ -235,6 +235,62 @@ class VarNet:
             q_block=self.fused_q_block,
         )
 
+    def _prepare_fused_layout(self, quad_h):
+        """Per-shard precomputed (xs, flds) kernel layouts, stacked on a
+        leading shard axis and placed with a data-axis NamedSharding.
+        Host-side NumPy transform mirroring the in-graph one bit-for-bit
+        (both cast to f32 before scaling)."""
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from .fem.assembly import QuadData
+        from .models.mlp import make_input_scaling
+        from .ops.pallas_residual import (
+            prepare_residual_layout,
+            resolve_layout,
+        )
+
+        net = self.theta["net"] if isinstance(self.theta, dict) else self.theta
+        h_max = max(l["w"].shape[1] for l in net)
+        nq = quad_h.N.shape[0]
+        G, tile = resolve_layout(
+            h_max, nq, len(net), self.static.n_inputs,
+            activation=self.activation, directional=self.fused_directional,
+            interpret=False, tile=None, q_block=self.fused_q_block,
+        )
+        if self.input_scaling:
+            scale, shift = make_input_scaling(
+                self.static.input_lo, self.static.input_hi
+            )
+            scale, shift = np.asarray(scale), np.asarray(shift)
+        else:
+            scale = shift = None
+
+        k_pad = quad_h.coords.shape[0]
+        ks = k_pad // self.n_shards
+        xs_parts, fld_parts = [], []
+        for s in range(self.n_shards):
+            sl = slice(s * ks, (s + 1) * ks)
+            shard = QuadData(
+                coords=np.asarray(quad_h.coords[sl]), N=quad_h.N,
+                dN=quad_h.dN, w=quad_h.w,
+                kappa=np.asarray(quad_h.kappa[sl]),
+                vel=np.asarray(quad_h.vel[sl]),
+                src=np.asarray(quad_h.src[sl]),
+                react=np.asarray(quad_h.react[sl]),
+                mask=np.asarray(quad_h.mask[sl]),
+            )
+            xs, flds = prepare_residual_layout(
+                shard, scale, shift, has_react=self.has_react, G=G, tile=tile
+            )
+            xs_parts.append(xs)
+            fld_parts.append(flds)
+        sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        return (
+            jax.device_put(np.stack(xs_parts), sharding),
+            jax.device_put(np.stack(fld_parts), sharding),
+        )
+
     def _pallas_value_and_jac(self, matmul_precision):
         """The fused-kernel evaluation path (plain or Fourier-embedded)."""
         import functools
@@ -365,6 +421,13 @@ class VarNet:
         )
         optimizer = make_optimizer(self.optimizer_cfg)
 
+        # Precompute the fused kernel's per-shard data layout ONCE (the
+        # in-graph transform re-executes every step otherwise — ~10% of
+        # the bench step; ops/pallas_residual.prepare_residual_layout).
+        prepared_d = None
+        if fused is not None and batch_num == 1:
+            prepared_d = self._prepare_fused_layout(quad_h)
+
         theta = replicate(self.theta, self.mesh)
         opt_state = optimizer.init(theta)
         start_epoch = 0
@@ -402,7 +465,8 @@ class VarNet:
         profiling = False
         for epoch in range(start_epoch + 1, start_epoch + int(epoch_num) + 1):
             theta, opt_state, aux = step_fn(
-                theta, opt_state, quad_d, bc_d, ic_d, obs_d, weights_arr
+                theta, opt_state, quad_d, bc_d, ic_d, obs_d, weights_arr,
+                prepared_d,
             )
             if t_start is None:
                 jax.block_until_ready(aux["loss"])

@@ -415,6 +415,88 @@ def _round_up(n, m):
     return -(-n // m) * m
 
 
+def resolve_layout(h_max, nq, n_layers, n_in, activation="tanh",
+                   directional=True, interpret=False, tile=None,
+                   q_block=None):
+    """(G, tile) the fused-residual dispatcher will use — exposed so the
+    trainer can PRECOMPUTE the kernel's data layout once (see
+    prepare_residual_layout) with guaranteed-matching parameters."""
+    if q_block is None:
+        q_block = 1
+        if directional and not interpret:
+            for g_try in (4, 2):
+                if g_try * h_max <= 128 and nq % g_try == 0:
+                    q_block = g_try
+                    break
+    G = int(q_block)
+    if tile is None:
+        tile = DEFAULT_TILE_K_DIR if directional else DEFAULT_TILE_K
+    eff_in = 1 if directional else n_in
+    if directional and activation in ("tanh", "sigmoid"):
+        from .pallas_mlp import _VMEM_BUDGET_BYTES
+
+        denom = 4 * max(G * h_max, 1) * ((1 + eff_in) * (n_layers + 1)
+                                         + 2 * n_layers)
+        cap = max(256, ((2 * _VMEM_BUDGET_BYTES) // denom) // 256 * 256)
+        tile = int(min(tile, cap))
+    else:
+        from .pallas_mlp import _auto_tile
+
+        tile = _auto_tile(tile, G * h_max, n_layers, eff_in)
+    return G, tile
+
+
+def prepare_residual_layout(quad, scale, shift, *, has_react, G, tile):
+    """Precompute the kernel's q-major (optionally q-blocked) data layout
+    (xs, flds) for FIXED quadrature data.
+
+    The layout transform (transpose + pad + block-reshape of ~130 MB at
+    bench size) is theta-independent; done in-graph it re-executes every
+    step (~10% of the step).  The trainer calls this ONCE per shard at
+    setup and threads the result through the jitted step (the `prepared`
+    argument of pallas_fused_residual).  Works on NumPy or device arrays;
+    returns jnp arrays.
+    """
+    # NumPy inputs stay on host (the trainer precomputes per-shard
+    # layouts there); device arrays go through jnp.  Coords are cast to
+    # f32 BEFORE scaling so both paths round identically.
+    xp = np if isinstance(quad.coords, np.ndarray) else jnp
+    k, nq, n_in = quad.coords.shape
+    d = quad.dN.shape[1]
+    kp = _round_up(max(k, 1), tile)
+    nqp = _round_up(nq, G)
+
+    flat = xp.asarray(quad.coords, dtype=xp.float32)
+    if scale is not None:
+        flat = (flat - xp.asarray(shift, dtype=xp.float32)) * xp.asarray(
+            scale, dtype=xp.float32
+        )
+    xs3 = xp.transpose(flat, (2, 1, 0))
+    xs3 = xp.pad(xs3, ((0, 0), (0, nqp - nq), (0, kp - k)))
+
+    def row3(a):
+        a = xp.transpose(xp.asarray(a, dtype=xp.float32))[None]
+        return xp.pad(a, ((0, 0), (0, nqp - nq), (0, kp - k)))
+
+    fld_rows = [row3(quad.kappa)]
+    fld_rows += [row3(quad.vel[:, :, j]) for j in range(d)]
+    fld_rows += [row3(quad.src)]
+    if has_react:
+        fld_rows += [row3(quad.react)]
+    flds3 = xp.concatenate(fld_rows, axis=0)
+    n_f = flds3.shape[0]
+
+    if G > 1:
+        def blocked(a3, rows):
+            a = a3.reshape(rows, nqp // G, G, kp)
+            return xp.transpose(a, (2, 0, 1, 3)).reshape(
+                G * rows, (nqp // G) * kp
+            )
+
+        return blocked(xs3, n_in), blocked(flds3, n_f)
+    return xs3.reshape(n_in, nqp * kp), flds3.reshape(n_f, nqp * kp)
+
+
 @functools.lru_cache(maxsize=32)
 def _fused_residual_fn(n_in, n_layers, d, td, has_react, activation, tile,
                        nq, interpret, precision=None, directional=True):
@@ -889,6 +971,7 @@ def pallas_fused_residual(
     precision=None,
     directional: bool = True,
     q_block: Optional[int] = None,
+    prepared=None,
 ):
     """Weak residual r [K] via the fully-fused kernel.
 
@@ -907,10 +990,14 @@ def pallas_fused_residual(
 
     q_block: process G quadrature points per program with block-diagonal
     hidden weights (see the Q-BLOCKED section above) — cuts MXU column
-    passes per point by ~G for narrow nets.  None = auto: the largest G
-    with G * width <= 128 (capped at 8) on the compiled (non-interpret)
-    path, 1 under interpret so existing CPU tests keep exercising the
-    plain kernels.  Requires directional=True when > 1.
+    passes per point by ~G for narrow nets.  None = auto (largest of
+    {4, 2} fitting the MXU height) on the compiled path, 1 under
+    interpret so existing CPU tests keep exercising the plain kernels.
+    Requires directional=True when > 1.
+
+    prepared: optional (xs, flds) from prepare_residual_layout — skips
+    the per-step layout transform for fixed quadrature data (the trainer
+    precomputes it once per shard; ~10% of the step at bench size).
     """
     k, nq, n_in = quad.coords.shape
     d = quad.dN.shape[1]
@@ -918,63 +1005,41 @@ def pallas_fused_residual(
     from .pallas_mlp import _auto_tile
 
     h_max = max(l["w"].shape[1] for l in params)
-    if q_block is None:
-        # Auto: the largest G in {4, 2} whose blocked state fits the MXU
-        # height and divides nq — measured best on v5e (G=4/tile-4096 is
-        # 1.47x the G=1/tile-8192 fwd+bwd at width 20, kernel_probe.json).
-        # G=6 additionally triggers a pathological (~14 min) Mosaic
-        # compile from the unaligned 20-row block concats; G in {2,4}
-        # compiles in seconds.  Explicit q_block overrides.
-        q_block = 1
-        if directional and not interpret:
-            for g_try in (4, 2):
-                if g_try * h_max <= 128 and nq % g_try == 0:
-                    q_block = g_try
-                    break
-    G = int(q_block)
+    # Auto q_block: the largest G in {4, 2} whose blocked state fits the
+    # MXU height and divides nq — measured best on v5e (kernel_probe.json).
+    # G=6 additionally triggers a pathological (~14 min) Mosaic compile
+    # from the unaligned 20-row block concats; G in {2,4} compile in
+    # seconds.  Tile: for tanh/sigmoid the retained pre-activation panels
+    # are DEAD (act' is a function of the output alone) and Mosaic frees
+    # them, so the directional path gets a doubled effective VMEM budget —
+    # measured: G=4/h=80 compiles and runs at tile 4096 (9MB-budget cap:
+    # 2048) and hits the real scoped-VMEM wall only at 6144.
+    G, tile = resolve_layout(
+        h_max, nq, n_layers, n_in, activation=activation,
+        directional=directional, interpret=interpret, tile=tile,
+        q_block=q_block,
+    )
     if G > 1 and not directional:
         raise ValueError("q_block > 1 requires directional=True")
-
-    if tile is None:
-        tile = DEFAULT_TILE_K_DIR if directional else DEFAULT_TILE_K
-    # The directional state is 2 panels vs (1 + n_in): size its tile by an
-    # effective input count of 1; the q-blocked state is G x taller.  For
-    # tanh/sigmoid the retained pre-activation panels are DEAD (act' is a
-    # function of the output alone) and Mosaic frees them, so the
-    # effective VMEM budget doubles — measured on v5e: G=4/h=80 compiles
-    # and runs at tile 4096 (9MB-budget cap: 2048) and hits the real
-    # scoped-VMEM wall only at 6144.
-    eff_in = 1 if directional else n_in
-    if directional and activation in ("tanh", "sigmoid"):
-        from .pallas_mlp import _VMEM_BUDGET_BYTES
-
-        denom = 4 * max(G * h_max, 1) * ((1 + eff_in) * (n_layers + 1)
-                                         + 2 * n_layers)
-        cap = max(256, ((2 * _VMEM_BUDGET_BYTES) // denom) // 256 * 256)
-        tile = int(min(tile, cap))
-    else:
-        tile = _auto_tile(tile, G * h_max, n_layers, eff_in)
 
     kp = _round_up(max(k, 1), tile)
     nqp = _round_up(nq, G)
 
-    # scaled coords as [n_in, nQ(p), Kp]
-    flat = quad.coords  # [K, nQ, n_in]
-    xs3 = flat if scale is None else (flat - shift) * scale
-    xs3 = jnp.transpose(xs3.astype(jnp.float32), (2, 1, 0))  # [n_in, nQ, K]
-    xs3 = jnp.pad(xs3, ((0, 0), (0, nqp - nq), (0, kp - k)))
-
-    def row3(a):  # [K, nQ] -> [1, nQp, Kp]
-        a = jnp.transpose(a.astype(jnp.float32))[None]
-        return jnp.pad(a, ((0, 0), (0, nqp - nq), (0, kp - k)))
-
-    fld_rows = [row3(quad.kappa)]
-    fld_rows += [row3(quad.vel[:, :, j]) for j in range(d)]
-    fld_rows += [row3(quad.src)]
-    if has_react:
-        fld_rows += [row3(quad.react)]
-    flds3 = jnp.concatenate(fld_rows, axis=0)  # [n_f, nQp, Kp]
-    n_f = flds3.shape[0]
+    if prepared is not None:
+        xs, flds = prepared
+        exp_cols = (nqp // G) * kp
+        if xs.shape != (G * n_in, exp_cols):
+            raise ValueError(
+                f"prepared xs shape {xs.shape} != expected "
+                f"{(G * n_in, exp_cols)} (G={G}, tile={tile}) — prepare "
+                "with the same resolve_layout parameters"
+            )
+        n_f = flds.shape[0] // G if G > 1 else flds.shape[0]
+    else:
+        xs, flds = prepare_residual_layout(
+            quad, scale, shift, has_react=has_react, G=G, tile=tile
+        )
+        n_f = flds.shape[0] // G if G > 1 else flds.shape[0]
 
     tab = jnp.concatenate(
         [
@@ -996,29 +1061,15 @@ def pallas_fused_residual(
     bs = tuple(jnp.reshape(l["b"], (-1, 1)).astype(jnp.float32) for l in params)
 
     if G > 1:
-        # blocked q-major layout: [G*rows, (nQp/G) * Kp], G consecutive
-        # q's stacked along the sublane axis
-        def blocked(a3, rows):
-            a = a3.reshape(rows, nqp // G, G, kp)
-            return jnp.transpose(a, (2, 0, 1, 3)).reshape(
-                G * rows, (nqp // G) * kp
-            )
-
-        xs = blocked(xs3, n_in)
-        flds = blocked(flds3, n_f)
         f = _dirq_residual_fn(
             n_in, n_layers, d, bool(time_dependent), bool(has_react),
             activation, tile, nqp, G, bool(interpret), precision,
         )
-        r = f(wts, bs, xs, flds, tab, scale_col)  # [1, kp]
-        return r[0, :k]
-
-    xs = xs3.reshape(n_in, nqp * kp)
-    flds = flds3.reshape(n_f, nqp * kp)
-    f = _fused_residual_fn(
-        n_in, n_layers, d, bool(time_dependent), bool(has_react),
-        activation, tile, nqp, bool(interpret), precision,
-        directional=bool(directional),
-    )
+    else:
+        f = _fused_residual_fn(
+            n_in, n_layers, d, bool(time_dependent), bool(has_react),
+            activation, tile, nqp, bool(interpret), precision,
+            directional=bool(directional),
+        )
     r = f(wts, bs, xs, flds, tab, scale_col)  # [1, kp]
     return r[0, :k]

@@ -68,13 +68,17 @@ def make_loss_fn(
     def net_params(theta):
         return theta["net"] if isinstance(theta, dict) and "net" in theta else theta
 
-    def loss_fn(theta, quad, bc, ic=None, obs=None, weights=(1.0, 1.0, 1.0)):
+    def loss_fn(theta, quad, bc, ic=None, obs=None, weights=(1.0, 1.0, 1.0),
+                prepared=None):
         net = net_params(theta)
         weights = jnp.asarray(weights)
         k, nq = quad.coords.shape[0], quad.coords.shape[1]
         if fused_residual is not None:
-            # fully-fused kernel: network + contraction in VMEM, r out
-            r = fused_residual(net, quad, activation, scale, shift)
+            # fully-fused kernel: network + contraction in VMEM, r out;
+            # `prepared` (per-shard precomputed kernel layout, threaded by
+            # the trainer) skips the per-step data relayout
+            r = fused_residual(net, quad, activation, scale, shift,
+                               prepared=prepared)
         else:
             flat = quad.coords.reshape(k * nq, n_in)
             u, du = value_and_jac(net, flat, activation, scale, shift)

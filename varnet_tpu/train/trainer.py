@@ -109,14 +109,17 @@ def make_train_step(
         return theta, opt_state, aux
 
     def make_epoch_step(reduce_fn):
-        def one_update(theta, opt_state, quad, bc, ic, obs, weights):
-            (_, aux), grads = grad_fn(theta, quad, bc, ic, obs, weights)
+        def one_update(theta, opt_state, quad, bc, ic, obs, weights,
+                       prepared=None):
+            (_, aux), grads = grad_fn(theta, quad, bc, ic, obs, weights,
+                                      prepared)
             return reduce_and_update(theta, opt_state, grads, aux, reduce_fn)
 
         if batch_num == 1:
             return one_update
 
-        def epoch_step(theta, opt_state, quad, bc, ic, obs, weights):
+        def epoch_step(theta, opt_state, quad, bc, ic, obs, weights,
+                       prepared=None):
             # Scan ONLY the per-node [B, Kb, ...] arrays; the shared [nQ]
             # quadrature tables (N, dN, w) are closed over, not scanned.
             per_node = (quad.coords, quad.kappa, quad.vel, quad.src,
@@ -147,13 +150,29 @@ def make_train_step(
     if mesh is None:
         # Auto-sharded fallback: XLA inserts the reductions (identity here).
         step = make_epoch_step(lambda x: x)
-        return jax.jit(step, donate_argnums=donate_argnums)
+        jitted = jax.jit(step, donate_argnums=donate_argnums)
+
+        def call(theta, opt_state, quad, bc, ic, obs, weights,
+                 prepared=None):
+            return jitted(theta, opt_state, quad, bc, ic, obs, weights,
+                          prepared)
+
+        call.jitted = jitted  # for lowering/inspection (HLO tests)
+        return call
 
     from jax.sharding import PartitionSpec as P
 
     from ..parallel.mesh import DATA_AXIS
 
     step = make_epoch_step(partial(jax.lax.psum, axis_name=DATA_AXIS))
+
+    def step_with_prepared(theta, opt_state, quad, bc, ic, obs, weights,
+                           prepared):
+        # per-shard precomputed kernel layout arrives stacked on a
+        # leading shard axis; drop it inside the shard_map body
+        if prepared is not None:
+            prepared = jax.tree_util.tree_map(lambda a: a[0], prepared)
+        return step(theta, opt_state, quad, bc, ic, obs, weights, prepared)
 
     rep = P()  # replicated: params, optimizer state, shared tables, weights
     per_node = P(None, DATA_AXIS) if batch_num > 1 else P(DATA_AXIS)
@@ -167,13 +186,20 @@ def make_train_step(
     pt_spec = P(DATA_AXIS)
 
     sharded = jax.shard_map(
-        step,
+        step_with_prepared,
         mesh=mesh,
-        in_specs=(rep, rep, quad_spec, pt_spec, pt_spec, pt_spec, rep),
+        in_specs=(rep, rep, quad_spec, pt_spec, pt_spec, pt_spec, rep,
+                  pt_spec),
         out_specs=(rep, rep, rep),
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=donate_argnums)
+    jitted = jax.jit(sharded, donate_argnums=donate_argnums)
+
+    def call(theta, opt_state, quad, bc, ic, obs, weights, prepared=None):
+        return jitted(theta, opt_state, quad, bc, ic, obs, weights, prepared)
+
+    call.jitted = jitted  # for lowering/inspection (HLO tests)
+    return call
 
 
 def make_eval_fn(static, activation: str = "tanh", input_scaling: bool = True,
