@@ -235,7 +235,7 @@ class VarNet:
             q_block=self.fused_q_block,
         )
 
-    def _prepare_fused_layout(self, quad_h):
+    def _prepare_fused_layout(self, quad_h, matmul_precision=None):
         """Per-shard precomputed (xs, flds) kernel layouts, stacked on a
         leading shard axis and placed with a data-axis NamedSharding.
         Host-side NumPy transform mirroring the in-graph one bit-for-bit
@@ -257,6 +257,7 @@ class VarNet:
             h_max, nq, len(net), self.static.n_inputs,
             activation=self.activation, directional=self.fused_directional,
             interpret=False, tile=None, q_block=self.fused_q_block,
+            precision=matmul_precision,
         )
         if self.input_scaling:
             scale, shift = make_input_scaling(
@@ -426,7 +427,7 @@ class VarNet:
         # the bench step; ops/pallas_residual.prepare_residual_layout).
         prepared_d = None
         if fused is not None and batch_num == 1:
-            prepared_d = self._prepare_fused_layout(quad_h)
+            prepared_d = self._prepare_fused_layout(quad_h, matmul_precision)
 
         theta = replicate(self.theta, self.mesh)
         opt_state = optimizer.init(theta)

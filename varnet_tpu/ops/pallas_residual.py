@@ -417,31 +417,50 @@ def _round_up(n, m):
 
 def resolve_layout(h_max, nq, n_layers, n_in, activation="tanh",
                    directional=True, interpret=False, tile=None,
-                   q_block=None):
+                   q_block=None, precision=None):
     """(G, tile) the fused-residual dispatcher will use — exposed so the
     trainer can PRECOMPUTE the kernel's data layout once (see
-    prepare_residual_layout) with guaranteed-matching parameters."""
+    prepare_residual_layout) with guaranteed-matching parameters.
+
+    VMEM calibration (measured on v5e, default bf16-pass precision):
+    the doubled-budget envelope is G*h <= 80 for tanh/sigmoid
+    (G=4/h=80/tile-4096 runs; G=2/h=96 OOM'd scoped VMEM 26.3M/16M).
+    Under HIGHEST precision the f32 multi-pass matmuls add scratch
+    (width 48/tile 3456 OOM'd 19.06M/16M); q-block auto then stays at
+    the proven G=1 and the budget shrinks 0.75x (width 32/tile 5120 at
+    HIGHEST is a measured-good round-2 point; the 0.75 cap keeps it
+    under that)."""
+    highest = precision in ("highest", "float32") or (
+        precision is not None and "HIGHEST" in str(precision)
+    )
     if q_block is None:
         q_block = 1
-        if directional and not interpret:
+        if directional and not interpret and not highest:
             for g_try in (4, 2):
-                if g_try * h_max <= 128 and nq % g_try == 0:
+                if g_try * h_max <= 80 and nq % g_try == 0:
                     q_block = g_try
                     break
     G = int(q_block)
     if tile is None:
         tile = DEFAULT_TILE_K_DIR if directional else DEFAULT_TILE_K
     eff_in = 1 if directional else n_in
-    if directional and activation in ("tanh", "sigmoid"):
-        from .pallas_mlp import _VMEM_BUDGET_BYTES
+    from .pallas_mlp import _VMEM_BUDGET_BYTES, _auto_tile
 
+    if highest:
+        denom = 4 * max(G * h_max, 1) * ((1 + eff_in) * (n_layers + 1)
+                                         + 2 * n_layers)
+        budget = (3 * _VMEM_BUDGET_BYTES) // 4
+        cap = max(256, (budget // denom) // 256 * 256)
+        tile = int(min(tile, cap))
+    elif (directional and activation in ("tanh", "sigmoid")
+          and G * h_max <= 80):
+        # tanh/sigmoid never read the retained pre-activation panels, so
+        # within the measured envelope the effective budget doubles
         denom = 4 * max(G * h_max, 1) * ((1 + eff_in) * (n_layers + 1)
                                          + 2 * n_layers)
         cap = max(256, ((2 * _VMEM_BUDGET_BYTES) // denom) // 256 * 256)
         tile = int(min(tile, cap))
     else:
-        from .pallas_mlp import _auto_tile
-
         tile = _auto_tile(tile, G * h_max, n_layers, eff_in)
     return G, tile
 
@@ -1017,7 +1036,7 @@ def pallas_fused_residual(
     G, tile = resolve_layout(
         h_max, nq, n_layers, n_in, activation=activation,
         directional=directional, interpret=interpret, tile=tile,
-        q_block=q_block,
+        q_block=q_block, precision=precision,
     )
     if G > 1 and not directional:
         raise ValueError("q_block > 1 requires directional=True")
