@@ -7,9 +7,14 @@ variants (zero contraction direction); this measures the parametric
 training step end-to-end on the 2-D MOR family (4 velocity samples,
 SURVEY.md §3.5).
 
-Run: python benchmarks/mor_bench.py   (TPU, ~3 min)
+Run: python benchmarks/mor_bench.py [--disc 128]   (TPU, ~3 min)
+
+At small sizes (disc<=48: ~1.4e5 quad pts) BOTH paths are tunnel-
+dispatch-bound (~1.3e3 steps/s) and indistinguishable; the default disc
+is chosen so the parametric step is compute-bound like the flagship.
 """
 
+import argparse
 import json
 import sys
 import time
@@ -28,14 +33,19 @@ def main():
     enable_compilation_cache()
     import jax
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--disc", type=int, default=128)
+    ap.add_argument("--epochs", type=int, default=200)
+    args = ap.parse_args()
+
     case = mor_steady_ad_2d()
     out = {}
     for fused, label in ((True, "fused_residual_kernel"),
                          (False, "general_value_and_jac_path")):
-        vn = VarNet(case["pde"], layer_width=(20, 20), disc_num=48,
-                    b_disc_num=48, use_fused_residual=fused)
-        res = vn.train(epoch_num=200, weight=(1.0, 10.0), save_freq=200,
-                       verbose=False)
+        vn = VarNet(case["pde"], layer_width=(20, 20), disc_num=args.disc,
+                    b_disc_num=args.disc, use_fused_residual=fused)
+        res = vn.train(epoch_num=args.epochs, weight=(1.0, 10.0),
+                       save_freq=args.epochs, verbose=False)
         out[label] = {
             "quad_evals_per_sec": res.quad_evals_per_sec,
             "steps_per_sec": res.steps_per_sec,
@@ -50,7 +60,7 @@ def main():
                       / out["general_value_and_jac_path"]["quad_evals_per_sec"])
     out["platform"] = jax.devices()[0].platform
     out["date"] = "2026-08-17"
-    out["config"] = ("2-D steady MOR family, 4 mu samples, disc=48, "
+    out["config"] = (f"2-D steady MOR family, 4 mu samples, disc={args.disc}, "
                      "MLP 3-20-20-1 (x, y, mu inputs)")
     RESULTS.mkdir(exist_ok=True)
     (RESULTS / "mor_bench.json").write_text(json.dumps(out, indent=2))
