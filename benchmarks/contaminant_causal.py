@@ -51,9 +51,10 @@ def main():
     ap.add_argument("--tdisc", type=int, default=40,
                     help="time elements at the FULL window (dt held fixed)")
     ap.add_argument("--bdisc", type=int, default=64)
-    ap.add_argument("--ff", type=int, default=0,
+    ap.add_argument("--ff", type=int, default=128,
                     help="random Fourier features (0 = plain MLP)")
-    ap.add_argument("--ff-scale", type=float, default=0.5)
+    ap.add_argument("--ff-scale", type=str, default="0.5,2.0",
+                    help="FF scale, or comma-list for a multi-scale basis")
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--lm-steps", type=int, default=12)
     ap.add_argument("--lm-cg", type=int, default=150)
@@ -69,7 +70,9 @@ def main():
     w = (args.w_int, args.w_bcic, args.w_bcic)
     extra = {}
     if args.ff:
-        extra = dict(fourier_features=args.ff, fourier_scale=args.ff_scale)
+        scales = [float(s) for s in str(args.ff_scale).split(",")]
+        extra = dict(fourier_features=args.ff,
+                     fourier_scale=scales[0] if len(scales) == 1 else scales)
 
     t0 = time.perf_counter()
     theta = None

@@ -45,3 +45,24 @@ def test_varnet_fourier_trains():
     # evaluate goes through the embedded apply path
     u = vn.evaluate(np.array([[0.5, 0.5]]))
     assert u.shape == (1,)
+
+
+def test_multiscale_fourier_features():
+    """scale may be a sequence: per-scale blocks concatenated (n_feat split
+    evenly, remainder to the first block) — benchmarks/contaminant_rep_probe2
+    measured the (0.5, 2.0) basis at 0.8% supervised rel-L2 on the
+    contaminant field where single scales plateau 5-10x higher."""
+    key = jax.random.PRNGKey(3)
+    b = make_fourier_features(key, 3, 7, scale=[0.5, 2.0])
+    assert b.shape == (3, 7)
+    # first block (4 cols) drawn at scale 0.5, second (3 cols) at 2.0:
+    # check the sample std honors the split (loose tolerance, tiny sample)
+    assert float(jnp.abs(b[:, :4]).std()) < float(jnp.abs(b[:, 4:]).std())
+
+    vn = VarNet(steady_ad_2d(kappa=0.1)["pde"], layer_width=(8,),
+                disc_num=8, n_devices=1,
+                fourier_features=8, fourier_scale=(0.5, 2.0))
+    assert vn.fourier_b.shape == (2, 8)  # steady 2-D: inputs (x, y)
+    res = vn.train(epoch_num=60, weight=(1.0, 10.0), save_freq=60,
+                   verbose=False)
+    assert np.isfinite(res.losses[-1]["loss"])

@@ -101,7 +101,7 @@ class VarNet:
         fused_directional: bool = True,
         fused_q_block: Optional[int] = None,
         fourier_features: Optional[int] = None,
-        fourier_scale: float = 0.5,
+        fourier_scale=0.5,
         omega0: float = 6.0,
     ):
         self.pde = pde
@@ -165,9 +165,11 @@ class VarNet:
             from .models.mlp import ff_apply, ff_value_and_jac, make_fourier_features
 
             key, sub = jax.random.split(key)
+            # fourier_scale: float, or a sequence of floats for a
+            # multi-scale basis (see make_fourier_features).
             self.fourier_b = make_fourier_features(
                 sub, self.static.n_inputs, int(fourier_features),
-                scale=float(fourier_scale),
+                scale=fourier_scale,
             )
             net_in = 2 * int(fourier_features)
             self._value_and_jac_default = functools.partial(
