@@ -1,0 +1,51 @@
+"""train_causal: growing-time-window curriculum (train/causal.py).
+
+Uses a tiny 1-D source-driven transient problem with homogeneous BC/IC —
+the exact shape of the zero-data-attractor configs (DESIGN.md) — and
+checks the window mechanics: warm-started stages, fixed dt, a nonzero
+final field, and the argument validation.
+"""
+
+import numpy as np
+import pytest
+
+from varnet_tpu.geometry.domain import Domain1D
+from varnet_tpu.problems.adpde import ADPDE
+from varnet_tpu.train.causal import train_causal
+
+
+def _make_pde(t_end):
+    # gated Gaussian source, homogeneous BC/IC: u = 0 fits all data terms
+    def source(x, t):
+        x0 = np.reshape(x, (len(x), -1))[:, 0]
+        t0 = np.reshape(t, (len(t), -1))[:, 0]
+        g = np.exp(-0.5 * ((x0 - 0.3) / 0.1) ** 2)
+        return g * (t0 < 0.3)
+
+    return ADPDE(Domain1D(0.0, 1.0), diff=0.05, vel=0.5, source=source,
+                 t_interval=(0.0, float(t_end)), bcs=0.0, ic=0.0)
+
+
+def test_train_causal_windows():
+    vn, stages = train_causal(
+        _make_pde, windows=(0.5, 1.0), epoch_num=150, weight=(1.0, 10.0, 10.0),
+        t_disc_full=8,
+        varnet_kwargs=dict(layer_width=(12,), disc_num=12, b_disc_num=4,
+                           n_devices=1),
+        verbose=False,
+    )
+    assert [s["t_end"] for s in stages] == [0.5, 1.0]
+    # dt held fixed: stage tdisc scales with the window
+    assert vn.t_disc_num == 8
+    assert all(np.isfinite(s["final_loss"]) for s in stages)
+    # the source has driven the field off u = 0
+    x = np.linspace(0.05, 0.95, 20)[:, None]
+    u = vn.evaluate(x, t=np.full(20, 0.25))
+    assert np.abs(u).max() > 1e-3
+
+
+def test_train_causal_validates_windows():
+    with pytest.raises(ValueError):
+        train_causal(_make_pde, windows=(0.5, 0.75))  # final != 1.0
+    with pytest.raises(ValueError):
+        train_causal(_make_pde, windows=(0.75, 0.5, 1.0))  # not increasing

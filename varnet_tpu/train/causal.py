@@ -1,0 +1,93 @@
+"""Causal (growing-time-window) training for source-driven transient
+problems.
+
+Source-driven configs with homogeneous BC/IC can train to the u = 0
+zero-data attractor under full-window training: u = 0 satisfies every
+data term exactly and sits in a quasi-minimum of the interior loss
+(DESIGN.md 'zero-data attractor', measured round 2).  The attractor is
+TIME-GLOBAL — with the whole window in the loss the gated source's small
+contribution is swamped.  Growing the window makes it local: train
+t in [0, w_1 T] first (where the source drives a large residual share),
+then extend with warm starts so each stage starts from a state already
+carrying the plume.  Measured effect (benchmarks/contaminant_causal.py):
+the original contaminant config (kappa=0.01, sigma=0.06) escapes u = 0
+and tracks the CN-FDM plume amplitude within a few percent per window.
+
+The trial net must mean the same thing across stages, so every stage's
+``VarNet`` is built with ``input_scaling=False`` unless the caller
+overrides it — input scaling would remap t per window and invalidate the
+warm start.
+
+SURVEY.md §0 item 8 names contaminant transport as the reference's
+flagship application; this module is the capability that makes its
+original parameters trainable (beyond-reference: the TF1 reference has
+no curriculum machinery).
+"""
+
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+__all__ = ["train_causal"]
+
+
+def train_causal(
+    make_pde: Callable[[float], Any],
+    windows: Sequence[float] = (0.25, 0.5, 0.75, 1.0),
+    epoch_num: int = 8000,
+    weight: Optional[Sequence[float]] = None,
+    t_disc_full: int = 32,
+    varnet_kwargs: Optional[Dict[str, Any]] = None,
+    train_kwargs: Optional[Dict[str, Any]] = None,
+    verbose: bool = True,
+):
+    """Train through a growing sequence of time windows with warm starts.
+
+    Args:
+      make_pde: ``make_pde(t_end) -> ADPDE`` posed on t in [0, t_end]
+        (fraction of the full interval; the final window must be 1.0-
+        relative, i.e. the full problem).
+      windows: increasing window fractions; the last must be 1.0.
+      epoch_num: Adam epochs per window.
+      weight: loss weights, as ``VarNet.train``.
+      t_disc_full: time elements at the FULL window; each stage uses
+        ``round(t_disc_full * w)`` (>= 4) so dt stays fixed across stages.
+      varnet_kwargs: forwarded to every stage's ``VarNet`` constructor
+        (``input_scaling`` defaults to False here — see module docstring).
+      train_kwargs: forwarded to every stage's ``.train`` call.
+      verbose: per-stage progress lines.
+
+    Returns:
+      ``(vn, stages)`` — the final-window ``VarNet`` (train further, or
+      ``refine_lm``, or ``evaluate``) and a list of per-stage dicts.
+    """
+    from ..api import VarNet
+
+    windows = [float(w) for w in windows]
+    if not windows or abs(windows[-1] - 1.0) > 1e-12:
+        raise ValueError("the final window must be 1.0 (the full interval)")
+    if any(b <= a for a, b in zip(windows, windows[1:])):
+        raise ValueError("windows must be strictly increasing")
+
+    vkw = dict(varnet_kwargs or {})
+    vkw.setdefault("input_scaling", False)
+    tkw = dict(train_kwargs or {})
+    tkw.setdefault("verbose", verbose)
+
+    theta = None
+    stages: List[Dict[str, Any]] = []
+    vn = None
+    for w in windows:
+        pde = make_pde(w)
+        vn = VarNet(pde, t_disc_num=max(4, int(round(t_disc_full * w))),
+                    **vkw)
+        if theta is not None:
+            vn.theta = theta
+        res = vn.train(epoch_num=epoch_num, weight=weight,
+                       save_freq=max(epoch_num // 2, 1), **tkw)
+        theta = vn.theta
+        rec = {"t_end": w, "final_loss": res.losses[-1]["loss"],
+               "result": res}
+        stages.append(rec)
+        if verbose:
+            print(f"[varnet/causal] window [0,{w}]: "
+                  f"loss {rec['final_loss']:.3e}", flush=True)
+    return vn, stages
