@@ -68,3 +68,14 @@ def test_example_folder_artifacts(tmp_path):
     )
     assert vn2.train_result is not None
     assert len(vn2.train_result.losses) >= 1
+
+
+def test_contaminant_causal_cli():
+    """--causal N drives train_causal with FF through the example CLI
+    (the measured escape recipe for the volumetric-source variant)."""
+    vn = contaminant_2d.main(
+        TINY + ["--causal", "2", "--volumetric-source", "--ff", "8",
+                "--disc", "6", "--tdisc", "4", "--bdisc", "6",
+                "--layers", "1", "--devices", "1"])
+    assert vn.t_disc_num == 4
+    assert vn.fourier_b is not None

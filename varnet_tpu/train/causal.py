@@ -81,8 +81,8 @@ def train_causal(
                     **vkw)
         if theta is not None:
             vn.theta = theta
-        res = vn.train(epoch_num=epoch_num, weight=weight,
-                       save_freq=max(epoch_num // 2, 1), **tkw)
+        tkw.setdefault("save_freq", max(epoch_num // 2, 1))
+        res = vn.train(epoch_num=epoch_num, weight=weight, **tkw)
         theta = vn.theta
         rec = {"t_end": w, "final_loss": res.losses[-1]["loss"],
                "result": res}
