@@ -176,3 +176,20 @@ def test_compilation_cache_helper():
 
     with tempfile.TemporaryDirectory() as td:
         assert enable_compilation_cache(td) in (True, False)
+
+
+def test_evaluate_cache_invalidated_on_leaf_rebind():
+    """VarNet._replicated caches the device theta by LEAF identity: the
+    common 'vn.theta[i][\"w\"] = new' mutation must invalidate it (a
+    round-3 review found the identity-of-pytree key served stale weights)."""
+    from varnet_tpu.problems.analytic import steady_ad_1d
+
+    vn = VarNet(steady_ad_1d()["pde"], layer_width=(8,), disc_num=10,
+                b_disc_num=4, n_devices=1)
+    x = np.linspace(0.1, 0.9, 7)[:, None]
+    u0 = vn.evaluate(x)
+    vn.theta[-1]["w"] = jnp.zeros_like(vn.theta[-1]["w"])
+    vn.theta[-1]["b"] = jnp.ones_like(vn.theta[-1]["b"])
+    u1 = vn.evaluate(x)
+    np.testing.assert_allclose(u1, 1.0, atol=1e-6)
+    assert np.abs(u1 - u0).max() > 1e-3

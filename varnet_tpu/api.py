@@ -427,8 +427,12 @@ class VarNet:
         # Precompute the fused kernel's per-shard data layout ONCE (the
         # in-graph transform re-executes every step otherwise — ~10% of
         # the bench step; ops/pallas_residual.prepare_residual_layout).
+        # f32-only: the host transform casts float64->f32, which matches
+        # the in-graph path bit-for-bit only when the device quad arrays
+        # are themselves f32 (test_prepared_layout_matches_ingraph); for
+        # other dtypes fall back to the in-graph relayout.
         prepared_d = None
-        if fused is not None and batch_num == 1:
+        if fused is not None and batch_num == 1 and self.dtype == jnp.float32:
             prepared_d = self._prepare_fused_layout(quad_h, matmul_precision)
 
         theta = replicate(self.theta, self.mesh)
@@ -895,14 +899,22 @@ class VarNet:
             return self._evaluate_inner(x, t, mu, theta, chunk)
 
     def _replicated(self, theta):
-        """Replicate theta onto the mesh, cached by object identity —
+        """Replicate theta onto the mesh, cached by LEAF identity —
         error reports and chunked evaluation call this once per time
-        slice/chunk with the SAME host pytree (VERDICT r2 hygiene)."""
+        slice/chunk with the SAME host pytree (VERDICT r2 hygiene).
+
+        The key is the tuple of leaf ids, so replacing any leaf (the
+        common 'vn.theta[0]["w"] = new' pattern) invalidates the cache;
+        mutating an ndarray's CONTENTS in place (arr[...] = new) cannot
+        be detected without hashing the data — rebind the leaf instead.
+        """
+        key = tuple(id(l) for l in jax.tree_util.tree_leaves(theta))
         cached = getattr(self, "_theta_d_cache", None)
-        if cached is not None and cached[0] is theta:
-            return cached[1]
+        if cached is not None and cached[1] == key:
+            return cached[2]
         theta_d = replicate(theta, self.mesh)
-        self._theta_d_cache = (theta, theta_d)
+        # keep the host pytree alive so its leaf ids cannot be recycled
+        self._theta_d_cache = (theta, key, theta_d)
         return theta_d
 
     def _evaluate_inner(self, x, t, mu, theta, chunk) -> np.ndarray:

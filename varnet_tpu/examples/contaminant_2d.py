@@ -34,6 +34,9 @@ def main(argv=None):
     p.add_argument("--ff-scale", type=str, default="0.5,2.0",
                    help="FF scale, or comma-list for a multi-scale basis")
     args = p.parse_args(argv)
+    if args.causal and not args.volumetric_source:
+        p.error("--causal applies to the --volumetric-source variant "
+                "(the inlet variant trains full-window without it)")
     extra = {}
     if args.ff:
         scales = [float(s) for s in str(args.ff_scale).split(",")]
@@ -75,6 +78,7 @@ def _run_causal(args, kap, extra):
         train_kwargs=dict(batch_num=args.batch_num,
                           save_freq=args.save_freq,
                           matmul_precision=args.precision),
+        folderpath=args.folder,
     )
     summary = {"stage_losses": [s["final_loss"] for s in stages]}
     if args.lm_steps:

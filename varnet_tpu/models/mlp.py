@@ -190,10 +190,14 @@ def make_fourier_features(key: jax.Array, n_in: int, n_feat: int,
     (0.5, 2.0) supervised-fit to 0.8% rel-L2 where any single scale
     plateaus 5-10x higher.
     """
-    try:
-        scales = [float(s) for s in scale]
-    except TypeError:
-        return scale * jax.random.normal(key, (int(n_in), int(n_feat)))
+    if isinstance(scale, str):
+        # config round-trip friendliness: "0.5" or "0.5,2.0"
+        scale = [float(s) for s in scale.split(",")]
+        if len(scale) == 1:
+            scale = scale[0]
+    if isinstance(scale, (int, float)):
+        return float(scale) * jax.random.normal(key, (int(n_in), int(n_feat)))
+    scales = [float(s) for s in scale]
     n_feat = int(n_feat)
     counts = [n_feat // len(scales)] * len(scales)
     counts[0] += n_feat - sum(counts)

@@ -48,13 +48,22 @@ DEFAULT_TILE = 4096  # measured best on v5e (benchmarks/kernel_bench.py)
 _VMEM_BUDGET_BYTES = 9 * 1024 * 1024
 
 
-def _auto_tile(requested: int, h_max: int, n_layers: int, n_in: int) -> int:
+def _auto_tile(requested: int, h_max: int, n_layers: int, n_in: int,
+               budget_bytes: int | None = None) -> int:
     """Cap the point tile so the packed backward's per-program VMEM state
     (s_packed per layer + z/a + gradient panels + temporaries) fits the
     scoped budget.  Measured blow-up otherwise: width 48 x 3 hidden at
-    tile 4096 needs ~32MB > 16MB."""
+    tile 4096 needs ~32MB > 16MB.
+
+    ``budget_bytes`` overrides the default budget — the fused-residual
+    dispatcher (pallas_residual.resolve_layout) shrinks it 0.75x under
+    HIGHEST precision (multi-pass f32 matmul scratch) and doubles it for
+    tanh/sigmoid directional kernels inside the measured G*h <= 80
+    envelope (pre-activation panels never read back)."""
+    if budget_bytes is None:
+        budget_bytes = _VMEM_BUDGET_BYTES
     denom = 4 * max(h_max, 1) * ((1 + n_in) * (n_layers + 1) + 2 * n_layers)
-    cap = max(256, (_VMEM_BUDGET_BYTES // denom) // 256 * 256)
+    cap = max(256, (budget_bytes // denom) // 256 * 256)
     return int(min(requested, cap))
 
 

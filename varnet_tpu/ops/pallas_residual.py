@@ -447,21 +447,15 @@ def resolve_layout(h_max, nq, n_layers, n_in, activation="tanh",
     from .pallas_mlp import _VMEM_BUDGET_BYTES, _auto_tile
 
     if highest:
-        denom = 4 * max(G * h_max, 1) * ((1 + eff_in) * (n_layers + 1)
-                                         + 2 * n_layers)
         budget = (3 * _VMEM_BUDGET_BYTES) // 4
-        cap = max(256, (budget // denom) // 256 * 256)
-        tile = int(min(tile, cap))
     elif (directional and activation in ("tanh", "sigmoid")
           and G * h_max <= 80):
         # tanh/sigmoid never read the retained pre-activation panels, so
         # within the measured envelope the effective budget doubles
-        denom = 4 * max(G * h_max, 1) * ((1 + eff_in) * (n_layers + 1)
-                                         + 2 * n_layers)
-        cap = max(256, ((2 * _VMEM_BUDGET_BYTES) // denom) // 256 * 256)
-        tile = int(min(tile, cap))
+        budget = 2 * _VMEM_BUDGET_BYTES
     else:
-        tile = _auto_tile(tile, G * h_max, n_layers, eff_in)
+        budget = None  # _auto_tile default
+    tile = _auto_tile(tile, G * h_max, n_layers, eff_in, budget_bytes=budget)
     return G, tile
 
 
@@ -643,7 +637,7 @@ def _fused_residual_fn(n_in, n_layers, d, td, has_react, activation, tile,
 
 
 def _dirq_coeffs(f_ref, tab_ref, scale_ref, qg, d, td, has_react, n_in,
-                 n_f, G, like):
+                 n_f, G):
     """Blocked per-point coefficients for q = qg*G + g, g = 0..G-1.
 
     Returns (c_blk [G*n_in, T], cu_blk [G, T] or None, csrc_blk [G, T]).
@@ -716,7 +710,6 @@ def _dirq_fwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
 
     c_blk, cu_blk, csrc_blk = _dirq_coeffs(
         f_ref, tab_ref, scale_ref, qg, d, td, has_react, n_in, n_f, G,
-        f_ref[0:1, :],
     )
     u, dd, _, _, _, _ = _dirq_forward(
         _mm, act, act_p, n_in, n_layers, G, w_refs, xs_ref[:], c_blk, t
@@ -753,7 +746,6 @@ def _dirq_bwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
 
     c_blk, cu_blk, _ = _dirq_coeffs(
         f_ref, tab_ref, scale_ref, qg, d, td, has_react, n_in, n_f, G,
-        f_ref[0:1, :],
     )
     u, dd, s_packed, zs, acts, jpre0 = _dirq_forward(
         _mm, act, act_p, n_in, n_layers, G, w_refs, xs, c_blk, t
@@ -1047,18 +1039,21 @@ def pallas_fused_residual(
     if prepared is not None:
         xs, flds = prepared
         exp_cols = (nqp // G) * kp
-        if xs.shape != (G * n_in, exp_cols):
+        exp_nf = 2 + d + (1 if has_react else 0)  # kappa, vel, src[, react]
+        if xs.shape != (G * n_in, exp_cols) or flds.shape != (
+            G * exp_nf, exp_cols,
+        ):
             raise ValueError(
-                f"prepared xs shape {xs.shape} != expected "
-                f"{(G * n_in, exp_cols)} (G={G}, tile={tile}) — prepare "
-                "with the same resolve_layout parameters"
+                f"prepared layout shapes xs={xs.shape} flds={flds.shape} != "
+                f"expected xs={(G * n_in, exp_cols)} "
+                f"flds={(G * exp_nf, exp_cols)} (G={G}, tile={tile}, "
+                f"has_react={has_react}) — prepare with the same "
+                "resolve_layout parameters"
             )
-        n_f = flds.shape[0] // G if G > 1 else flds.shape[0]
     else:
         xs, flds = prepare_residual_layout(
             quad, scale, shift, has_react=has_react, G=G, tile=tile
         )
-        n_f = flds.shape[0] // G if G > 1 else flds.shape[0]
 
     tab = jnp.concatenate(
         [

@@ -37,6 +37,7 @@ def train_causal(
     t_disc_full: int = 32,
     varnet_kwargs: Optional[Dict[str, Any]] = None,
     train_kwargs: Optional[Dict[str, Any]] = None,
+    folderpath: Optional[str] = None,
     verbose: bool = True,
 ):
     """Train through a growing sequence of time windows with warm starts.
@@ -53,6 +54,11 @@ def train_causal(
       varnet_kwargs: forwarded to every stage's ``VarNet`` constructor
         (``input_scaling`` defaults to False here — see module docstring).
       train_kwargs: forwarded to every stage's ``.train`` call.
+      folderpath: when set, stage i checkpoints under
+        ``{folderpath}_w{window}`` — causal runs are hours-long on real
+        problems and a device fault mid-stage must not lose the
+        warm-start chain (measured in anger, see
+        benchmarks/contaminant_causal.py).
       verbose: per-stage progress lines.
 
     Returns:
@@ -82,6 +88,8 @@ def train_causal(
         if theta is not None:
             vn.theta = theta
         tkw.setdefault("save_freq", max(epoch_num // 2, 1))
+        if folderpath is not None:
+            tkw["folderpath"] = f"{folderpath}_w{w:g}"
         res = vn.train(epoch_num=epoch_num, weight=weight, **tkw)
         theta = vn.theta
         rec = {"t_end": w, "final_loss": res.losses[-1]["loss"],

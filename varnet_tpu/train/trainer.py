@@ -120,6 +120,12 @@ def make_train_step(
 
         def epoch_step(theta, opt_state, quad, bc, ic, obs, weights,
                        prepared=None):
+            if prepared is not None:
+                # a prepared layout is built for the FULL (unbatched) quad
+                # and cannot feed the per-batch kernel calls inside scan
+                raise ValueError(
+                    "prepared kernel layouts require batch_num == 1"
+                )
             # Scan ONLY the per-node [B, Kb, ...] arrays; the shared [nQ]
             # quadrature tables (N, dN, w) are closed over, not scanned.
             per_node = (quad.coords, quad.kappa, quad.vel, quad.src,
