@@ -28,8 +28,8 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from varnet_tpu.api import VarNet  # noqa: E402
 from varnet_tpu.problems.analytic import contaminant_transport_2d  # noqa: E402
+from varnet_tpu.train.causal import train_causal  # noqa: E402
 from varnet_tpu.train.optim import OptimizerConfig  # noqa: E402
 from varnet_tpu.utils.helpers import rel_l2_error  # noqa: E402
 
@@ -76,46 +76,42 @@ def main():
                      fourier_scale=scales[0] if len(scales) == 1 else scales)
 
     t0 = time.perf_counter()
-    theta = None
-    stages = []
-    vn = None
-    for t_end in windows:
-        case = contaminant_transport_2d(
-            kappa=args.kappa, src_sigma=args.sigma, t_final=t_end
-        )
-        tdisc = max(4, int(round(args.tdisc * t_end)))
-        vn = VarNet(
-            case["pde"], layer_width=(args.width,) * args.layers,
-            disc_num=args.disc, b_disc_num=args.bdisc, t_disc_num=tdisc,
-            seed=args.seed,
-            # scaling frozen across stages: the spatial map is
-            # window-independent and t in [0,1] stays raw, so a stage-i
-            # theta is a valid warm start for stage i+1
-            input_scaling=False,
-            optimizer=OptimizerConfig(lr=args.lr, decay_rate=0.4,
-                                      decay_steps=max(args.epochs // 4, 1)),
-            **extra,
-        )
-        if theta is not None:
-            vn.theta = theta
-        # per-window checkpointing: a tunnel fault mid-run loses at most
-        # half a window (measured in anger: the first attempt lost 75 min
-        # of trained theta to an LM-phase device error)
-        res = vn.train(epoch_num=args.epochs, weight=w,
-                       save_freq=max(args.epochs // 2, 1), verbose=True,
-                       folderpath=f"{args.folder}_w{t_end:g}")
-        theta = vn.theta
-        # plume amplitude check: max |u| on a coarse grid at t = T_i
-        pts, mask = case["pde"].domain.grid_in_domain((49, 25))
+
+    def plume_check(vn, t_end, res):
+        """max |u| on a coarse grid at t = T_i — did the stage leave u=0?"""
+        pts, mask = vn.pde.domain.grid_in_domain((49, 25))
         pts = pts[mask]
         umax = float(np.abs(vn.evaluate(pts, t=np.full(len(pts), t_end))).max())
-        stages.append({"t_end": t_end, "tdisc": tdisc,
-                       "final_loss": res.losses[-1]["loss"],
-                       "max_abs_u_at_T": umax,
-                       "wall_s": time.perf_counter() - t0})
         print(f"[causal] window [0,{t_end}]: loss "
               f"{res.losses[-1]['loss']:.3e}  max|u(T)| {umax:.3e}",
               flush=True)
+        return {"tdisc": vn.t_disc_num, "max_abs_u_at_T": umax,
+                "wall_s": time.perf_counter() - t0}
+
+    # growing-window curriculum via the library capability; per-window
+    # checkpointing under --folder (a tunnel fault mid-run loses at most
+    # half a window — measured in anger: the first attempt lost 75 min of
+    # trained theta to an LM-phase device error)
+    vn, stage_recs = train_causal(
+        lambda t_end: contaminant_transport_2d(
+            kappa=args.kappa, src_sigma=args.sigma, t_final=t_end)["pde"],
+        windows=windows, epoch_num=args.epochs, weight=w,
+        t_disc_full=args.tdisc,
+        varnet_kwargs=dict(
+            layer_width=(args.width,) * args.layers, disc_num=args.disc,
+            b_disc_num=args.bdisc, seed=args.seed,
+            # scaling frozen across stages: the spatial map is
+            # window-independent and t in [0,1] stays raw, so a stage-i
+            # theta is a valid warm start for stage i+1 (train_causal
+            # defaults input_scaling=False for exactly this reason)
+            optimizer=OptimizerConfig(lr=args.lr, decay_rate=0.4,
+                                      decay_steps=max(args.epochs // 4, 1)),
+            **extra),
+        train_kwargs=dict(verbose=True),
+        folderpath=args.folder, stage_hook=plume_check, verbose=False,
+    )
+    stages = [{k: v for k, v in r.items() if k != "result"}
+              for r in stage_recs]
 
     z = np.load(DATA / "contaminant_fdm.npz")
 

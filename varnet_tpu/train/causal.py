@@ -38,6 +38,7 @@ def train_causal(
     varnet_kwargs: Optional[Dict[str, Any]] = None,
     train_kwargs: Optional[Dict[str, Any]] = None,
     folderpath: Optional[str] = None,
+    stage_hook: Optional[Callable] = None,
     verbose: bool = True,
 ):
     """Train through a growing sequence of time windows with warm starts.
@@ -58,6 +59,10 @@ def train_causal(
         ``{folderpath}_w{window}`` — causal runs are hours-long on real
         problems and a device fault mid-stage must not lose the
         warm-start chain (measured in anger, see
+        benchmarks/contaminant_causal.py).
+      stage_hook: optional ``stage_hook(vn, window, result) -> dict`` run
+        after each stage; its return value is merged into that stage's
+        record (e.g. a plume-amplitude check — see
         benchmarks/contaminant_causal.py).
       verbose: per-stage progress lines.
 
@@ -94,6 +99,8 @@ def train_causal(
         theta = vn.theta
         rec = {"t_end": w, "final_loss": res.losses[-1]["loss"],
                "result": res}
+        if stage_hook is not None:
+            rec.update(stage_hook(vn, w, res) or {})
         stages.append(rec)
         if verbose:
             print(f"[varnet/causal] window [0,{w}]: "
