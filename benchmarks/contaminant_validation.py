@@ -212,7 +212,8 @@ def main():
     ap.add_argument("--variant", choices=["inlet", "source", "source-ff"],
                     default="inlet")
     ap.add_argument("--ff", type=int, default=64)
-    ap.add_argument("--ff-scale", type=float, default=0.5)
+    ap.add_argument("--ff-scale", type=str, default="0.5",
+                    help="FF scale, or comma-list for a multi-scale basis")
     ap.add_argument("--folder", type=str, default="/tmp/contaminant_val")
     ap.add_argument("--width", type=int, default=48)
     ap.add_argument("--layers", type=int, default=3)
