@@ -1,4 +1,10 @@
-import sys; sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
+"""Render the causal contaminant solution next to the CN-FDM reference
+(the figure committed as results/contaminant_causal_snapshots.png)."""
+import sys
+from pathlib import Path
+
+HERE = Path(__file__).resolve().parent
+sys.path.insert(0, str(HERE.parent))
 import jax; jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import matplotlib
@@ -8,8 +14,8 @@ import matplotlib.pyplot as plt
 from varnet_tpu.api import VarNet
 from varnet_tpu.problems.analytic import contaminant_transport_2d
 
-z = np.load("benchmarks/data/contaminant_fdm.npz")
-t = np.load("benchmarks/results/theta_contaminant_causal.npz")
+z = np.load(HERE / "data/contaminant_fdm.npz")
+t = np.load(HERE / "results/theta_contaminant_causal.npz")
 theta = [{"w": t[f"l{i}_w"], "b": t[f"l{i}_b"]} for i in range(len(t.files)//2)]
 
 case = contaminant_transport_2d()
@@ -37,6 +43,6 @@ for r, tv in enumerate(times):
         fig.colorbar(im, ax=ax, shrink=0.8)
 fig.suptitle("Original contaminant config (kappa=0.01, sigma=0.06): "
              "solved at rel-L2 3.6%", fontsize=11)
-out = "benchmarks/results/contaminant_causal_snapshots.png"
+out = HERE / "results/contaminant_causal_snapshots.png"
 fig.savefig(out, dpi=110)
 print("saved", out)
