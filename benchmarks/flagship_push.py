@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--lm-steps", type=int, default=40)
     ap.add_argument("--lm-cg", type=int, default=400)
     ap.add_argument("--k-chunks", type=int, default=24)
+    ap.add_argument("--lam0", type=float, default=1e-3,
+                    help="initial LM damping; continuations from a "
+                         "converged theta should pass ~1e-9 to skip the "
+                         "re-warm rejections")
     ap.add_argument("--folder", type=str, default="/tmp/flagship_push")
     args = ap.parse_args()
 
@@ -66,7 +70,7 @@ def main():
         steps=args.lm_steps, weight=w, cg_iters=args.lm_cg, cg_segment=40,
         k_chunks=args.k_chunks, save_freq=1, error_disc=96, error_times=7,
         target_error=5e-5, matmul_precision="highest", verbose=True,
-        folderpath=args.folder,
+        lam0=args.lam0, folderpath=args.folder,
     )
     wall = time.perf_counter() - t0
     best = r.best_error()
