@@ -69,7 +69,7 @@ def main():
     vn.refine_lm(steps=args.lm_steps, weight=(1.0, 10.0, 10.0),
                  cg_iters=args.lm_cg, cg_segment=50, k_chunks=args.k_chunks,
                  save_freq=1, verbose=True,
-                 folderpath="/tmp/causal_lm_retry")
+                 folderpath="/tmp/causal_lm_retry", max_retries=2)
     after, per_time = score()
     print(f"[causal-lm] polished rel-L2 {after:.4e} "
           f"({time.perf_counter() - t0:.0f}s)", flush=True)

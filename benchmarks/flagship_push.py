@@ -51,6 +51,12 @@ def main():
                          "converged theta should pass ~1e-9 to skip the "
                          "re-warm rejections")
     ap.add_argument("--folder", type=str, default="/tmp/flagship_push")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the newest LM checkpoint in "
+                         "--folder (theta + lam restored; global step "
+                         "numbering)")
+    ap.add_argument("--max-retries", type=int, default=2,
+                    help="auto-resume count on transient device faults")
     args = ap.parse_args()
 
     case = transient_ad_2d()
@@ -70,7 +76,8 @@ def main():
         steps=args.lm_steps, weight=w, cg_iters=args.lm_cg, cg_segment=40,
         k_chunks=args.k_chunks, save_freq=1, error_disc=96, error_times=7,
         target_error=5e-5, matmul_precision="highest", verbose=True,
-        lam0=args.lam0, folderpath=args.folder,
+        lam0=args.lam0, folderpath=args.folder, resume=args.resume,
+        max_retries=args.max_retries,
     )
     wall = time.perf_counter() - t0
     best = r.best_error()

@@ -1,0 +1,169 @@
+"""Fault recovery (SURVEY.md §5.3 — checkpoint-restart as the recovery
+story): transient-device-error classification, in-process auto-retry of
+``train``/``refine_lm`` from the newest checkpoint, and cross-process
+``refine_lm(resume=True)`` with globally-numbered LM steps + persisted
+lam damping state.
+
+Faults are injected by wrapping the real implementations — the retry
+wrappers under test are exactly the production code paths."""
+
+import jax
+import numpy as np
+import pytest
+
+from varnet_tpu.api import VarNet
+from varnet_tpu.problems.analytic import steady_ad_1d
+from varnet_tpu.train.checkpoint import list_checkpoint_steps, load_meta
+from varnet_tpu.train.fault import is_transient_device_error
+
+
+def _flat(theta):
+    return np.concatenate([np.ravel(v) for l in theta for v in l.values()])
+
+
+def _tiny_vn():
+    case = steady_ad_1d(kappa=0.1)
+    vn = VarNet(case["pde"], layer_width=(8, 8), disc_num=12, n_devices=1)
+    vn.train(epoch_num=50, weight=(1.0, 10.0), save_freq=50, verbose=False)
+    return vn
+
+
+def test_transient_classification():
+    assert is_transient_device_error(
+        jax.errors.JaxRuntimeError("UNAVAILABLE: TPU device error")
+    )
+    assert is_transient_device_error(
+        jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: out of memory")
+    )
+    # program errors are not retryable
+    assert not is_transient_device_error(
+        jax.errors.JaxRuntimeError("INVALID_ARGUMENT: bad shape")
+    )
+    assert not is_transient_device_error(ValueError("UNAVAILABLE"))
+
+
+def test_lm_retry_resumes_from_checkpoint(tmp_path, monkeypatch):
+    """First attempt does 2 real LM iters then faults; the retry must
+    resume at global step 2 with doubled k_chunks and continue to 4."""
+    vn = _tiny_vn()
+    real = VarNet._refine_lm_impl
+    seen = {"n": 0, "k": []}
+
+    def flaky(self, steps, *args, **kw):
+        seen["n"] += 1
+        seen["k"].append(args[9])  # k_chunks positional slot
+        if seen["n"] == 1:
+            real(self, 2, *args, **kw)
+            raise jax.errors.JaxRuntimeError("UNAVAILABLE: injected fault")
+        return real(self, steps, *args, **kw)
+
+    monkeypatch.setattr(VarNet, "_refine_lm_impl", flaky)
+    r = vn.refine_lm(
+        steps=4, save_freq=1, cg_iters=3, verbose=False,
+        matmul_precision=None, folderpath=str(tmp_path),
+        max_retries=1, retry_backoff=0.0,
+    )
+    assert seen["n"] == 2
+    assert seen["k"] == [1, 2]  # k_chunks doubled on retry
+    assert r.epochs == [3, 4]  # global numbering continues past the fault
+    assert r.total_steps == 4
+    assert list_checkpoint_steps(str(tmp_path)) == [2, 3, 4]  # keep=3
+    meta = load_meta(str(tmp_path), 4)
+    assert meta is not None and meta["phase"] == "lm" and "lam" in meta
+
+
+def test_lm_nontransient_propagates(tmp_path, monkeypatch):
+    vn = _tiny_vn()
+    seen = {"n": 0}
+
+    def broken(self, *args, **kw):
+        seen["n"] += 1
+        raise jax.errors.JaxRuntimeError("INVALID_ARGUMENT: injected")
+
+    monkeypatch.setattr(VarNet, "_refine_lm_impl", broken)
+    with pytest.raises(jax.errors.JaxRuntimeError, match="INVALID_ARGUMENT"):
+        vn.refine_lm(
+            steps=2, verbose=False, folderpath=str(tmp_path),
+            max_retries=3, retry_backoff=0.0,
+        )
+    assert seen["n"] == 1  # no retries burned on a program error
+
+
+def test_lm_cross_process_resume(tmp_path):
+    """resume=True picks up theta + lam from the newest checkpoint and
+    runs only the remaining iterations (global step semantics)."""
+    vn = _tiny_vn()
+    vn.refine_lm(
+        steps=2, save_freq=1, cg_iters=3, verbose=False,
+        matmul_precision=None, folderpath=str(tmp_path),
+    )
+    theta_ckpt = _flat(vn.theta)
+    lam_ckpt = load_meta(str(tmp_path), 2)["lam"]
+
+    # "new process": a fresh VarNet with the same config, untrained
+    case = steady_ad_1d(kappa=0.1)
+    vn2 = VarNet(case["pde"], layer_width=(8, 8), disc_num=12, n_devices=1)
+    r = vn2.refine_lm(
+        steps=4, save_freq=1, cg_iters=3, verbose=False,
+        matmul_precision=None, folderpath=str(tmp_path), resume=True,
+    )
+    assert r.epochs == [3, 4] and r.total_steps == 4
+    # it restarted from the checkpointed theta, not vn2's random init
+    assert not np.allclose(_flat(vn2.theta), theta_ckpt)
+    assert np.isfinite(lam_ckpt) and lam_ckpt > 0
+
+    # already done: steps <= newest checkpoint is a no-op
+    r2 = vn2.refine_lm(
+        steps=4, verbose=False, folderpath=str(tmp_path), resume=True,
+    )
+    assert r2.epochs == [] and r2.total_steps == 4
+
+
+def test_train_retry_without_checkpoints(monkeypatch, tmp_path):
+    """A fault before the first checkpoint write must not break the
+    retry (resume would find an empty folder): it restarts clean."""
+    vn = _tiny_vn()
+    real = VarNet._train_impl
+    seen = {"n": 0}
+
+    def flaky(self, *args, **kw):
+        seen["n"] += 1
+        if seen["n"] == 1:
+            raise jax.errors.JaxRuntimeError("UNAVAILABLE: injected fault")
+        return real(self, *args, **kw)
+
+    monkeypatch.setattr(VarNet, "_train_impl", flaky)
+    r = vn.train(
+        epoch_num=20, weight=(1.0, 10.0), save_freq=20, verbose=False,
+        folderpath=str(tmp_path), max_retries=1, retry_backoff=0.0,
+    )
+    assert seen["n"] == 2
+    assert np.isfinite(r.losses[-1]["loss"])
+
+
+def test_train_retry_resumes_mid_run(monkeypatch, tmp_path):
+    """A fault after checkpoints exist resumes from the newest epoch."""
+    vn = _tiny_vn()
+    real = VarNet._train_impl
+    seen = {"n": 0}
+
+    def flaky(self, epoch_num, weight, batch_num, save_freq, folderpath,
+              resume, *args, **kw):
+        seen["n"] += 1
+        if seen["n"] == 1:
+            # complete 10 epochs (one checkpoint at save_freq=10), then die
+            real(self, 10, weight, batch_num, 10, folderpath, resume,
+                 *args, **kw)
+            raise jax.errors.JaxRuntimeError("UNAVAILABLE: injected fault")
+        assert resume, "retry with checkpoints present must resume"
+        return real(self, epoch_num, weight, batch_num, save_freq,
+                    folderpath, resume, *args, **kw)
+
+    monkeypatch.setattr(VarNet, "_train_impl", flaky)
+    r = vn.train(
+        epoch_num=20, weight=(1.0, 10.0), save_freq=10, verbose=False,
+        folderpath=str(tmp_path), max_retries=1, retry_backoff=0.0,
+    )
+    assert seen["n"] == 2
+    # resumed run continues the epoch numbering from the checkpoint
+    assert r.epochs[-1] == 30  # 10 done pre-fault + 20 requested after

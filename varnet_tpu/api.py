@@ -45,7 +45,13 @@ from .parallel.mesh import (
     shard_quad,
 )
 from .problems.adpde import ADPDE
-from .train.checkpoint import load_checkpoint, load_meta, save_checkpoint, save_meta
+from .train.checkpoint import (
+    list_checkpoint_steps,
+    load_checkpoint,
+    load_meta,
+    save_checkpoint,
+    save_meta,
+)
 from .train.loss import make_loss_fn
 from .train.optim import OptimizerConfig, make_optimizer
 from .train.trainer import (
@@ -332,6 +338,8 @@ class VarNet:
         profile_steps: int = 10,
         debug_nans: bool = False,
         matmul_precision: Optional[str] = None,
+        max_retries: int = 0,
+        retry_backoff: float = 30.0,
     ) -> TrainResult:
         """Run the training loop (reference ``VarNet.train`` — SURVEY.md §3.2).
 
@@ -353,18 +361,55 @@ class VarNet:
                      multiplies in bf16 by default, a ~5e-3 noise floor;
                      'highest' buys exact f32 at ~3x matmul cost, needed
                      for the <1e-3 accuracy targets)
+        max_retries: on a transient device fault (see train/fault.py),
+                     re-enter the loop up to this many times, resuming
+                     from the newest checkpoint when folderpath is set
+                     (SURVEY.md §5.3 checkpoint-restart)
+        retry_backoff: seconds to sleep before each retry
         """
         if resume and folderpath is None:
             raise ValueError(
                 "resume=True requires folderpath (nothing to resume from)"
             )
-        with matmul_precision_scope(matmul_precision):
-            return self._train_impl(
-                epoch_num, weight, batch_num, save_freq, folderpath, resume,
-                verbose, error_disc, error_times, value_and_jac, target_error,
-                normalize_residual, profile_dir, profile_steps, debug_nans,
-                matmul_precision,
-            )
+        attempt = 0
+        do_resume = resume
+        while True:
+            try:
+                with matmul_precision_scope(matmul_precision):
+                    return self._train_impl(
+                        epoch_num, weight, batch_num, save_freq, folderpath,
+                        do_resume, verbose, error_disc, error_times,
+                        value_and_jac, target_error, normalize_residual,
+                        profile_dir, profile_steps, debug_nans,
+                        matmul_precision,
+                    )
+            except jax.errors.JaxRuntimeError as err:
+                from .train.fault import is_transient_device_error
+
+                if attempt >= int(max_retries) or not is_transient_device_error(err):
+                    raise
+                attempt += 1
+                # With a folderpath holding checkpoints the retry resumes
+                # from the newest one (epoch + opt_state + PRNG meta);
+                # otherwise it restarts the loop from the CURRENT
+                # in-memory theta — nothing corrupted either way because
+                # _train_impl only publishes state it has fully computed.
+                do_resume = bool(folderpath) and bool(
+                    list_checkpoint_steps(folderpath)
+                )
+                if verbose:
+                    where = (
+                        f"newest checkpoint in {folderpath}"
+                        if do_resume else "in-memory state"
+                    )
+                    print(
+                        f"[varnet] transient device fault (retry "
+                        f"{attempt}/{int(max_retries)}): resuming from "
+                        f"{where} after {float(retry_backoff):.0f}s",
+                        flush=True,
+                    )
+                if retry_backoff > 0:
+                    time.sleep(float(retry_backoff))
 
     def _train_impl(
         self, epoch_num, weight, batch_num, save_freq, folderpath, resume,
@@ -701,6 +746,9 @@ class VarNet:
         k_chunks: int = 1,
         folderpath: Optional[str] = None,
         cg_segment: int = 0,
+        resume: bool = False,
+        max_retries: int = 0,
+        retry_backoff: float = 30.0,
     ) -> TrainResult:
         """Levenberg-Marquardt refinement (matrix-free Gauss-Newton + CG).
 
@@ -711,18 +759,105 @@ class VarNet:
         custom-JVP twin, J^T w through the custom-VJP one (JAX allows one
         rule per function, so LM carries both closures).  Start from an
         Adam-trained state.
+
+        Fault recovery (SURVEY.md §5.3 — checkpoint-restart):
+
+        resume:        restore the newest LM checkpoint (theta + the lam
+                       damping state from its meta sidecar) from
+                       ``folderpath`` and continue toward ``steps`` total
+                       iterations.  LM checkpoints are numbered globally
+                       across resumed runs, so ``steps`` means the same
+                       thing no matter how many restarts it took.
+        max_retries:   on a *transient* device fault (UNAVAILABLE /
+                       RESOURCE_EXHAUSTED / ... — see train/fault.py),
+                       auto-resume from the newest checkpoint up to this
+                       many times, doubling ``k_chunks`` each retry to
+                       shrink the per-chunk memory footprint.  Program
+                       errors still propagate immediately.  A hard-wedged
+                       device (hang, not error) cannot be caught
+                       in-process — the checkpoints remain valid for a
+                       cross-process ``resume=True``.
+        retry_backoff: seconds to sleep before each retry.
         """
-        with matmul_precision_scope(matmul_precision):
-            return self._refine_lm_impl(
-                steps, weight, cg_iters, save_freq, verbose, error_disc,
-                error_times, lam0, target_error, matmul_precision, k_chunks,
-                folderpath, cg_segment,
+        if resume and folderpath is None:
+            raise ValueError(
+                "resume=True requires folderpath (nothing to resume from)"
             )
+        steps_left = int(steps)
+        lam_now = float(lam0)
+        k = int(k_chunks)
+        offset = 0
+        if resume:
+            offset, lam_meta = self._lm_restore(folderpath)
+            steps_left = max(int(steps) - offset, 0)
+            if lam_meta is not None:
+                lam_now = float(lam_meta)
+            if verbose and offset:
+                print(
+                    f"[varnet/lm] resumed from LM step {offset} in "
+                    f"{folderpath} (lam {lam_now:.1e})"
+                )
+            if steps_left == 0:
+                result = TrainResult()
+                result.total_steps = int(steps)
+                return result
+        attempt = 0
+        while True:
+            try:
+                with matmul_precision_scope(matmul_precision):
+                    return self._refine_lm_impl(
+                        steps_left, weight, cg_iters, save_freq, verbose,
+                        error_disc, error_times, lam_now, target_error,
+                        matmul_precision, k, folderpath, cg_segment,
+                        step_offset=offset,
+                    )
+            except jax.errors.JaxRuntimeError as err:
+                from .train.fault import is_transient_device_error
+
+                if attempt >= int(max_retries) or not is_transient_device_error(err):
+                    raise
+                attempt += 1
+                if folderpath is not None:
+                    offset, lam_meta = self._lm_restore(folderpath)
+                    if lam_meta is not None:
+                        lam_now = float(lam_meta)
+                steps_left = max(int(steps) - offset, 1)
+                k *= 2
+                if verbose:
+                    print(
+                        f"[varnet/lm] transient device fault (retry "
+                        f"{attempt}/{int(max_retries)}): resuming from LM "
+                        f"step {offset} with k_chunks {k}, lam "
+                        f"{lam_now:.1e} after {float(retry_backoff):.0f}s",
+                        flush=True,
+                    )
+                if retry_backoff > 0:
+                    time.sleep(float(retry_backoff))
+
+    def _lm_restore(self, folderpath):
+        """Load the newest LM checkpoint into ``self.theta``.
+
+        Returns ``(step, lam)`` — the checkpoint's global LM step (0 if
+        the folder holds none) and the lam damping value from its meta
+        sidecar (None if absent, e.g. a checkpoint written by ``train``;
+        the params-only fallback in load_checkpoint makes those loadable
+        here too).
+        """
+        try:
+            state, step = load_checkpoint(
+                folderpath, {"theta": jax.device_get(self.theta)}
+            )
+        except FileNotFoundError:
+            return 0, None
+        self.theta = state["theta"]
+        meta = load_meta(folderpath, step)
+        lam = None if meta is None else meta.get("lam")
+        return int(step), lam
 
     def _refine_lm_impl(
         self, steps, weight, cg_iters, save_freq, verbose, error_disc,
         error_times, lam0, target_error, matmul_precision, k_chunks,
-        folderpath, cg_segment,
+        folderpath, cg_segment, step_offset=0,
     ) -> TrainResult:
         from jax.flatten_util import ravel_pytree
 
@@ -841,7 +976,8 @@ class VarNet:
                 err = self.compute_error(
                     jax.device_get(theta_now), disc=error_disc, n_times=error_times
                 )
-                result.epochs.append(it)
+                it_g = int(step_offset) + it
+                result.epochs.append(it_g)
                 result.losses.append(
                     {"loss": float(state.loss), "lam": float(state.lam)}
                 )
@@ -850,22 +986,30 @@ class VarNet:
                 if verbose:
                     err_s = f"{err:.3e}" if err is not None else "n/a"
                     print(
-                        f"[varnet/lm] it {it:5d}  loss {float(state.loss):.4e}"
+                        f"[varnet/lm] it {it_g:5d}  loss {float(state.loss):.4e}"
                         f"  lam {float(state.lam):.1e}  relL2 {err_s}"
                         f"  ({result.wall_times[-1]:.1f}s)"
                     )
                 if folderpath is not None:
                     save_checkpoint(
-                        folderpath, it,
+                        folderpath, it_g,
                         {"theta": jax.device_get(theta_now)},
                         config=self.config_dict(),
+                    )
+                    # lam in the sidecar makes checkpoint-restart exact:
+                    # a resumed run re-enters with the damping state it
+                    # faulted at, not a cold lam0 re-warm.
+                    save_meta(
+                        folderpath, it_g,
+                        {"lam": float(state.lam), "loss": float(state.loss),
+                         "phase": "lm"},
                     )
                 if target_error is not None and err is not None and err < target_error:
                     if verbose:
                         print(f"[varnet/lm] target {target_error:.1e} reached")
                     break
         self.theta = jax.device_get(unravel(state.flat))
-        result.total_steps = int(steps)
+        result.total_steps = int(step_offset) + int(steps)
         self.train_result = result
         return result
 
