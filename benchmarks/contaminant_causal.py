@@ -31,7 +31,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from varnet_tpu.problems.analytic import contaminant_transport_2d  # noqa: E402
 from varnet_tpu.train.causal import train_causal  # noqa: E402
 from varnet_tpu.train.optim import OptimizerConfig  # noqa: E402
-from varnet_tpu.utils.helpers import rel_l2_error  # noqa: E402
+from varnet_tpu.utils.io import save_theta_npz  # noqa: E402
+
+from benchmarks.fdm_scoring import score_vs_fdm  # noqa: E402
 
 DATA = Path(__file__).parent / "data"
 RESULTS = Path(__file__).parent / "results"
@@ -117,18 +119,7 @@ def main():
 
     def score(vn):
         """rel-L2 vs the CN-FDM reference field (t > 0 slices)."""
-        x = z["x"].astype(np.float64)
-        preds, trues, per_time = [], [], {}
-        for s, tval in enumerate(z["times"]):
-            if tval <= 0:
-                continue
-            u_net = vn.evaluate(x, t=np.full(x.shape[0], tval))
-            u_fdm = z["u"][s].astype(np.float64)
-            preds.append(u_net)
-            trues.append(u_fdm)
-            per_time[f"t={tval:.3f}"] = rel_l2_error(u_net, u_fdm)
-        overall = rel_l2_error(np.concatenate(preds), np.concatenate(trues))
-        return overall, per_time, float(max(np.abs(p).max() for p in preds))
+        return score_vs_fdm(vn, z)
 
     def persist(vn, rec, phase):
         rec["phase"] = phase
@@ -138,11 +129,7 @@ def main():
             json.dumps(rec, indent=2))
         if rec["overall_rel_l2"] < 0.5:  # clearly escaped u=0
             net = vn.theta["net"] if isinstance(vn.theta, dict) else vn.theta
-            flat = {}
-            for i, l in enumerate(net):
-                flat[f"l{i}_w"] = np.asarray(l["w"])
-                flat[f"l{i}_b"] = np.asarray(l["b"])
-            np.savez(RESULTS / "theta_contaminant_causal.npz", **flat)
+            save_theta_npz(RESULTS / "theta_contaminant_causal.npz", net)
         print(json.dumps(rec, indent=2), flush=True)
 
     # score + persist the Adam result BEFORE LM (the LM phase is the

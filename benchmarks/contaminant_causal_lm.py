@@ -19,7 +19,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from varnet_tpu.api import VarNet  # noqa: E402
 from varnet_tpu.problems.analytic import contaminant_transport_2d  # noqa: E402
-from varnet_tpu.utils.helpers import rel_l2_error  # noqa: E402
+from varnet_tpu.utils.io import load_theta_npz, save_theta_npz  # noqa: E402
+
+from benchmarks.fdm_scoring import score_vs_fdm  # noqa: E402
 
 DATA = Path(__file__).parent / "data"
 RESULTS = Path(__file__).parent / "results"
@@ -37,9 +39,7 @@ def main():
     ap.add_argument("--tdisc", type=int, default=40)
     args = ap.parse_args()
 
-    t = np.load(RESULTS / "theta_contaminant_causal.npz")
-    theta = [{"w": t[f"l{i}_w"], "b": t[f"l{i}_b"]}
-             for i in range(len(t.files) // 2)]
+    theta = load_theta_npz(RESULTS / "theta_contaminant_causal.npz")
     case = contaminant_transport_2d()  # defaults ARE the original params
     vn = VarNet(case["pde"], layer_width=(96, 96, 96), disc_num=args.disc,
                 b_disc_num=args.disc, t_disc_num=args.tdisc, seed=0,
@@ -48,20 +48,10 @@ def main():
     vn.theta = theta
 
     z = np.load(DATA / "contaminant_fdm.npz")
-    x = z["x"].astype(np.float64)
 
     def score():
-        preds, trues, per_time = [], [], {}
-        for s, tval in enumerate(z["times"]):
-            if tval <= 0:
-                continue
-            u_net = vn.evaluate(x, t=np.full(x.shape[0], tval))
-            preds.append(u_net)
-            trues.append(z["u"][s].astype(np.float64))
-            per_time[f"t={tval:.3f}"] = rel_l2_error(
-                u_net, z["u"][s].astype(np.float64))
-        return rel_l2_error(np.concatenate(preds),
-                            np.concatenate(trues)), per_time
+        overall, per_time, _ = score_vs_fdm(vn, z)
+        return overall, per_time
 
     base, _ = score()
     print(f"[causal-lm] warm-start rel-L2 {base:.4e}", flush=True)
@@ -82,9 +72,7 @@ def main():
         (RESULTS / "contaminant_causal.json").write_text(
             json.dumps(rec, indent=2))
         net = vn.theta["net"] if isinstance(vn.theta, dict) else vn.theta
-        np.savez(RESULTS / "theta_contaminant_causal.npz",
-                 **{f"l{i}_{k}": np.asarray(v) for i, l in enumerate(net)
-                    for k, v in l.items()})
+        save_theta_npz(RESULTS / "theta_contaminant_causal.npz", net)
         print("[causal-lm] JSON + theta updated", flush=True)
 
 

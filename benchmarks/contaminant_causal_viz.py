@@ -13,10 +13,10 @@ import matplotlib.pyplot as plt
 
 from varnet_tpu.api import VarNet
 from varnet_tpu.problems.analytic import contaminant_transport_2d
+from varnet_tpu.utils.io import load_theta_npz
 
 z = np.load(HERE / "data/contaminant_fdm.npz")
-t = np.load(HERE / "results/theta_contaminant_causal.npz")
-theta = [{"w": t[f"l{i}_w"], "b": t[f"l{i}_b"]} for i in range(len(t.files)//2)]
+theta = load_theta_npz(HERE / "results/theta_contaminant_causal.npz")
 
 case = contaminant_transport_2d()
 vn = VarNet(case["pde"], layer_width=(96, 96, 96), disc_num=8, t_disc_num=4,

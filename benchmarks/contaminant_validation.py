@@ -39,6 +39,8 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from varnet_tpu.utils.io import load_theta_npz, theta_npz_dict  # noqa: E402
+
 DATA = Path(__file__).parent / "data"
 RESULTS = Path(__file__).parent / "results"
 N_TIMES = 7
@@ -133,8 +135,7 @@ def train(args):
                      save_freq=max(args.lm_steps // 5, 1),
                      folderpath=args.folder + "_lm",
                      matmul_precision="highest")
-    flat = {f"l{i}_{k}": np.asarray(v) for i, l in enumerate(vn.theta)
-            for k, v in l.items()}
+    flat = theta_npz_dict(vn.theta)
     np.savez(Path(args.folder) / "theta_final.npz", **flat)
     RESULTS.mkdir(exist_ok=True)
     np.savez(RESULTS / f"theta_{_stem(args)}.npz", **flat)  # pinned by tests
@@ -155,9 +156,7 @@ def score(args, vn=None):
             extra = dict(fourier_features=args.ff, fourier_scale=args.ff_scale)
         vn = VarNet(case["pde"], layer_width=(args.width,) * args.layers,
                     disc_num=8, t_disc_num=4, **extra)
-        t = np.load(Path(args.folder) / "theta_final.npz")
-        vn.theta = [{"w": t[f"l{i}_w"], "b": t[f"l{i}_b"]}
-                    for i in range(len(t.files) // 2)]
+        vn.theta = load_theta_npz(Path(args.folder) / "theta_final.npz")
     x = z["x"].astype(np.float64)
     per_time = {}
     preds, trues = [], []

@@ -24,14 +24,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from varnet_tpu.api import VarNet  # noqa: E402
 from varnet_tpu.problems.analytic import transient_ad_2d  # noqa: E402
+from varnet_tpu.utils.io import load_theta_npz, save_theta_npz  # noqa: E402
 
 RESULTS = Path(__file__).parent / "results"
-
-
-def load_theta(path):
-    z = np.load(path)
-    n_layers = len(z.files) // 2
-    return [{"w": z[f"l{i}_w"], "b": z[f"l{i}_b"]} for i in range(n_layers)]
 
 
 def main():
@@ -60,7 +55,7 @@ def main():
     args = ap.parse_args()
 
     case = transient_ad_2d()
-    theta = load_theta(args.theta)
+    theta = load_theta_npz(args.theta)
     width = tuple(l["w"].shape[1] for l in theta[:-1])
     w = (1.0, 10.0, 10.0)
 
@@ -80,7 +75,11 @@ def main():
         max_retries=args.max_retries,
     )
     wall = time.perf_counter() - t0
-    best = r.best_error()
+    best = r.best_error()  # None when --resume finds all steps done
+    if best is None:
+        print("[push] nothing left to do (resume found all steps "
+              "complete); JSON/theta untouched", flush=True)
+        return
     out = {
         "warm_start_rel_l2": err0,
         "best_rel_l2": best,
@@ -95,9 +94,7 @@ def main():
     RESULTS.mkdir(exist_ok=True)
     (RESULTS / "flagship_push.json").write_text(json.dumps(out, indent=2))
     if best < 1.33e-4:
-        flat = {f"l{i}_{k}": np.asarray(v)
-                for i, l in enumerate(vn.theta) for k, v in l.items()}
-        np.savez(RESULTS / f"flagship_theta_{best:.1e}.npz", **flat)
+        save_theta_npz(RESULTS / f"flagship_theta_{best:.1e}.npz", vn.theta)
         print(f"[push] new best theta persisted ({best:.3e})", flush=True)
     print(json.dumps(out, indent=2))
 

@@ -28,6 +28,7 @@ from varnet_tpu.models.source import make_mlp_source  # noqa: E402
 from varnet_tpu.problems.analytic import inverse_source_2d  # noqa: E402
 from varnet_tpu.train.optim import OptimizerConfig  # noqa: E402
 from varnet_tpu.utils.helpers import rel_l2_error  # noqa: E402
+from varnet_tpu.utils.io import theta_npz_dict  # noqa: E402
 
 RESULTS = Path(__file__).parent / "results"
 
@@ -87,13 +88,8 @@ def run_one(args, w_obs):
     print(json.dumps(rec), flush=True)
     # Persist the joint {net, src} parameters for the pin test.
     RESULTS.mkdir(exist_ok=True)
-    flat = {}
-    for i, l in enumerate(vn.theta["net"]):
-        flat[f"net_l{i}_w"] = np.asarray(l["w"])
-        flat[f"net_l{i}_b"] = np.asarray(l["b"])
-    for i, l in enumerate(vn.theta["src"]):
-        flat[f"src_l{i}_w"] = np.asarray(l["w"])
-        flat[f"src_l{i}_b"] = np.asarray(l["b"])
+    flat = {**theta_npz_dict(vn.theta["net"], prefix="net_"),
+            **theta_npz_dict(vn.theta["src"], prefix="src_")}
     np.savez(RESULTS / f"theta_inverse_source_wobs{w_obs:g}.npz", **flat)
     return rec, vn
 

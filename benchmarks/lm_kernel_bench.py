@@ -24,10 +24,7 @@ from varnet_tpu.api import VarNet  # noqa: E402
 from varnet_tpu.problems.analytic import transient_ad_2d  # noqa: E402
 
 
-def load_theta(path):
-    z = np.load(path)
-    n_layers = len(z.files) // 2
-    return [{"w": z[f"l{i}_w"], "b": z[f"l{i}_b"]} for i in range(n_layers)]
+from varnet_tpu.utils.io import load_theta_npz as load_theta  # noqa: E402
 
 
 def time_lm(vn, steps, cg_iters, cg_segment, k_chunks):

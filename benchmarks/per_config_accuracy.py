@@ -23,6 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from varnet_tpu.api import VarNet  # noqa: E402
 from varnet_tpu.problems import analytic  # noqa: E402
 from varnet_tpu.train.optim import OptimizerConfig  # noqa: E402
+from varnet_tpu.utils.io import save_theta_npz  # noqa: E402
 
 RESULTS = Path(__file__).parent / "results"
 
@@ -39,9 +40,7 @@ CONFIGS = {
 
 def save_theta(name, theta):
     RESULTS.mkdir(exist_ok=True)
-    np.savez(RESULTS / f"theta_{name}.npz",
-             **{f"l{i}_{k}": np.asarray(v) for i, l in enumerate(theta)
-                for k, v in l.items()})
+    save_theta_npz(RESULTS / f"theta_{name}.npz", theta)
 
 
 def run(name, args):

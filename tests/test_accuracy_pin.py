@@ -17,12 +17,7 @@ import pytest
 RESULTS = os.path.join(os.path.dirname(__file__), "..", "benchmarks", "results")
 
 
-def _load_theta(path):
-    z = np.load(path)
-    n_layers = len(z.files) // 2
-    return [
-        {"w": z[f"l{i}_w"], "b": z[f"l{i}_b"]} for i in range(n_layers)
-    ]
+from varnet_tpu.utils.io import load_theta_npz as _load_theta  # noqa: E402
 
 
 @pytest.fixture(scope="module")
@@ -113,10 +108,8 @@ def test_inverse_source_theta_beats_targets():
 
     path = os.path.join(RESULTS, "theta_inverse_source_wobs100.npz")
     z = np.load(path)
-    n_net = sum(1 for k in z.files if k.startswith("net_") and k.endswith("_w"))
-    n_src = sum(1 for k in z.files if k.startswith("src_") and k.endswith("_w"))
-    net = [{"w": z[f"net_l{i}_w"], "b": z[f"net_l{i}_b"]} for i in range(n_net)]
-    src = [{"w": z[f"src_l{i}_w"], "b": z[f"src_l{i}_b"]} for i in range(n_src)]
+    net = _load_theta(z, prefix="net_")
+    src = _load_theta(z, prefix="src_")
 
     case = inverse_source_2d(kappa=0.1, n_obs=400)
     pde = case["pde"]

@@ -12,6 +12,7 @@ import pytest
 from varnet_tpu.problems.analytic import transient_ad_2d
 from varnet_tpu.problems.classical import solve_ad_fdm_2d
 from varnet_tpu.utils.helpers import rel_l2_error
+from varnet_tpu.utils.io import load_theta_npz
 
 
 def _fdm_error(nx, nt):
@@ -63,15 +64,13 @@ def test_contaminant_inlet_theta_matches_fdm():
     theta_path = os.path.join(base, "results", "theta_contaminant_inlet.npz")
     if not os.path.exists(theta_path):
         pytest.skip("no persisted contaminant-inlet theta yet")
-    z = np.load(theta_path)
-    theta = [{"w": z[f"l{i}_w"], "b": z[f"l{i}_b"]}
-             for i in range(len(z.files) // 2)]
+    theta = load_theta_npz(theta_path)
     obs = load_observations_csv(os.path.join(base, "data",
                                              "contaminant_inlet_fdm.csv"))
     m = obs.coords[:, 2] > 0
     case = contaminant_inlet_2d()
     vn = VarNet(case["pde"], layer_width=tuple(
-        z[f"l{i}_b"].shape[0] for i in range(len(z.files) // 2 - 1)),
+        layer["b"].shape[0] for layer in theta[:-1]),
         disc_num=8, t_disc_num=4, n_devices=1)
     vn.theta = theta
     u = vn.evaluate(obs.coords[m, :2], t=obs.coords[m, 2])
@@ -93,9 +92,7 @@ def test_contaminant_source_ff_theta_matches_fdm():
     theta_path = os.path.join(base, "results", "theta_contaminant_src_ff.npz")
     if not os.path.exists(theta_path):
         pytest.skip("no persisted source-ff theta yet")
-    z = np.load(theta_path)
-    theta = [{"w": z[f"l{i}_w"], "b": z[f"l{i}_b"]}
-             for i in range(len(z.files) // 2)]
+    theta = load_theta_npz(theta_path)
     obs = load_observations_csv(os.path.join(base, "data",
                                              "contaminant_src_ff_fdm.csv"))
     m = obs.coords[:, 2] > 0

@@ -63,12 +63,13 @@ def test_lm_retry_resumes_from_checkpoint(tmp_path, monkeypatch):
         matmul_precision=None, folderpath=str(tmp_path),
         max_retries=1, retry_backoff=0.0,
     )
+    lm_dir = str(tmp_path / "lm")  # LM checkpoints are namespaced
     assert seen["n"] == 2
     assert seen["k"] == [1, 2]  # k_chunks doubled on retry
     assert r.epochs == [3, 4]  # global numbering continues past the fault
     assert r.total_steps == 4
-    assert list_checkpoint_steps(str(tmp_path)) == [2, 3, 4]  # keep=3
-    meta = load_meta(str(tmp_path), 4)
+    assert list_checkpoint_steps(lm_dir) == [2, 3, 4]  # keep=3
+    meta = load_meta(lm_dir, 4)
     assert meta is not None and meta["phase"] == "lm" and "lam" in meta
 
 
@@ -97,8 +98,9 @@ def test_lm_cross_process_resume(tmp_path):
         steps=2, save_freq=1, cg_iters=3, verbose=False,
         matmul_precision=None, folderpath=str(tmp_path),
     )
+    lm_dir = str(tmp_path / "lm")
     theta_ckpt = _flat(vn.theta)
-    lam_ckpt = load_meta(str(tmp_path), 2)["lam"]
+    lam_ckpt = load_meta(lm_dir, 2)["lam"]
 
     # "new process": a fresh VarNet with the same config, untrained
     case = steady_ad_1d(kappa=0.1)
@@ -108,9 +110,16 @@ def test_lm_cross_process_resume(tmp_path):
         matmul_precision=None, folderpath=str(tmp_path), resume=True,
     )
     assert r.epochs == [3, 4] and r.total_steps == 4
-    # it restarted from the checkpointed theta, not vn2's random init
-    assert not np.allclose(_flat(vn2.theta), theta_ckpt)
     assert np.isfinite(lam_ckpt) and lam_ckpt > 0
+    # _lm_restore really loads the persisted state: a third fresh net
+    # restored from the folder must equal vn2's final theta exactly
+    # (the newest checkpoint is step 4, written by vn2's run)
+    case = steady_ad_1d(kappa=0.1)
+    vn3 = VarNet(case["pde"], layer_width=(8, 8), disc_num=12, n_devices=1)
+    step3, lam3 = vn3._lm_restore(lm_dir)
+    assert step3 == 4 and lam3 is not None
+    np.testing.assert_allclose(_flat(vn3.theta), _flat(vn2.theta))
+    assert not np.allclose(_flat(vn3.theta), theta_ckpt)  # steps 3-4 moved it
 
     # already done: steps <= newest checkpoint is a no-op
     r2 = vn2.refine_lm(
@@ -156,6 +165,7 @@ def test_train_retry_resumes_mid_run(monkeypatch, tmp_path):
                  *args, **kw)
             raise jax.errors.JaxRuntimeError("UNAVAILABLE: injected fault")
         assert resume, "retry with checkpoints present must resume"
+        assert epoch_num == 10, "retry must request only the remainder"
         return real(self, epoch_num, weight, batch_num, save_freq,
                     folderpath, resume, *args, **kw)
 
@@ -165,5 +175,6 @@ def test_train_retry_resumes_mid_run(monkeypatch, tmp_path):
         folderpath=str(tmp_path), max_retries=1, retry_backoff=0.0,
     )
     assert seen["n"] == 2
-    # resumed run continues the epoch numbering from the checkpoint
-    assert r.epochs[-1] == 30  # 10 done pre-fault + 20 requested after
+    # the retry asks only for the REMAINING epochs: 10 done pre-fault,
+    # so the resumed run stops at the originally-requested total of 20
+    assert r.epochs[-1] == 20

@@ -371,41 +371,81 @@ class VarNet:
             raise ValueError(
                 "resume=True requires folderpath (nothing to resume from)"
             )
+
+        def _newest():
+            steps = list_checkpoint_steps(folderpath) if folderpath else []
+            return steps[-1] if steps else 0
+
+        # Global-epoch accounting for the retry path: checkpoints this
+        # call writes land in (start, target].  ``pre`` distinguishes
+        # them from stale checkpoints already in the folder (a fresh
+        # resume=False run never resumes from those — it restarts).
+        pre = _newest()
+        start = pre if resume else 0
+        target = start + int(epoch_num)
+        st = {"epochs": int(epoch_num), "resume": resume}
+
+        def attempt_fn():
+            with matmul_precision_scope(matmul_precision):
+                return self._train_impl(
+                    st["epochs"], weight, batch_num, save_freq, folderpath,
+                    st["resume"], verbose, error_disc, error_times,
+                    value_and_jac, target_error, normalize_residual,
+                    profile_dir, profile_steps, debug_nans,
+                    matmul_precision,
+                )
+
+        def on_fault(_attempt):
+            now = _newest()
+            trust = now > pre or (resume and now == pre)
+            if trust and now >= target:
+                # faulted after the final checkpoint: the work is done
+                return TrainResult()
+            if trust:
+                st["resume"], st["epochs"] = True, target - max(now, start)
+                return (
+                    f"resuming from epoch {max(now, start)} in {folderpath}"
+                )
+            st["resume"], st["epochs"] = False, int(epoch_num)
+            return "restarting from in-memory state (no checkpoint yet)"
+
+        return self._retry_transient(
+            attempt_fn, on_fault, max_retries, retry_backoff, verbose,
+            label="", include_oom=False,
+        )
+
+    def _retry_transient(
+        self, attempt_fn, on_fault, max_retries, retry_backoff, verbose,
+        label, include_oom,
+    ):
+        """Shared transient-fault retry loop (SURVEY.md §5.3).
+
+        Runs ``attempt_fn()``; on a transient device error (see
+        train/fault.py) calls ``on_fault(attempt)`` to reposition state
+        for the next attempt — it returns a description string, or a
+        terminal ``TrainResult`` when the checkpoints show the requested
+        work already completed.  Program errors propagate immediately.
+        """
+        from .train.fault import is_transient_device_error
+
         attempt = 0
-        do_resume = resume
         while True:
             try:
-                with matmul_precision_scope(matmul_precision):
-                    return self._train_impl(
-                        epoch_num, weight, batch_num, save_freq, folderpath,
-                        do_resume, verbose, error_disc, error_times,
-                        value_and_jac, target_error, normalize_residual,
-                        profile_dir, profile_steps, debug_nans,
-                        matmul_precision,
-                    )
+                return attempt_fn()
             except jax.errors.JaxRuntimeError as err:
-                from .train.fault import is_transient_device_error
-
-                if attempt >= int(max_retries) or not is_transient_device_error(err):
+                if attempt >= int(max_retries) or not is_transient_device_error(
+                    err, include_oom=include_oom
+                ):
                     raise
                 attempt += 1
-                # With a folderpath holding checkpoints the retry resumes
-                # from the newest one (epoch + opt_state + PRNG meta);
-                # otherwise it restarts the loop from the CURRENT
-                # in-memory theta — nothing corrupted either way because
-                # _train_impl only publishes state it has fully computed.
-                do_resume = bool(folderpath) and bool(
-                    list_checkpoint_steps(folderpath)
-                )
+                outcome = on_fault(attempt)
+                if isinstance(outcome, TrainResult):
+                    return outcome
                 if verbose:
-                    where = (
-                        f"newest checkpoint in {folderpath}"
-                        if do_resume else "in-memory state"
-                    )
                     print(
-                        f"[varnet] transient device fault (retry "
-                        f"{attempt}/{int(max_retries)}): resuming from "
-                        f"{where} after {float(retry_backoff):.0f}s",
+                        f"[varnet{label}] transient device fault (retry "
+                        f"{attempt}/{int(max_retries)}): {outcome} after "
+                        f"{float(retry_backoff):.0f}s",
                         flush=True,
                     )
                 if retry_backoff > 0:
@@ -778,61 +818,79 @@ class VarNet:
                        in-process — the checkpoints remain valid for a
                        cross-process ``resume=True``.
         retry_backoff: seconds to sleep before each retry.
+
+        LM checkpoints live in the ``lm/`` SUBFOLDER of ``folderpath``
+        (so a case folder shared with ``train`` keeps its epoch-numbered
+        checkpoints separate from LM's globally-step-numbered ones, and
+        the keep-newest pruning never mixes the two).  A fresh run
+        (``resume=False``) clears any previous LM checkpoints there —
+        stale steps from an earlier run would otherwise alias into this
+        run's global numbering.
         """
         if resume and folderpath is None:
             raise ValueError(
                 "resume=True requires folderpath (nothing to resume from)"
             )
-        steps_left = int(steps)
-        lam_now = float(lam0)
-        k = int(k_chunks)
-        offset = 0
+        lm_folder = None if folderpath is None else os.path.join(
+            folderpath, "lm"
+        )
+        st = {"steps": int(steps), "lam": float(lam0), "k": int(k_chunks),
+              "offset": 0}
         if resume:
-            offset, lam_meta = self._lm_restore(folderpath)
-            steps_left = max(int(steps) - offset, 0)
+            st["offset"], lam_meta = self._lm_restore(lm_folder)
+            st["steps"] = int(steps) - st["offset"]
             if lam_meta is not None:
-                lam_now = float(lam_meta)
-            if verbose and offset:
+                st["lam"] = float(lam_meta)
+            if verbose and st["offset"]:
                 print(
-                    f"[varnet/lm] resumed from LM step {offset} in "
-                    f"{folderpath} (lam {lam_now:.1e})"
+                    f"[varnet/lm] resumed from LM step {st['offset']} in "
+                    f"{lm_folder} (lam {st['lam']:.1e})"
                 )
-            if steps_left == 0:
+            if st["steps"] <= 0:
                 result = TrainResult()
                 result.total_steps = int(steps)
                 return result
-        attempt = 0
-        while True:
-            try:
-                with matmul_precision_scope(matmul_precision):
-                    return self._refine_lm_impl(
-                        steps_left, weight, cg_iters, save_freq, verbose,
-                        error_disc, error_times, lam_now, target_error,
-                        matmul_precision, k, folderpath, cg_segment,
-                        step_offset=offset,
-                    )
-            except jax.errors.JaxRuntimeError as err:
-                from .train.fault import is_transient_device_error
+        elif lm_folder is not None and list_checkpoint_steps(lm_folder):
+            import shutil
 
-                if attempt >= int(max_retries) or not is_transient_device_error(err):
-                    raise
-                attempt += 1
-                if folderpath is not None:
-                    offset, lam_meta = self._lm_restore(folderpath)
-                    if lam_meta is not None:
-                        lam_now = float(lam_meta)
-                steps_left = max(int(steps) - offset, 1)
-                k *= 2
-                if verbose:
-                    print(
-                        f"[varnet/lm] transient device fault (retry "
-                        f"{attempt}/{int(max_retries)}): resuming from LM "
-                        f"step {offset} with k_chunks {k}, lam "
-                        f"{lam_now:.1e} after {float(retry_backoff):.0f}s",
-                        flush=True,
-                    )
-                if retry_backoff > 0:
-                    time.sleep(float(retry_backoff))
+            shutil.rmtree(lm_folder)
+            if verbose:
+                print(
+                    f"[varnet/lm] cleared stale LM checkpoints in "
+                    f"{lm_folder} (fresh run; pass resume=True to continue"
+                    " them instead)"
+                )
+
+        def attempt_fn():
+            with matmul_precision_scope(matmul_precision):
+                return self._refine_lm_impl(
+                    st["steps"], weight, cg_iters, save_freq, verbose,
+                    error_disc, error_times, st["lam"], target_error,
+                    matmul_precision, st["k"], lm_folder, cg_segment,
+                    step_offset=st["offset"],
+                )
+
+        def on_fault(_attempt):
+            if lm_folder is not None:
+                st["offset"], lam_meta = self._lm_restore(lm_folder)
+                if lam_meta is not None:
+                    st["lam"] = float(lam_meta)
+            st["steps"] = int(steps) - st["offset"]
+            if st["steps"] <= 0:
+                # faulted after the final checkpoint: the work is done
+                result = TrainResult()
+                result.total_steps = int(steps)
+                return result
+            st["k"] *= 2
+            return (
+                f"resuming from LM step {st['offset']} with k_chunks "
+                f"{st['k']}, lam {st['lam']:.1e}"
+            )
+
+        return self._retry_transient(
+            attempt_fn, on_fault, max_retries, retry_backoff, verbose,
+            label="/lm", include_oom=True,
+        )
 
     def _lm_restore(self, folderpath):
         """Load the newest LM checkpoint into ``self.theta``.

@@ -15,30 +15,37 @@ mechanical enough to belong in the library, not in every driver script.
 
 from __future__ import annotations
 
-# XLA/PJRT status codes that indicate infrastructure or capacity trouble
-# rather than a bug in the traced program.  RESOURCE_EXHAUSTED (OOM) is
-# included because the retry path shrinks the per-chunk footprint
-# (k_chunks escalation) before re-trying.
+# XLA/PJRT status codes that indicate infrastructure trouble rather
+# than a bug in the traced program.
 TRANSIENT_STATUS_CODES = (
     "UNAVAILABLE",
     "ABORTED",
     "DEADLINE_EXCEEDED",
-    "RESOURCE_EXHAUSTED",
     "INTERNAL",
 )
 
+# RESOURCE_EXHAUSTED (OOM) is deterministic for an unchanged program, so
+# it is only retryable when the caller shrinks the memory footprint
+# between attempts (refine_lm's k_chunks escalation does; train's retry
+# re-launches the identical program and must not spin on it).
+OOM_STATUS_CODES = ("RESOURCE_EXHAUSTED",)
 
-def is_transient_device_error(err: BaseException) -> bool:
+
+def is_transient_device_error(
+    err: BaseException, include_oom: bool = True
+) -> bool:
     """True if ``err`` looks like a transient accelerator fault.
 
     JAX surfaces PJRT failures as ``jax.errors.JaxRuntimeError`` whose
     message leads with the gRPC-style status code; match on those rather
     than exception identity so the classification survives jaxlib
-    version drift.
+    version drift.  ``include_oom`` adds RESOURCE_EXHAUSTED — pass True
+    only when the retry will shrink the program's memory footprint.
     """
     import jax
 
     if not isinstance(err, jax.errors.JaxRuntimeError):
         return False
     msg = str(err)
-    return any(code in msg for code in TRANSIENT_STATUS_CODES)
+    codes = TRANSIENT_STATUS_CODES + (OOM_STATUS_CODES if include_oom else ())
+    return any(code in msg for code in codes)

@@ -46,6 +46,40 @@ def load_observations_csv(
     return point_data_from_arrays(raw[:, list(coord_cols)], raw[:, v])
 
 
+def save_theta_npz(path: str, theta, prefix: str = "") -> None:
+    """Persist an MLP parameter list ``[{'w','b'}, ...]`` as a flat npz
+    (keys ``{prefix}l{i}_w`` / ``{prefix}l{i}_b``) — the interchange
+    format used by the persisted benchmark thetas and their pin tests.
+    ``prefix`` namespaces multiple nets in one file (e.g. the inverse
+    problem's ``net_``/``src_`` pair)."""
+    np.savez(path, **theta_npz_dict(theta, prefix))
+
+
+def theta_npz_dict(theta, prefix: str = "") -> dict:
+    """The flat key->array dict for ``save_theta_npz`` (exposed so call
+    sites can merge several nets into one ``np.savez``)."""
+    return {
+        f"{prefix}l{i}_{k}": np.asarray(v)
+        for i, layer in enumerate(theta)
+        for k, v in layer.items()
+    }
+
+
+def load_theta_npz(path, prefix: str = ""):
+    """Inverse of :func:`save_theta_npz`.  ``path`` may be a filename or
+    an already-opened ``NpzFile``."""
+    z = np.load(path) if isinstance(path, (str, os.PathLike)) else path
+    n_layers = sum(
+        1 for f in z.files
+        if f.startswith(f"{prefix}l") and f.endswith("_w")
+        and f[len(prefix):].count("_") == 1
+    )
+    return [
+        {"w": z[f"{prefix}l{i}_w"], "b": z[f"{prefix}l{i}_b"]}
+        for i in range(n_layers)
+    ]
+
+
 def save_solution_csv(path: str, coords: np.ndarray, values: np.ndarray,
                       header: Optional[str] = None):
     """Write a solution field as CSV rows [coords..., u]."""
