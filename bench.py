@@ -55,11 +55,17 @@ def main():
         fused_q_block=QBLOCK,
     )
     n_chips = vn.n_shards
+    # The TPU tunnel occasionally drops a session mid-run (measured:
+    # UNAVAILABLE device errors — DESIGN.md decision 9); the bench is
+    # cheap, so retry transient faults rather than losing the round's
+    # driver measurement to one flake.
     res = vn.train(
         epoch_num=EPOCHS,
         weight=(1.0, 10.0, 10.0),
         save_freq=EPOCHS,
         verbose=False,
+        max_retries=2,
+        retry_backoff=60.0,
     )
     per_chip = res.quad_evals_per_sec / max(n_chips, 1)
 

@@ -66,6 +66,9 @@ def main():
     ap.add_argument("--w-bcic", type=float, default=10.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--folder", type=str, default="/tmp/contaminant_causal")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue a dead run from its per-stage "
+                         "checkpoints (completed windows are skipped)")
     args = ap.parse_args()
 
     windows = [float(w) for w in args.windows.split(",")]
@@ -111,6 +114,7 @@ def main():
             **extra),
         train_kwargs=dict(verbose=True),
         folderpath=args.folder, stage_hook=plume_check, verbose=False,
+        resume=args.resume,
     )
     stages = [{k: v for k, v in r.items() if k != "result"}
               for r in stage_recs]

@@ -49,3 +49,45 @@ def test_train_causal_validates_windows():
         train_causal(_make_pde, windows=(0.5, 0.75))  # final != 1.0
     with pytest.raises(ValueError):
         train_causal(_make_pde, windows=(0.75, 0.5, 1.0))  # not increasing
+
+
+def test_train_causal_resume(tmp_path):
+    """Cross-process curriculum restart (SURVEY.md §5.3): a completed
+    stage is restored and skipped, a partially-trained stage trains only
+    its remaining epochs, and resume without folderpath is rejected."""
+    import shutil
+
+    from varnet_tpu.train.checkpoint import list_checkpoint_steps
+
+    folder = str(tmp_path / "case")
+    kw = dict(
+        windows=(0.5, 1.0), epoch_num=100, weight=(1.0, 10.0, 10.0),
+        t_disc_full=8,
+        varnet_kwargs=dict(layer_width=(12,), disc_num=12, b_disc_num=4,
+                           n_devices=1, seed=3),
+        train_kwargs=dict(save_freq=50),
+        folderpath=folder, verbose=False,
+    )
+    train_causal(_make_pde, **kw)
+    # simulate a death halfway through stage 2: drop its epoch-100
+    # checkpoint, keeping epoch 50
+    w1 = f"{folder}_w1"
+    assert list_checkpoint_steps(w1) == [50, 100]
+    shutil.rmtree(f"{w1}/ckpt_{100:010d}")
+
+    vn2, st2 = train_causal(_make_pde, resume=True, **kw)
+    assert st2[0].get("resumed") and st2[0]["epochs_done"] == 100
+    assert "final_loss" not in st2[0]  # skipped, not retrained
+    # stage 2 trained only the remaining 50 epochs, ending at 100
+    assert st2[1]["result"].epochs[-1] == 100
+    assert list_checkpoint_steps(w1)[-1] == 100
+    x = np.linspace(0.05, 0.95, 20)[:, None]
+    u = vn2.evaluate(x, t=np.full(20, 0.25))
+    assert np.isfinite(u).all() and np.abs(u).max() > 1e-3
+
+    with pytest.raises(ValueError, match="folderpath"):
+        train_causal(_make_pde, resume=True, **{
+            k: v for k, v in kw.items() if k != "folderpath"})
+    with pytest.raises(ValueError, match="train_kwargs"):
+        train_causal(_make_pde, **dict(
+            kw, train_kwargs=dict(save_freq=50, resume=True)))

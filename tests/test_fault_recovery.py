@@ -111,12 +111,12 @@ def test_lm_cross_process_resume(tmp_path):
     )
     assert r.epochs == [3, 4] and r.total_steps == 4
     assert np.isfinite(lam_ckpt) and lam_ckpt > 0
-    # _lm_restore really loads the persisted state: a third fresh net
+    # _restore_theta really loads the persisted state: a third fresh net
     # restored from the folder must equal vn2's final theta exactly
     # (the newest checkpoint is step 4, written by vn2's run)
     case = steady_ad_1d(kappa=0.1)
     vn3 = VarNet(case["pde"], layer_width=(8, 8), disc_num=12, n_devices=1)
-    step3, lam3 = vn3._lm_restore(lm_dir)
+    step3, lam3 = vn3._restore_theta(lm_dir)
     assert step3 == 4 and lam3 is not None
     np.testing.assert_allclose(_flat(vn3.theta), _flat(vn2.theta))
     assert not np.allclose(_flat(vn3.theta), theta_ckpt)  # steps 3-4 moved it

@@ -837,7 +837,7 @@ class VarNet:
         st = {"steps": int(steps), "lam": float(lam0), "k": int(k_chunks),
               "offset": 0}
         if resume:
-            st["offset"], lam_meta = self._lm_restore(lm_folder)
+            st["offset"], lam_meta = self._restore_theta(lm_folder)
             st["steps"] = int(steps) - st["offset"]
             if lam_meta is not None:
                 st["lam"] = float(lam_meta)
@@ -872,7 +872,7 @@ class VarNet:
 
         def on_fault(_attempt):
             if lm_folder is not None:
-                st["offset"], lam_meta = self._lm_restore(lm_folder)
+                st["offset"], lam_meta = self._restore_theta(lm_folder)
                 if lam_meta is not None:
                     st["lam"] = float(lam_meta)
             st["steps"] = int(steps) - st["offset"]
@@ -892,19 +892,26 @@ class VarNet:
             label="/lm", include_oom=True,
         )
 
-    def _lm_restore(self, folderpath):
-        """Load the newest LM checkpoint into ``self.theta``.
+    def _restore_theta(self, folderpath):
+        """Load the newest checkpoint's theta into ``self.theta``.
 
-        Returns ``(step, lam)`` — the checkpoint's global LM step (0 if
-        the folder holds none) and the lam damping value from its meta
-        sidecar (None if absent, e.g. a checkpoint written by ``train``;
-        the params-only fallback in load_checkpoint makes those loadable
-        here too).
+        Returns ``(step, lam)`` — the checkpoint's step number (0 if the
+        folder holds none) and the lam damping value from its meta
+        sidecar (None if absent, e.g. a checkpoint written by ``train``).
+        Used by the LM resume/retry path and by ``train_causal``'s
+        completed-stage skip; the params-only restore is deliberate here,
+        so the optimizer-state-mismatch warning is suppressed.
         """
+        import warnings
+
         try:
-            state, step = load_checkpoint(
-                folderpath, {"theta": jax.device_get(self.theta)}
-            )
+            with warnings.catch_warnings():
+                warnings.filterwarnings(
+                    "ignore", message="stored optimizer state"
+                )
+                state, step = load_checkpoint(
+                    folderpath, {"theta": jax.device_get(self.theta)}
+                )
         except FileNotFoundError:
             return 0, None
         self.theta = state["theta"]

@@ -79,8 +79,9 @@ def _run_causal(args, kap, extra):
                           save_freq=args.save_freq,
                           matmul_precision=args.precision),
         folderpath=args.folder,
+        resume=args.resume,
     )
-    summary = {"stage_losses": [s["final_loss"] for s in stages]}
+    summary = {"stage_losses": [s.get("final_loss") for s in stages]}
     if args.lm_steps:
         r_lm = vn.refine_lm(
             steps=args.lm_steps, weight=w, cg_iters=args.lm_cg,

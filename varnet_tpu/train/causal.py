@@ -40,6 +40,7 @@ def train_causal(
     folderpath: Optional[str] = None,
     stage_hook: Optional[Callable] = None,
     verbose: bool = True,
+    resume: bool = False,
 ):
     """Train through a growing sequence of time windows with warm starts.
 
@@ -65,6 +66,14 @@ def train_causal(
         record (e.g. a plume-amplitude check — see
         benchmarks/contaminant_causal.py).
       verbose: per-stage progress lines.
+      resume: continue a dead run from its per-stage checkpoints
+        (requires ``folderpath``; SURVEY.md §5.3).  Stages whose folder
+        already holds ``epoch_num`` epochs are restored and skipped
+        (``stage_hook`` is not re-run for them — their record is
+        ``{"t_end", "resumed", "epochs_done"}``); a partially-trained
+        stage trains only its remaining epochs; later stages run
+        normally.  ``train_kwargs`` must not carry its own ``resume`` —
+        the curriculum manages it per stage.
 
     Returns:
       ``(vn, stages)`` — the final-window ``VarNet`` (train further, or
@@ -78,10 +87,21 @@ def train_causal(
     if any(b <= a for a, b in zip(windows, windows[1:])):
         raise ValueError("windows must be strictly increasing")
 
+    if resume and folderpath is None:
+        raise ValueError(
+            "resume=True requires folderpath (nothing to resume from)"
+        )
     vkw = dict(varnet_kwargs or {})
     vkw.setdefault("input_scaling", False)
     tkw = dict(train_kwargs or {})
     tkw.setdefault("verbose", verbose)
+    if "resume" in tkw:
+        raise ValueError(
+            "pass resume to train_causal itself, not via train_kwargs "
+            "(the curriculum manages per-stage resume)"
+        )
+
+    from .checkpoint import list_checkpoint_steps
 
     theta = None
     stages: List[Dict[str, Any]] = []
@@ -95,7 +115,22 @@ def train_causal(
         tkw.setdefault("save_freq", max(epoch_num // 2, 1))
         if folderpath is not None:
             tkw["folderpath"] = f"{folderpath}_w{w:g}"
-        res = vn.train(epoch_num=epoch_num, weight=weight, **tkw)
+        done = 0
+        if resume and folderpath is not None:
+            ck = list_checkpoint_steps(tkw["folderpath"])
+            done = ck[-1] if ck else 0
+        if done >= epoch_num:
+            # completed stage: restore its theta (params-only) and skip
+            step, _ = vn._restore_theta(tkw["folderpath"])
+            theta = vn.theta
+            rec = {"t_end": w, "resumed": True, "epochs_done": step}
+            stages.append(rec)
+            if verbose:
+                print(f"[varnet/causal] window [0,{w}]: resumed complete "
+                      f"({step} epochs), skipping", flush=True)
+            continue
+        res = vn.train(epoch_num=epoch_num - done, weight=weight,
+                       resume=bool(done), **tkw)
         theta = vn.theta
         rec = {"t_end": w, "final_loss": res.losses[-1]["loss"],
                "result": res}
