@@ -73,6 +73,13 @@ class VarNet:
       b_disc_num:   boundary points per segment edge
       t_disc_num:   time elements (time-dependent problems only)
       integ_p_num:  Gauss-Legendre points per dim per element
+      test_order:   1 = multilinear hat test functions (the reference's
+                    space); 2 = quadratic Lagrange test space (beyond-
+                    reference: O(h^3) invisible-error floor instead of
+                    the measured 0.21 h^2 — see fem/element.py).  The
+                    fully-fused residual kernel currently requires
+                    order 1; order 2 rides the fused value+jacobian
+                    kernel / XLA contraction path.
       activation:   'tanh' | 'sigmoid'
       seed:         PRNG seed for parameter init
       n_devices:    restrict the data-parallel mesh (default: all devices)
@@ -93,6 +100,7 @@ class VarNet:
         b_disc_num: int = 10,
         t_disc_num: Optional[int] = None,
         integ_p_num: int = 2,
+        test_order: int = 1,
         activation: str = "tanh",
         seed: int = 0,
         n_devices: Optional[int] = None,
@@ -116,6 +124,9 @@ class VarNet:
         self.b_disc_num = int(b_disc_num)
         self.t_disc_num = None if t_disc_num is None else int(t_disc_num)
         self.integ_p_num = int(integ_p_num)
+        # 1 = reference hat test space; 2 = quadratic Lagrange test space
+        # (beyond-reference: O(h^3) invisible-error floor, fem/element.py)
+        self.test_order = int(test_order)
         self.activation = activation
         self.seed = int(seed)
         self.dtype = dtype
@@ -155,6 +166,7 @@ class VarNet:
             t_disc_num=self.t_disc_num,
             integ_p_num=self.integ_p_num,
             pad_multiple=1,
+            test_order=self.test_order,
         )
         self.static = self.fixed.static
 
@@ -223,6 +235,7 @@ class VarNet:
             or not self.use_fused_residual
             or self.source_fn is not None
             or self.fourier_b is not None
+            or self.test_order != 1  # kernel assumes shared [nQ] tables
         ):
             return None
         import functools
@@ -538,7 +551,8 @@ class VarNet:
         opt_state = replicate(opt_state, self.mesh)
 
         step_fn = make_train_step(
-            loss_fn, optimizer, mesh=self.mesh, batch_num=batch_num
+            loss_fn, optimizer, mesh=self.mesh, batch_num=batch_num,
+            tables_per_node=self.test_order != 1,
         )
         weights_arr = jnp.asarray(w_full, dtype=self.dtype)
 
@@ -1008,8 +1022,10 @@ class VarNet:
 
         rep = P()
         per_node = P(DATA_AXIS)
+        # order-2 test space carries per-node [K, nQ] tables: shard them
+        tbl = per_node if self.test_order != 1 else rep
         quad_spec = QuadData(
-            coords=per_node, N=rep, dN=rep, w=rep,
+            coords=per_node, N=tbl, dN=tbl, w=tbl,
             kappa=per_node, vel=per_node, src=per_node, react=per_node,
             mask=per_node,
         )
@@ -1224,6 +1240,7 @@ class VarNet:
             "b_disc_num": self.b_disc_num,
             "t_disc_num": self.t_disc_num,
             "integ_p_num": self.integ_p_num,
+            "test_order": self.test_order,
             "activation": self.activation,
             "n_inputs": self.static.n_inputs,
             "n_test": self.static.n_test,

@@ -49,6 +49,9 @@ def make_parser(desc: str, **defaults) -> argparse.ArgumentParser:
     p.add_argument("--target", type=float, default=None,
                    help="early-stop rel-L2 error target")
     p.add_argument("--plot", action="store_true", help="render sim_res plots")
+    p.add_argument("--test-order", type=int, default=1, choices=(1, 2),
+                   help="test-function order: 1 = hats (reference), 2 = "
+                        "quadratic Lagrange (O(h^3) floor, beyond-reference)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--devices", type=int, default=None)
     return p
@@ -66,6 +69,7 @@ def run_case(pde, args, weight, t_disc_num=None, **varnet_kwargs) -> VarNet:
         disc_num=args.disc,
         b_disc_num=args.bdisc,
         t_disc_num=t_disc_num,
+        test_order=args.test_order,
         seed=args.seed,
         n_devices=args.devices,
         optimizer=OptimizerConfig(

@@ -83,6 +83,7 @@ class ProblemStatic:
     n_ic: int
     input_lo: np.ndarray   # [n_inputs] for input scaling
     input_hi: np.ndarray
+    test_order: int = 1    # 1 = hat test space, 2 = quadratic Lagrange
 
 
 class FixedData(NamedTuple):
@@ -132,11 +133,19 @@ def pad_quad(quad: QuadData, multiple: int) -> QuadData:
     target = _pad_to_multiple(real, multiple)
     mask = np.zeros(target)
     mask[:real] = 1.0
+
+    per_node_tables = quad.N.ndim == 2  # order-2 test space
+
+    def tbl(a):
+        # [nQ]-shaped shared tables pass through; per-node [K, nQ(, d)]
+        # tables (order-2 test space) pad like the other node arrays
+        return _pad_axis0(a[:real], target) if per_node_tables else a
+
     return QuadData(
         coords=_pad_axis0(quad.coords[:real], target),
-        N=quad.N,
-        dN=quad.dN,
-        w=quad.w,
+        N=tbl(quad.N),
+        dN=tbl(quad.dN),
+        w=tbl(quad.w),
         kappa=_pad_axis0(quad.kappa[:real], target),
         vel=_pad_axis0(quad.vel[:real], target),
         src=_pad_axis0(quad.src[:real], target),
@@ -165,6 +174,7 @@ def build_fixed_data(
     t_disc_num: Optional[int] = None,
     integ_p_num: int = 2,
     pad_multiple: int = 1,
+    test_order: int = 1,
 ) -> FixedData:
     """Assemble all device constants for a problem + discretization.
 
@@ -173,6 +183,12 @@ def build_fixed_data(
     t_disc_num:  time elements (required iff pde is time-dependent)
     integ_p_num: Gauss-Legendre points per dimension per element
     pad_multiple: pad leading axes to a multiple of this (shard count)
+    test_order:  1 = multilinear hat test functions (the reference's
+                 space); 2 = quadratic Lagrange test space (beyond-
+                 reference: lifts the O(h^2) invisible-error floor to
+                 O(h^3) on the same mesh — fem/element.py).  Order 2
+                 stores per-node [K, nQ] test tables because nodes belong
+                 to different vertex/bubble classes.
     """
     d = pde.dim
     td = pde.time_dependent
@@ -198,16 +214,65 @@ def build_fixed_data(
         h_full = h
         centers = centers_x
 
-    hq = HatQuadrature.build(h_full, integ_p_num)
-    coords = centers[:, None, :] + hq.offsets[None, :, :]  # [K, nQ, D]
+    if test_order == 1:
+        hq = HatQuadrature.build(h_full, integ_p_num)
+        coords = centers[:, None, :] + hq.offsets[None, :, :]  # [K, nQ, D]
+        n_tbl, dn_tbl, w_tbl = hq.N, hq.dN[:, :d], hq.w
+    else:
+        from .element import build_test_classes
+
+        classes = build_test_classes(h_full, integ_p_num, order=test_order)
+        lo_b, hi_b = pde.domain.bounds
+        axes_v = [np.linspace(lo_b[j], hi_b[j], mesh.shape[j])
+                  for j in range(d)]
+        axes_b = [(a[:-1] + a[1:]) / 2.0 for a in axes_v]
+        if td:
+            t_v = t_nodes[1:-1]
+            t_b = (t_nodes[:-1] + t_nodes[1:]) / 2.0
+        coords_list, n_list, dn_list, w_list = [], [], [], []
+        for cls in classes:
+            ax = [axes_v[j] if cls.kinds[j] == "v" else axes_b[j]
+                  for j in range(d)]
+            grids = np.meshgrid(*ax, indexing="ij")
+            cand = np.stack([g.ravel() for g in grids], axis=-1)  # [Nc, d]
+            keep = pde.domain.support_inside(cand, cls.half_support[:d])
+            cx = cand[keep]
+            if td:
+                tt = t_v if cls.kinds[d] == "v" else t_b
+                cc = pair_mats(cx, tt[:, None])
+            else:
+                cc = cx
+            kc = cc.shape[0]
+            if kc == 0:
+                continue
+            coords_list.append(cc[:, None, :] + cls.offsets[None, :, :])
+            n_list.append(np.broadcast_to(cls.N, (kc,) + cls.N.shape))
+            dn_list.append(np.broadcast_to(
+                cls.dN[None, :, :d], (kc, cls.dN.shape[0], d)))
+            w_list.append(np.broadcast_to(cls.w, (kc,) + cls.w.shape))
+        if not coords_list:
+            raise ValueError(
+                "no test-function centres at test_order=2; refine disc_num"
+            )
+        coords = np.concatenate(coords_list, axis=0)
+        n_tbl = np.ascontiguousarray(np.concatenate(n_list, axis=0))
+        dn_tbl = np.ascontiguousarray(np.concatenate(dn_list, axis=0))
+        w_tbl = np.ascontiguousarray(np.concatenate(w_list, axis=0))
     k_real, nq = coords.shape[0], coords.shape[1]
 
     # ---- MOR pairing (parametric inputs appended to network coords) ----
     n_mor = 0
     if pde.mor is not None:
         n_mor = pde.mor.n_params
+        m_samples = pde.mor.samples.shape[0]
         coords = _append_mu(coords, pde.mor.samples)  # [M*K, nQ, D+P]
         k_real = coords.shape[0]
+        if test_order != 1:
+            # per-node tables repeat with the mu pairing (sample index
+            # varies slowest, matching _append_mu)
+            n_tbl = np.tile(n_tbl, (m_samples, 1))
+            dn_tbl = np.tile(dn_tbl, (m_samples, 1, 1))
+            w_tbl = np.tile(w_tbl, (m_samples, 1))
 
     flat = coords.reshape(-1, coords.shape[-1])
     x_f = flat[:, :d]
@@ -270,9 +335,9 @@ def build_fixed_data(
     quad_mask[:k_real] = 1.0
     quad = QuadData(
         coords=_pad_axis0(coords, k_pad),
-        N=hq.N,
-        dN=hq.dN[:, :d],
-        w=hq.w,
+        N=n_tbl if test_order == 1 else _pad_axis0(n_tbl, k_pad),
+        dN=dn_tbl if test_order == 1 else _pad_axis0(dn_tbl, k_pad),
+        w=w_tbl if test_order == 1 else _pad_axis0(w_tbl, k_pad),
         kappa=_pad_axis0(kappa, k_pad),
         vel=_pad_axis0(vel, k_pad),
         src=_pad_axis0(src, k_pad),
@@ -312,5 +377,6 @@ def build_fixed_data(
         n_ic=0 if ic is None else int(ic.mask.sum()),
         input_lo=np.asarray(lo),
         input_hi=np.asarray(hi),
+        test_order=int(test_order),
     )
     return FixedData(quad=quad, bc=bc, ic=ic, static=static)

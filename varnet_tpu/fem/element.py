@@ -163,3 +163,141 @@ class HatQuadrature:
     def support_volume(self) -> float:
         """Volume of supp(v_k) = prod_j 2 h_j; integral of weights equals it."""
         return float(np.prod(2.0 * self.h))
+
+
+# --------------------------------------------------------------------------
+# Second-order (quadratic Lagrange) test space — beyond-reference accuracy.
+#
+# The weak form only sees the trial net through integrals against the test
+# functions, so trial error components outside span{v_k} are invisible to
+# the loss; with multilinear hats that span approximates functions to
+# O(h^2), which is exactly the measured accuracy floor (BASELINE.md h^2-
+# bias study: rel-L2 floors at ~0.21 h^2 across meshes).  A quadratic
+# Lagrange test space lifts the invisible error to O(h^3) on the SAME mesh.
+#
+# The uniform-grid quadratic Lagrange basis splits into tensor-product
+# CLASSES: per dim, a factor is either a VERTEX function (support: the 2
+# elements around a grid vertex; pieces L1(s)=2s^2-s toward the node and
+# L0(s)=2s^2-3s+1 away from it) or a BUBBLE (support: 1 element, centred
+# at its midpoint; B(s)=4s(1-s)).  dim D gives 2^D classes, each with its
+# OWN node grid and ONE node-independent table — the same broadcast-
+# friendly design as HatQuadrature, per class.  Each factor uses
+# 2*integ_p_num Gauss points per dim (2 pieces x n for vertex, 1 piece x
+# 2n for bubble), so nQ = (2*integ_p_num)^D is identical across classes
+# and the per-class tables stack into [C, nQ] arrays.
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TestClassQuadrature:
+    """Quadrature tables for ONE tensor-product test-function class.
+
+    kinds: per-dim factor kind, "v" (vertex) or "b" (bubble).
+    half_support: per-dim support half-width (h_j for "v", h_j/2 for "b").
+    offsets/N/dN/w: as HatQuadrature, node-independent within the class.
+    """
+
+    dim: int
+    h: np.ndarray
+    integ_p_num: int
+    kinds: tuple
+    half_support: np.ndarray
+    offsets: np.ndarray
+    N: np.ndarray
+    dN: np.ndarray
+    w: np.ndarray
+
+    @property
+    def n_quad(self) -> int:
+        return self.offsets.shape[0]
+
+    def support_volume(self) -> float:
+        return float(np.prod(2.0 * self.half_support))
+
+
+def _factor_tables_1d(kind: str, h: float, n: int):
+    """1-D factor tables: (offsets, val, dval, w), each [2 n].
+
+    kind "v": quadratic vertex function across the 2 adjacent elements,
+    local coordinate s in [0, 1] per element:
+      toward-node piece  L1(s) = 2 s^2 - s      (1 at the node, s = 1)
+      away-from-node     L0(s) = 2 s^2 - 3 s + 1 (1 at the node, s = 0)
+    kind "b": bubble B(s) = 4 s (1 - s) on ONE element, node at its centre.
+    """
+    eta, wg = gauss_legendre(n)
+    if kind == "v":
+        s = (1.0 + eta) / 2.0
+        # left element [node - h, node]: node at s = 1
+        off_l = -h + h * s
+        val_l = 2.0 * s**2 - s
+        dval_l = (4.0 * s - 1.0) / h
+        # right element [node, node + h]: node at s = 0
+        off_r = h * s
+        val_r = 2.0 * s**2 - 3.0 * s + 1.0
+        dval_r = (4.0 * s - 3.0) / h
+        return (
+            np.concatenate([off_l, off_r]),
+            np.concatenate([val_l, val_r]),
+            np.concatenate([dval_l, dval_r]),
+            np.concatenate([wg * h / 2.0, wg * h / 2.0]),
+        )
+    if kind == "b":
+        eta2, wg2 = gauss_legendre(2 * n)
+        s = (1.0 + eta2) / 2.0
+        return (
+            h * (s - 0.5),
+            4.0 * s * (1.0 - s),
+            (4.0 - 8.0 * s) / h,
+            wg2 * h / 2.0,
+        )
+    raise ValueError(f"unknown factor kind {kind!r}")
+
+
+def build_test_classes(h, integ_p_num: int = 2, order: int = 1):
+    """Quadrature tables for every test-function class of the given order.
+
+    order 1: the single multilinear-hat class (== HatQuadrature tables).
+    order 2: the 2^dim quadratic Lagrange classes described above.
+    Returns a list of TestClassQuadrature; all classes share one nQ.
+    """
+    h = np.atleast_1d(np.asarray(h, dtype=np.float64))
+    dim = h.shape[0]
+    if order == 1:
+        hq = HatQuadrature.build(h, integ_p_num)
+        return [TestClassQuadrature(
+            dim=dim, h=h, integ_p_num=int(integ_p_num), kinds=("v",) * dim,
+            half_support=h.copy(), offsets=hq.offsets, N=hq.N, dN=hq.dN,
+            w=hq.w,
+        )]
+    if order != 2:
+        raise ValueError("test_order must be 1 or 2")
+
+    classes = []
+    n1 = 2 * int(integ_p_num)
+    for kinds in itertools.product(("v", "b"), repeat=dim):
+        fac = [_factor_tables_1d(k, h[j], int(integ_p_num))
+               for j, k in enumerate(kinds)]
+        idx = np.meshgrid(*([np.arange(n1)] * dim), indexing="ij")
+        idx = np.stack([i.ravel() for i in idx], axis=-1)  # [nQ, dim]
+        nq = idx.shape[0]
+        offsets = np.empty((nq, dim))
+        val_f = np.empty((nq, dim))
+        dval_f = np.empty((nq, dim))
+        w_f = np.empty((nq, dim))
+        for j in range(dim):
+            offsets[:, j] = fac[j][0][idx[:, j]]
+            val_f[:, j] = fac[j][1][idx[:, j]]
+            dval_f[:, j] = fac[j][2][idx[:, j]]
+            w_f[:, j] = fac[j][3][idx[:, j]]
+        N = np.prod(val_f, axis=-1)
+        w = np.prod(w_f, axis=-1)
+        dN = np.empty((nq, dim))
+        for j in range(dim):
+            others = np.prod(np.delete(val_f, j, axis=-1), axis=-1)
+            dN[:, j] = dval_f[:, j] * others
+        half = np.where(np.array(kinds) == "v", h, h / 2.0)
+        classes.append(TestClassQuadrature(
+            dim=dim, h=h, integ_p_num=int(integ_p_num), kinds=kinds,
+            half_support=half, offsets=offsets, N=N, dN=dN, w=w,
+        ))
+    return classes

@@ -60,6 +60,16 @@ class Domain1D:
         pts = np.atleast_2d(pts)
         return (pts[:, 0] > self.lo) & (pts[:, 0] < self.hi)
 
+    def support_inside(self, centers: np.ndarray, half) -> np.ndarray:
+        """True where the support box centre +/- half lies inside the
+        interval (it may touch the endpoints: the test function vanishes
+        there).  Used by the order-2 assembly, whose vertex and bubble
+        classes have different support half-widths."""
+        c = np.atleast_2d(centers)[:, 0]
+        h = float(np.atleast_1d(half)[0])
+        eps = 1e-12 * max(self.hi - self.lo, 1.0)
+        return (c - h >= self.lo - eps) & (c + h <= self.hi + eps)
+
     def mesh(self, disc_num: int) -> Mesh:
         """Uniform grid with ``disc_num`` elements (disc_num + 1 nodes)."""
         n = int(disc_num) + 1
@@ -143,6 +153,13 @@ class PolygonDomain2D:
         nodes, _, spacing = cartesian_grid(lo, hi, counts)
         interior = self._support_inside(nodes, spacing)
         return Mesh(nodes=nodes, shape=counts, spacing=spacing, interior_mask=interior)
+
+    def support_inside(self, centers: np.ndarray, half) -> np.ndarray:
+        """Public support-box check with arbitrary per-dim half-widths
+        (order-2 assembly: vertex classes use h, bubble classes h/2)."""
+        return self._support_inside(
+            np.atleast_2d(centers), np.atleast_1d(np.asarray(half, float))
+        )
 
     def _support_inside(self, nodes: np.ndarray, h: np.ndarray) -> np.ndarray:
         """True where node and all 8 support-patch sample points are inside.

@@ -20,9 +20,9 @@ import jax.numpy as jnp
 
 def weak_residual(
     grad_u: jnp.ndarray,          # [K, nQ, d]  spatial gradient of the net
-    n: jnp.ndarray,               # [nQ]        test-function values
-    dn: jnp.ndarray,              # [nQ, d]     spatial test-fn gradients
-    w: jnp.ndarray,               # [nQ]        Gauss weight x detJ
+    n: jnp.ndarray,               # [nQ] or [K, nQ]     test-function values
+    dn: jnp.ndarray,              # [nQ, d] or [K, nQ, d] spatial test grads
+    w: jnp.ndarray,               # [nQ] or [K, nQ]  Gauss weight x detJ
     kappa: jnp.ndarray,           # [K, nQ]
     vel: jnp.ndarray,             # [K, nQ, d]
     src: jnp.ndarray,             # [K, nQ]
@@ -36,15 +36,27 @@ def weak_residual(
     (SURVEY.md §0 item 3), so only FIRST derivatives of the network appear.
     The optional reaction term adds + c u (advection-diffusion-reaction,
     a beyond-reference extension).
+
+    Test tables come in two layouts, distinguished statically by rank:
+    [nQ]-shaped tables shared by every node (order-1 hats on a uniform
+    grid), or per-node [K, nQ] tables (the order-2 quadratic test space,
+    where nodes belong to different vertex/bubble classes —
+    fem/element.py build_test_classes).
     """
+    n2 = n if n.ndim == 2 else n[None, :]
     adv = jnp.einsum("kqd,kqd->kq", vel, grad_u)
-    integrand = (adv - src) * n[None, :]
+    integrand = (adv - src) * n2
     if u_t is not None:
-        integrand = integrand + u_t * n[None, :]
+        integrand = integrand + u_t * n2
     if react is not None and u is not None:
-        integrand = integrand + react * u * n[None, :]
-    diff = kappa * jnp.einsum("kqd,qd->kq", grad_u, dn)
+        integrand = integrand + react * u * n2
+    if dn.ndim == 3:
+        diff = kappa * jnp.einsum("kqd,kqd->kq", grad_u, dn)
+    else:
+        diff = kappa * jnp.einsum("kqd,qd->kq", grad_u, dn)
     integrand = integrand + diff
+    if w.ndim == 2:
+        return jnp.einsum("kq,kq->k", integrand, w)
     return jnp.einsum("kq,q->k", integrand, w)
 
 

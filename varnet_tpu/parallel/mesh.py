@@ -78,14 +78,23 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _tables_per_node(quad) -> bool:
+    """True when the QuadData carries per-node [K, nQ] test tables
+    (order-2 test space) instead of shared [nQ] ones."""
+    return np.ndim(quad.N) == 2
+
+
 def shard_quad(quad, mesh: Mesh, dtype=None, batched: bool = False):
     """Place QuadData: per-test-function arrays sharded on ``data``; the
-    shared [nQ]-sized tables (N, dN, w) replicated.  ``batched=True`` for
-    [B, Kb, ...] arrays produced by the mini-batch reshape (axis 1 shards)."""
+    shared [nQ]-sized tables (N, dN, w) replicated — unless they are
+    per-node [K, nQ] tables (order-2 test space), which shard with the
+    node axis.  ``batched=True`` for [B, Kb, ...] arrays produced by the
+    mini-batch reshape (axis 1 shards)."""
     import jax.numpy as jnp
 
     dsh = batched_quad_sharding(mesh) if batched else data_sharding(mesh)
     rsh = replicated_sharding(mesh)
+    tsh = dsh if _tables_per_node(quad) else rsh
 
     def cast(a):
         a = jnp.asarray(a)
@@ -93,9 +102,9 @@ def shard_quad(quad, mesh: Mesh, dtype=None, batched: bool = False):
 
     return type(quad)(
         coords=jax.device_put(cast(quad.coords), dsh),
-        N=jax.device_put(cast(quad.N), rsh),
-        dN=jax.device_put(cast(quad.dN), rsh),
-        w=jax.device_put(cast(quad.w), rsh),
+        N=jax.device_put(cast(quad.N), tsh),
+        dN=jax.device_put(cast(quad.dN), tsh),
+        w=jax.device_put(cast(quad.w), tsh),
         kappa=jax.device_put(cast(quad.kappa), dsh),
         vel=jax.device_put(cast(quad.vel), dsh),
         src=jax.device_put(cast(quad.src), dsh),

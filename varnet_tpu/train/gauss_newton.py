@@ -81,7 +81,8 @@ def make_residual_fn(
             u=u.reshape(k, nq) if has_react else None,
             react=react if has_react else None,
         )
-        return (r / jnp.sum(w_tbl)) * mask
+        vol = jnp.sum(w_tbl, axis=-1) if w_tbl.ndim == 2 else jnp.sum(w_tbl)
+        return (r / vol) * mask
 
     def residual_fn(theta, quad, bc, ic=None, obs=None, weights=(1.0, 1.0, 1.0, 0.0)):
         weights = jnp.asarray(weights)
@@ -96,17 +97,22 @@ def make_residual_fn(
                 raise ValueError(f"K={k} not divisible by k_chunks={k_chunks}")
             kc = k // k_chunks
 
+            tables_per_node = quad.N.ndim == 2  # order-2 test space
+
             def body(args):
-                coords, kappa, vel, src, react, mask = args
+                coords, kappa, vel, src, react, mask = args[:6]
+                tbls = args[6:] if tables_per_node else (quad.N, quad.dN,
+                                                         quad.w)
                 return interior(
-                    theta, coords, kappa, vel, src, react, mask,
-                    quad.N, quad.dN, quad.w,
+                    theta, coords, kappa, vel, src, react, mask, *tbls,
                 )
 
+            leaves = (quad.coords, quad.kappa, quad.vel, quad.src,
+                      quad.react, quad.mask)
+            if tables_per_node:
+                leaves = leaves + (quad.N, quad.dN, quad.w)
             chunked = tuple(
-                a.reshape((k_chunks, kc) + a.shape[1:])
-                for a in (quad.coords, quad.kappa, quad.vel, quad.src,
-                          quad.react, quad.mask)
+                a.reshape((k_chunks, kc) + a.shape[1:]) for a in leaves
             )
             r = jax.lax.map(jax.checkpoint(body), chunked).reshape(k)
         parts = [jnp.sqrt(weights[0] / n_k) * r]

@@ -101,8 +101,10 @@ def make_loss_fn(
             # count (shard-safe, cf. masked_mse) makes loss conditioning and
             # weight choices mesh-size independent — an improvement over the
             # reference, whose raw sum of r_k^2 shrinks as O(h^2D) under
-            # refinement.
-            r = r / jnp.sum(quad.w)
+            # refinement.  Per-node [K, nQ] tables (order-2 test space)
+            # carry per-CLASS support volumes, so the division is per node.
+            vol = jnp.sum(quad.w, axis=-1) if quad.w.ndim == 2 else jnp.sum(quad.w)
+            r = r / vol
             loss_int = masked_sum_sq(r, quad.mask) / float(max(static.n_test, 1))
         else:
             loss_int = masked_sum_sq(r, quad.mask)

@@ -42,6 +42,8 @@ def _tree_reshape_batches(quad: QuadData, batch_num: int) -> QuadData:
         )
     kb = k // batch_num
 
+    tables_per_node = np.ndim(quad.N) == 2  # order-2 test space
+
     def r(a, per_node_axis0: bool):
         if not per_node_axis0:
             return a  # shared [nQ]-tables: replicated across batches
@@ -49,9 +51,9 @@ def _tree_reshape_batches(quad: QuadData, batch_num: int) -> QuadData:
 
     return QuadData(
         coords=r(quad.coords, True),
-        N=quad.N,
-        dN=quad.dN,
-        w=quad.w,
+        N=r(quad.N, tables_per_node),
+        dN=r(quad.dN, tables_per_node),
+        w=r(quad.w, tables_per_node),
         kappa=r(quad.kappa, True),
         vel=r(quad.vel, True),
         src=r(quad.src, True),
@@ -66,6 +68,7 @@ def make_train_step(
     mesh=None,
     batch_num: int = 1,
     donate: bool = True,
+    tables_per_node: bool = False,
 ):
     """Build the jitted per-epoch update.
 
@@ -127,15 +130,22 @@ def make_train_step(
                     "prepared kernel layouts require batch_num == 1"
                 )
             # Scan ONLY the per-node [B, Kb, ...] arrays; the shared [nQ]
-            # quadrature tables (N, dN, w) are closed over, not scanned.
+            # shared [nQ] quadrature tables are closed over, not scanned;
+            # per-node [K, nQ] tables (order-2 test space) scan with the
+            # other node arrays.
+            tables_per_node = quad.N.ndim == 3  # batched: [B, Kb, nQ]
             per_node = (quad.coords, quad.kappa, quad.vel, quad.src,
                         quad.react, quad.mask)
+            if tables_per_node:
+                per_node = per_node + (quad.N, quad.dN, quad.w)
 
             def body(carry, batch):
                 theta, opt_state = carry
-                coords, kappa, vel, src, react, mask = batch
+                coords, kappa, vel, src, react, mask = batch[:6]
+                tbls = batch[6:] if tables_per_node else (quad.N, quad.dN,
+                                                          quad.w)
                 quad_b = QuadData(
-                    coords=coords, N=quad.N, dN=quad.dN, w=quad.w,
+                    coords=coords, N=tbls[0], dN=tbls[1], w=tbls[2],
                     kappa=kappa, vel=vel, src=src, react=react, mask=mask,
                 )
                 theta, opt_state, aux = one_update(
@@ -182,8 +192,9 @@ def make_train_step(
 
     rep = P()  # replicated: params, optimizer state, shared tables, weights
     per_node = P(None, DATA_AXIS) if batch_num > 1 else P(DATA_AXIS)
+    tbl = per_node if tables_per_node else rep
     quad_spec = QuadData(
-        coords=per_node, N=rep, dN=rep, w=rep,
+        coords=per_node, N=tbl, dN=tbl, w=tbl,
         kappa=per_node, vel=per_node, src=per_node, react=per_node,
         mask=per_node,
     )
