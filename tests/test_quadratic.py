@@ -14,7 +14,11 @@ import pytest
 from varnet_tpu.api import VarNet
 from varnet_tpu.fem.assembly import build_fixed_data, pad_quad
 from varnet_tpu.fem.element import build_test_classes, gauss_legendre
-from varnet_tpu.problems.analytic import steady_ad_1d, transient_ad_2d
+from varnet_tpu.problems.analytic import (
+    lshape_manufactured_2d,
+    steady_ad_1d,
+    transient_ad_2d,
+)
 
 
 def test_factor_partition_of_unity():
@@ -87,6 +91,9 @@ def _residual_of_function(fixed, grad_fn, dt_fn=None):
 @pytest.mark.parametrize("case_fn,disc,tdisc", [
     (lambda: steady_ad_1d(kappa=0.1), (16, 32), None),
     (transient_ad_2d, (8, 16), (8, 16)),
+    # non-convex polygon: exercises the per-class support filter
+    # (bubble classes use half-width h/2) around the re-entrant corner
+    (lshape_manufactured_2d, (8, 16), None),
 ])
 def test_exact_solution_residual_converges_order2(case_fn, disc, tdisc):
     """Keystone (SURVEY.md §4): the weak residual of the analytic
