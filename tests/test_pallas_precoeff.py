@@ -1,0 +1,281 @@
+"""Precomputed-coefficient fused-residual kernel (pallas_residual.py
+'PRECOMPUTED-COEFFICIENT' section): values and parameter gradients vs the
+compositional reference, shared AND per-node (order-2) tables, G = 1 and
+q-blocked, prepared-data reuse.  Interpreter mode on the CPU backend."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from varnet_tpu.fem.assembly import build_fixed_data
+from varnet_tpu.models.mlp import init_mlp, make_input_scaling, mlp_value_and_jac
+from varnet_tpu.ops.pallas_residual import (
+    pallas_fused_residual,
+    prepare_residual_coeffs,
+    resolve_layout,
+)
+from varnet_tpu.ops.residual import weak_residual
+from varnet_tpu.problems.analytic import (
+    mor_steady_ad_2d,
+    steady_adr_1d,
+    transient_ad_2d,
+)
+
+
+def _reference_r(params, quad, st, scale, shift, td, react):
+    k, nq, _ = quad.coords.shape
+    d = st.n_space
+    flat = quad.coords.reshape(k * nq, st.n_inputs)
+    u, du = mlp_value_and_jac(params, flat, "tanh", scale, shift)
+    gu = du[:, :d].reshape(k, nq, d)
+    ut = du[:, d].reshape(k, nq) if td else None
+    return weak_residual(
+        gu, quad.N, quad.dN, quad.w, quad.kappa, quad.vel, quad.src, ut,
+        u=u.reshape(k, nq) if react else None,
+        react=quad.react if react else None,
+    )
+
+
+CASES = [
+    ("2dt", transient_ad_2d, True, False, 8,
+     dict(t_disc_num=4, b_disc_num=4), 49, 1),
+    ("2dt-g2", transient_ad_2d, True, False, 8,
+     dict(t_disc_num=4, b_disc_num=4), 49, 2),
+    ("adr1d", steady_adr_1d, False, True, 16, dict(), 15, 1),
+    ("adr1d-g2", steady_adr_1d, False, True, 16, dict(), 15, 2),
+]
+
+
+@pytest.mark.parametrize("name,case_fn,td,react,disc,kw,tile,g", CASES,
+                         ids=[c[0] for c in CASES])
+def test_precoeff_matches_reference(name, case_fn, td, react, disc, kw,
+                                    tile, g):
+    case = case_fn()
+    fd = build_fixed_data(case["pde"], disc, **kw)
+    st = fd.static
+    quad = jax.tree_util.tree_map(jnp.asarray, fd.quad)
+    params = init_mlp(jax.random.PRNGKey(1), st.n_inputs, (12, 12))
+    scale, shift = make_input_scaling(st.input_lo, st.input_hi)
+    r_ref = _reference_r(params, quad, st, scale, shift, td, react)
+    r = pallas_fused_residual(
+        params, quad, "tanh", scale, shift, time_dependent=td,
+        has_react=react, tile=tile, interpret=True, q_block=g,
+        precoeff=True,
+    )
+    np.testing.assert_allclose(r, r_ref, rtol=2e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("name,case_fn,td,react,disc,kw,tile,g", CASES,
+                         ids=[c[0] for c in CASES])
+def test_precoeff_param_grads(name, case_fn, td, react, disc, kw, tile, g):
+    case = case_fn()
+    fd = build_fixed_data(case["pde"], disc, **kw)
+    st = fd.static
+    quad = jax.tree_util.tree_map(jnp.asarray, fd.quad)
+    params = init_mlp(jax.random.PRNGKey(2), st.n_inputs, (12, 12))
+    scale, shift = make_input_scaling(st.input_lo, st.input_hi)
+
+    def loss_k(p):
+        r = pallas_fused_residual(
+            p, quad, "tanh", scale, shift, time_dependent=td,
+            has_react=react, tile=tile, interpret=True, q_block=g,
+            precoeff=True,
+        )
+        return jnp.sum((r * quad.mask) ** 2)
+
+    def loss_ref(p):
+        r = _reference_r(p, quad, st, scale, shift, td, react)
+        return jnp.sum((r * quad.mask) ** 2)
+
+    gk = jax.grad(loss_k)(params)
+    gref = jax.grad(loss_ref)(params)
+    for lk, lr in zip(gk, gref):
+        np.testing.assert_allclose(lk["w"], lr["w"], rtol=5e-4, atol=1e-7)
+        np.testing.assert_allclose(lk["b"], lr["b"], rtol=5e-4, atol=1e-7)
+
+
+def test_precoeff_order2_matches_reference():
+    """The headline property: per-node [K, nQ] tables (order-2 test
+    space) run through the SAME precoeff kernel."""
+    case = transient_ad_2d()
+    fd = build_fixed_data(case["pde"], 6, t_disc_num=4, b_disc_num=4,
+                          test_order=2)
+    st = fd.static
+    quad = jax.tree_util.tree_map(jnp.asarray, fd.quad)
+    assert quad.N.ndim == 2
+    params = init_mlp(jax.random.PRNGKey(3), st.n_inputs, (10, 10))
+    scale, shift = make_input_scaling(st.input_lo, st.input_hi)
+    r_ref = _reference_r(params, quad, st, scale, shift, True, False)
+    for g in (1, 2):
+        r = pallas_fused_residual(
+            params, quad, "tanh", scale, shift, time_dependent=True,
+            tile=19, interpret=True, q_block=g, precoeff=True,
+        )
+        np.testing.assert_allclose(r, r_ref, rtol=2e-5, atol=1e-7)
+
+    # gradients too (g=2 exercises the blocked backward)
+    def loss_k(p):
+        r = pallas_fused_residual(
+            p, quad, "tanh", scale, shift, time_dependent=True,
+            tile=19, interpret=True, q_block=2, precoeff=True,
+        )
+        return jnp.sum((r * quad.mask) ** 2)
+
+    def loss_ref(p):
+        r = _reference_r(p, quad, st, scale, shift, True, False)
+        return jnp.sum((r * quad.mask) ** 2)
+
+    gk, gref = jax.grad(loss_k)(params), jax.grad(loss_ref)(params)
+    for lk, lr in zip(gk, gref):
+        np.testing.assert_allclose(lk["w"], lr["w"], rtol=5e-4, atol=1e-7)
+
+
+def test_precoeff_mor_zero_direction():
+    """MOR inputs get a zero tangent direction (SURVEY.md §3.5)."""
+    case = mor_steady_ad_2d(vels=(0.5, 1.5))
+    fd = build_fixed_data(case["pde"], 6, b_disc_num=4)
+    st = fd.static
+    assert st.n_mor >= 1
+    quad = jax.tree_util.tree_map(jnp.asarray, fd.quad)
+    params = init_mlp(jax.random.PRNGKey(4), st.n_inputs, (10,))
+    scale, shift = make_input_scaling(st.input_lo, st.input_hi)
+    r_ref = _reference_r(params, quad, st, scale, shift, False, False)
+    r = pallas_fused_residual(
+        params, quad, "tanh", scale, shift, time_dependent=False,
+        tile=24, interpret=True, precoeff=True,
+    )
+    np.testing.assert_allclose(r, r_ref, rtol=2e-5, atol=1e-7)
+
+
+def test_precoeff_prepared_matches_ingraph():
+    """prepare_residual_coeffs output threads through `prepared` and
+    reproduces the in-graph preparation bit-for-bit; a wrong shape is
+    rejected."""
+    case = transient_ad_2d()
+    fd = build_fixed_data(case["pde"], 6, t_disc_num=4, b_disc_num=4)
+    st = fd.static
+    quad = jax.tree_util.tree_map(jnp.asarray, fd.quad)
+    params = init_mlp(jax.random.PRNGKey(5), st.n_inputs, (10, 10))
+    scale, shift = make_input_scaling(st.input_lo, st.input_hi)
+    g, tile = 2, 19
+    prepared = prepare_residual_coeffs(
+        fd.quad, np.asarray(scale), np.asarray(shift),
+        time_dependent=True, has_react=False, G=g, tile=tile,
+    )
+    r_in = pallas_fused_residual(
+        params, quad, "tanh", scale, shift, time_dependent=True,
+        tile=tile, interpret=True, q_block=g, precoeff=True,
+    )
+    r_prep = pallas_fused_residual(
+        params, quad, "tanh", scale, shift, time_dependent=True,
+        tile=tile, interpret=True, q_block=g, precoeff=True,
+        prepared=prepared,
+    )
+    np.testing.assert_allclose(r_prep, r_in, rtol=1e-6, atol=1e-9)
+
+    bad = tuple(a[:, : a.shape[1] // 2] for a in prepared)
+    with pytest.raises(ValueError, match="prepared coeff shapes"):
+        pallas_fused_residual(
+            params, quad, "tanh", scale, shift, time_dependent=True,
+            tile=tile, interpret=True, q_block=g, precoeff=True,
+            prepared=bad,
+        )
+
+
+def test_order2_without_precoeff_rejected():
+    case = transient_ad_2d()
+    fd = build_fixed_data(case["pde"], 6, t_disc_num=4, b_disc_num=4,
+                          test_order=2)
+    quad = jax.tree_util.tree_map(jnp.asarray, fd.quad)
+    params = init_mlp(jax.random.PRNGKey(6), fd.static.n_inputs, (10,))
+    with pytest.raises(ValueError, match="precoeff"):
+        pallas_fused_residual(
+            params, quad, "tanh", None, None, time_dependent=True,
+            tile=19, interpret=True,
+        )
+
+
+def test_train_step_precoeff_prepared_matches(tmp_path):
+    """shard_map train step with stacked per-shard precoeff layouts
+    reproduces the unprepared trajectory — for BOTH test orders (order 2
+    shards its per-node tables with the node axis)."""
+    import functools
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from varnet_tpu.fem.assembly import QuadData, pad_points, pad_quad
+    from varnet_tpu.models.mlp import make_input_scaling as mis
+    from varnet_tpu.parallel.mesh import (
+        DATA_AXIS,
+        make_mesh,
+        replicate,
+        shard_points,
+        shard_quad,
+    )
+    from varnet_tpu.problems.analytic import steady_ad_1d
+    from varnet_tpu.train.loss import make_loss_fn
+    from varnet_tpu.train.optim import OptimizerConfig, make_optimizer
+    from varnet_tpu.train.trainer import make_train_step
+
+    for order in (1, 2):
+        case = steady_ad_1d(kappa=0.2)
+        fd = build_fixed_data(case["pde"], 15, test_order=order)
+        n_sh = 2
+        mesh = make_mesh(n_sh)
+        quad_h = pad_quad(fd.quad, n_sh * 7)  # K divisible by shards*tile
+        quad = shard_quad(quad_h, mesh)
+        bc = shard_points(pad_points(fd.bc, n_sh), mesh)
+        tile = quad_h.coords.shape[0] // n_sh
+        fused = functools.partial(
+            pallas_fused_residual, time_dependent=False, has_react=False,
+            tile=tile, interpret=True, q_block=2, precoeff=True,
+        )
+        loss_fn = make_loss_fn(fd.static, fused_residual=fused,
+                               input_scaling=True)
+        sc, sh = mis(fd.static.input_lo, fd.static.input_hi)
+        ks = quad_h.coords.shape[0] // n_sh
+        per_node = quad_h.N.ndim == 2
+        parts = []
+        for s in range(n_sh):
+            sl = slice(s * ks, (s + 1) * ks)
+
+            def tbl(a):
+                return a[sl] if per_node else a
+
+            shard = QuadData(
+                coords=quad_h.coords[sl], N=tbl(quad_h.N),
+                dN=tbl(quad_h.dN), w=tbl(quad_h.w),
+                kappa=quad_h.kappa[sl], vel=quad_h.vel[sl],
+                src=quad_h.src[sl], react=quad_h.react[sl],
+                mask=quad_h.mask[sl],
+            )
+            parts.append(prepare_residual_coeffs(
+                shard, np.asarray(sc), np.asarray(sh),
+                time_dependent=False, has_react=False, G=2, tile=tile,
+            ))
+        sharding = NamedSharding(mesh, P(DATA_AXIS))
+        prepared = tuple(
+            jax.device_put(np.stack([p[i] for p in parts]), sharding)
+            for i in range(len(parts[0]))
+        )
+
+        opt = make_optimizer(OptimizerConfig())
+        theta0 = replicate(init_mlp(jax.random.PRNGKey(0), 1, (8, 8)), mesh)
+        w = jnp.asarray([1.0, 10.0, 0.0, 0.0])
+
+        def run(prep):
+            theta = jax.tree_util.tree_map(jnp.copy, theta0)
+            opt_state = replicate(opt.init(theta), mesh)
+            step = make_train_step(loss_fn, opt, mesh=mesh, donate=False,
+                                   tables_per_node=per_node)
+            losses = []
+            for _ in range(5):
+                theta, opt_state, aux = step(theta, opt_state, quad, bc,
+                                             None, None, w, prep)
+                losses.append(float(aux["loss"]))
+            return losses
+
+        with_prep, without = run(prepared), run(None)
+        np.testing.assert_allclose(with_prep, without, rtol=1e-6)
+        assert with_prep[-1] < with_prep[0], f"order {order} not training"

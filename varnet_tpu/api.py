@@ -77,9 +77,10 @@ class VarNet:
                     space); 2 = quadratic Lagrange test space (beyond-
                     reference: O(h^3) invisible-error floor instead of
                     the measured 0.21 h^2 — see fem/element.py).  The
-                    fully-fused residual kernel currently requires
-                    order 1; order 2 rides the fused value+jacobian
-                    kernel / XLA contraction path.
+                    shared-table fused residual kernel requires order 1;
+                    order 2 rides the fused value+jacobian kernel / XLA
+                    path, or the fully-fused precoeff kernel when
+                    ``fused_precoeff=True``.
       activation:   'tanh' | 'sigmoid'
       seed:         PRNG seed for parameter init
       n_devices:    restrict the data-parallel mesh (default: all devices)
@@ -114,6 +115,7 @@ class VarNet:
         use_fused_residual: bool = True,
         fused_directional: bool = True,
         fused_q_block: Optional[int] = None,
+        fused_precoeff: bool = False,
         fourier_features: Optional[int] = None,
         fourier_scale=0.5,
         omega0: float = 6.0,
@@ -143,6 +145,11 @@ class VarNet:
         # largest G in {4,2} fitting the MXU height — measured best on
         # v5e, benchmarks/results/kernel_probe.json).
         self.fused_q_block = fused_q_block
+        # Precomputed-coefficient kernel variant: integrand coefficients
+        # folded into the prepared data (no in-kernel table work); the
+        # only fused path that supports test_order=2.  Opt-in until
+        # TPU-measured (see ops/pallas_residual.py PRECOMPUTED section).
+        self.fused_precoeff = bool(fused_precoeff)
         if source_fn is not None and source_init is None:
             raise ValueError("source_fn requires source_init")
 
@@ -235,7 +242,9 @@ class VarNet:
             or not self.use_fused_residual
             or self.source_fn is not None
             or self.fourier_b is not None
-            or self.test_order != 1  # kernel assumes shared [nQ] tables
+            # shared-[nQ]-table kernels can't express order 2; the
+            # precoeff variant folds the tables into the data and can
+            or (self.test_order != 1 and not self.fused_precoeff)
         ):
             return None
         import functools
@@ -254,6 +263,7 @@ class VarNet:
             precision=prec,
             directional=self.fused_directional,
             q_block=self.fused_q_block,
+            precoeff=self.fused_precoeff,
         )
 
     def _prepare_fused_layout(self, quad_h, matmul_precision=None):
@@ -267,13 +277,14 @@ class VarNet:
         from .fem.assembly import QuadData
         from .models.mlp import make_input_scaling
         from .ops.pallas_residual import (
+            prepare_residual_coeffs,
             prepare_residual_layout,
             resolve_layout,
         )
 
         net = self.theta["net"] if isinstance(self.theta, dict) else self.theta
         h_max = max(l["w"].shape[1] for l in net)
-        nq = quad_h.N.shape[0]
+        nq = quad_h.coords.shape[1]
         G, tile = resolve_layout(
             h_max, nq, len(net), self.static.n_inputs,
             activation=self.activation, directional=self.fused_directional,
@@ -288,29 +299,43 @@ class VarNet:
         else:
             scale = shift = None
 
+        per_node_tables = quad_h.N.ndim == 2  # order-2 test space
         k_pad = quad_h.coords.shape[0]
         ks = k_pad // self.n_shards
-        xs_parts, fld_parts = [], []
+        parts = None
         for s in range(self.n_shards):
             sl = slice(s * ks, (s + 1) * ks)
+
+            def tbl(a):
+                return np.asarray(a[sl]) if per_node_tables else a
+
             shard = QuadData(
-                coords=np.asarray(quad_h.coords[sl]), N=quad_h.N,
-                dN=quad_h.dN, w=quad_h.w,
+                coords=np.asarray(quad_h.coords[sl]), N=tbl(quad_h.N),
+                dN=tbl(quad_h.dN), w=tbl(quad_h.w),
                 kappa=np.asarray(quad_h.kappa[sl]),
                 vel=np.asarray(quad_h.vel[sl]),
                 src=np.asarray(quad_h.src[sl]),
                 react=np.asarray(quad_h.react[sl]),
                 mask=np.asarray(quad_h.mask[sl]),
             )
-            xs, flds = prepare_residual_layout(
-                shard, scale, shift, has_react=self.has_react, G=G, tile=tile
-            )
-            xs_parts.append(xs)
-            fld_parts.append(flds)
+            if self.fused_precoeff:
+                prep = prepare_residual_coeffs(
+                    shard, scale, shift,
+                    time_dependent=self.static.time_dependent,
+                    has_react=self.has_react, G=G, tile=tile,
+                )
+            else:
+                prep = prepare_residual_layout(
+                    shard, scale, shift, has_react=self.has_react, G=G,
+                    tile=tile,
+                )
+            if parts is None:
+                parts = tuple([] for _ in prep)
+            for lst, a in zip(parts, prep):
+                lst.append(a)
         sharding = NamedSharding(self.mesh, P(DATA_AXIS))
-        return (
-            jax.device_put(np.stack(xs_parts), sharding),
-            jax.device_put(np.stack(fld_parts), sharding),
+        return tuple(
+            jax.device_put(np.stack(lst), sharding) for lst in parts
         )
 
     def _pallas_value_and_jac(self, matmul_precision):

@@ -968,6 +968,369 @@ def _dirq_residual_fn(n_in, n_layers, d, td, has_react, activation, tile,
     return f
 
 
+# ---------------------------------------------------------------------- #
+# PRECOMPUTED-COEFFICIENT directional variant (round 3): _dir_coeffs is
+# theta-INDEPENDENT — every coefficient is a closed form of the fixed
+# data (w_q, N_q, dN_q, kappa, vel, src, react) and the input scaling.
+# This variant moves the whole coefficient construction into the one-time
+# data preparation (prepare_residual_coeffs): the kernel receives the
+# final per-(k, q) tangent direction cdir, source term csrc, and reaction
+# coefficient cu as plain data operands and does NO table work at all —
+# no SMEM lookups, no per-g coefficient assembly, no unaligned row
+# concats.  Data volume is unchanged (n_in + 1 (+1) coefficient rows
+# replace the 2 + d (+1) field rows AND the SMEM table).
+#
+# This is also the ONLY kernel layout that admits PER-NODE test tables
+# (the order-2 quadratic test space, fem/element.py): coefficients are
+# per (k, q) by construction, so shared [nQ] and per-node [K, nQ] tables
+# prepare into the identical operand format.
+
+
+def _dirp_fwd_kernel(n_in, n_layers, has_react, activation, precision, G,
+                     *refs):
+    """refs: xs [G*n_in,T], cdir [G*n_in,T], csrc [G,T][, cu [G,T]],
+    w/b per layer (blocked, as _dirq), out r [1,T]."""
+    _mm = _make_mm(precision)
+    act, act_p, _ = _act_pair(activation)
+    xs_ref, cdir_ref, csrc_ref = refs[:3]
+    idx = 3
+    cu_ref = None
+    if has_react:
+        cu_ref = refs[idx]
+        idx += 1
+    w_refs = refs[idx : idx + 2 * n_layers]
+    r_ref = refs[idx + 2 * n_layers]
+    t = xs_ref.shape[1]
+    qg = pl.program_id(1)
+
+    u, dd, _, _, _, _ = _dirq_forward(
+        _mm, act, act_p, n_in, n_layers, G, w_refs, xs_ref[:], cdir_ref[:], t
+    )
+    per_g = dd + csrc_ref[:]
+    if cu_ref is not None:
+        per_g = per_g + cu_ref[:] * u
+    contrib = jnp.sum(per_g, axis=0, keepdims=True)  # [1, T]
+
+    @pl.when(qg == 0)
+    def _():
+        r_ref[:] = contrib
+
+    @pl.when(qg != 0)
+    def _():
+        r_ref[:] = r_ref[:] + contrib
+
+
+def _dirp_bwd_kernel(n_in, n_layers, has_react, activation, precision, G,
+                     *refs):
+    """refs: xs, cdir, csrc[, cu], gr [1,T], wl_col [Hlast,1], w/b pairs;
+    outs as _dirq_bwd_kernel (blocked grads, diagonal-summed by the
+    wrapper)."""
+    _mm = _make_mm(precision)
+    act, act_p, act_pp = _act_pair(activation)
+    xs_ref, cdir_ref, _csrc_ref = refs[:3]
+    idx = 3
+    cu_ref = None
+    if has_react:
+        cu_ref = refs[idx]
+        idx += 1
+    gr_ref, wl_col_ref = refs[idx], refs[idx + 1]
+    idx += 2
+    w_refs = refs[idx : idx + 2 * n_layers]
+    out_refs = refs[idx + 2 * n_layers :]
+    t = xs_ref.shape[1]
+    i = pl.program_id(0)
+    qg = pl.program_id(1)
+    xs = xs_ref[:]
+    c_blk = cdir_ref[:]
+
+    u, dd, s_packed, zs, acts, jpre0 = _dirq_forward(
+        _mm, act, act_p, n_in, n_layers, G, w_refs, xs, c_blk, t
+    )
+    del u, dd
+    gr = gr_ref[:]                                  # [1, T]
+    g_tan = jnp.concatenate([gr] * G, axis=0)       # [G, T]
+    g_val = gr * cu_ref[:] if cu_ref is not None else None
+
+    def accum(ref, val):
+        @pl.when((i == 0) & (qg == 0))
+        def _():
+            ref[:] = val
+
+        @pl.when((i != 0) | (qg != 0))
+        def _():
+            ref[:] = ref[:] + val
+
+    d_wlast = _mm(g_tan, s_packed[-1][:, t:].T)     # [G, G*Hlast]
+    if g_val is not None:
+        d_wlast = d_wlast + _mm(g_val, s_packed[-1][:, :t].T)
+    accum(out_refs[2 * (n_layers - 1)], d_wlast)
+    accum(
+        out_refs[2 * (n_layers - 1) + 1],
+        jnp.sum(g_val, keepdims=True).reshape(1, 1)
+        if g_val is not None
+        else jnp.zeros((1, 1), jnp.float32),
+    )
+
+    wl_col = wl_col_ref[:]                          # [Hlast, 1]
+    tan_row = _outer(wl_col, gr)                    # same for every g
+    tan_panel = jnp.concatenate([tan_row] * G, axis=0)
+    if g_val is not None:
+        val_panel = jnp.concatenate(
+            [_outer(wl_col, g_val[g : g + 1, :]) for g in range(G)], axis=0
+        )
+    else:
+        val_panel = jnp.zeros_like(tan_panel)
+    g_s = jnp.concatenate([val_panel, tan_panel], axis=1)  # [G*Hlast, 2T]
+
+    for l in range(n_layers - 2, -1, -1):
+        sp = act_p(zs[l], acts[l])
+        spp = act_pp(zs[l], acts[l], sp)
+        ga = g_s[:, :t]
+        g_jac = g_s[:, t:]
+        pre = jpre0 if l == 0 else _mm(
+            w_refs[2 * l][:], s_packed[l - 1][:, t:]
+        )
+        gz = sp * ga + spp * (g_jac * pre)
+        g_p = sp * g_jac
+        if l == 0:
+            h0 = gz.shape[0] // G
+            acc_w = None
+            for g in range(G):
+                gzg = gz[g * h0 : (g + 1) * h0, :]
+                gpg = g_p[g * h0 : (g + 1) * h0, :]
+                xg = xs[g * n_in : (g + 1) * n_in, :]
+                cg = c_blk[g * n_in : (g + 1) * n_in, :]
+                term = _small_n_mm_t(gzg, xg, n_in) + _small_n_mm_t(
+                    gpg, cg, n_in
+                )
+                acc_w = term if acc_w is None else acc_w + term
+            accum(out_refs[0], acc_w)
+            accum(out_refs[1], jnp.sum(gz, axis=1, keepdims=True))
+        else:
+            g_zc = jnp.concatenate([gz, g_p], axis=1)
+            accum(out_refs[2 * l], _mm(g_zc, s_packed[l - 1].T))
+            accum(out_refs[2 * l + 1], jnp.sum(gz, axis=1, keepdims=True))
+            g_s = _mm(w_refs[2 * l][:].T, g_zc)
+
+
+def prepare_residual_coeffs(quad, scale, shift, *, time_dependent,
+                            has_react, G, tile):
+    """Precompute (xs, cdir, csrc[, cu]) for the precoeff kernel.
+
+    Accepts shared [nQ] tables OR per-node [K, nQ] tables (order-2 test
+    space) — the output format is identical.  Padded q rows / k columns
+    are zero, so their contributions vanish in-kernel (coefficients are
+    zero, not just weights).
+    """
+    xp = np if isinstance(quad.coords, np.ndarray) else jnp
+    k, nq, n_in = quad.coords.shape
+    d = quad.dN.shape[-1]
+    td = bool(time_dependent)
+    kp = _round_up(max(k, 1), tile)
+    nqp = _round_up(nq, G)
+
+    flat = xp.asarray(quad.coords, dtype=xp.float32)
+    if scale is not None:
+        flat = (flat - xp.asarray(shift, dtype=xp.float32)) * xp.asarray(
+            scale, dtype=xp.float32
+        )
+    xs3 = xp.transpose(flat, (2, 1, 0))
+    xs3 = xp.pad(xs3, ((0, 0), (0, nqp - nq), (0, kp - k)))
+
+    def bc_kq(a):
+        """Broadcast a table ([nQ] shared or [K, nQ] per-node) to [K, nQ]."""
+        a = xp.asarray(a, dtype=xp.float32)
+        if a.ndim == 1:
+            a = xp.broadcast_to(a[None, :], (k, nq))
+        return a
+
+    n_kq = bc_kq(quad.N)
+    w_kq = bc_kq(quad.w)
+    dn_kq = xp.asarray(quad.dN, dtype=xp.float32)
+    if dn_kq.ndim == 2:
+        dn_kq = xp.broadcast_to(dn_kq[None, :, :], (k, nq, d))
+
+    if scale is not None:
+        sc = xp.reshape(xp.asarray(scale, dtype=xp.float32), (-1,))
+    else:
+        sc = xp.ones((n_in,), dtype=xp.float32)
+
+    kappa = xp.asarray(quad.kappa, dtype=xp.float32)
+    vel = xp.asarray(quad.vel, dtype=xp.float32)
+    src = xp.asarray(quad.src, dtype=xp.float32)
+
+    def row3(a_kq):
+        a = xp.transpose(a_kq)[None]  # [1, nQ, K]
+        return xp.pad(a, ((0, 0), (0, nqp - nq), (0, kp - k)))
+
+    c_rows = [
+        row3(w_kq * sc[j] * (vel[:, :, j] * n_kq + kappa * dn_kq[:, :, j]))
+        for j in range(d)
+    ]
+    if td:
+        c_rows.append(row3(w_kq * sc[d] * n_kq))
+    for _ in range(n_in - d - (1 if td else 0)):  # MOR rows: zero direction
+        c_rows.append(xp.zeros((1, nqp, kp), dtype=xp.float32))
+    cdir3 = xp.concatenate(c_rows, axis=0)          # [n_in, nQp, Kp]
+    csrc3 = row3(-w_kq * n_kq * src)                # [1, nQp, Kp]
+    cu3 = None
+    if has_react:
+        react = xp.asarray(quad.react, dtype=xp.float32)
+        cu3 = row3(w_kq * n_kq * react)
+
+    def layout(a3):
+        rows = a3.shape[0]
+        if G > 1:
+            a = a3.reshape(rows, nqp // G, G, kp)
+            return xp.transpose(a, (2, 0, 1, 3)).reshape(
+                G * rows, (nqp // G) * kp
+            )
+        return a3.reshape(rows, nqp * kp)
+
+    out = (layout(xs3), layout(cdir3), layout(csrc3))
+    if cu3 is not None:
+        out = out + (layout(cu3),)
+    return out
+
+
+def _dirp_residual_fn(n_in, n_layers, has_react, activation, tile, nqp, G,
+                      interpret, precision=None):
+    """Precoeff directional kernel factory (G >= 1)."""
+    n_qg = nqp // G
+
+    def blocked_weights(wts, bs):
+        eye = jnp.eye(G, dtype=jnp.float32)
+        ops = [wts[0], jnp.reshape(bs[0], (-1, 1))]
+        for l in range(1, n_layers - 1):
+            ops += [jnp.kron(eye, wts[l]), jnp.reshape(bs[l], (-1, 1))]
+        ops += [jnp.kron(eye, wts[-1]), jnp.reshape(bs[-1], (1, 1))]
+        return ops
+
+    n_data = 3 + (1 if has_react else 0)  # xs, cdir, csrc[, cu]
+    data_rows = (G * n_in, G * n_in, G) + ((G,) if has_react else ())
+
+    def make_call(kernel, backward, out_specs, out_shape):
+        def call(wts, bs, *data_and_extra):
+            data = data_and_extra[:n_data]
+            extra = data_and_extra[n_data:]
+            kp = data[0].shape[1] // n_qg
+            n_i = kp // tile
+            grid = (n_i, n_qg)
+
+            def col_map(i, qg):
+                return (0, qg * n_i + i)
+
+            in_specs = [
+                pl.BlockSpec((rows, tile), col_map, memory_space=pltpu.VMEM)
+                for rows in data_rows
+            ]
+            ops = blocked_weights(wts, bs)
+            if backward:  # gr cotangent + wl_col
+                in_specs.append(
+                    pl.BlockSpec((1, tile), lambda i, qg: (0, i),
+                                 memory_space=pltpu.VMEM)
+                )
+                wl_col = jnp.transpose(wts[-1])  # [Hlast, 1]
+                in_specs.append(
+                    pl.BlockSpec(wl_col.shape, lambda i, qg: (0, 0),
+                                 memory_space=pltpu.VMEM)
+                )
+                extra = (*extra, wl_col)
+            for op in ops:
+                in_specs.append(
+                    pl.BlockSpec(op.shape, lambda i, qg: (0, 0),
+                                 memory_space=pltpu.VMEM)
+                )
+            return pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_specs(wts, bs, kp),
+                out_shape=out_shape(wts, bs, kp),
+                interpret=interpret,
+            )(*data, *extra, *ops)
+
+        return call
+
+    fwd_kernel = functools.partial(
+        _dirp_fwd_kernel, n_in, n_layers, has_react, activation, precision,
+        G,
+    )
+    bwd_kernel = functools.partial(
+        _dirp_bwd_kernel, n_in, n_layers, has_react, activation, precision,
+        G,
+    )
+
+    fwd_call = make_call(
+        fwd_kernel, backward=False,
+        out_specs=lambda wts, bs, kp: pl.BlockSpec(
+            (1, tile), lambda i, qg: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=lambda wts, bs, kp: jax.ShapeDtypeStruct((1, kp),
+                                                           jnp.float32),
+    )
+
+    def bwd_shapes(wts):
+        shapes = [
+            (wts[0].shape[0], n_in), (G * wts[0].shape[0], 1),
+        ]
+        for l in range(1, n_layers - 1):
+            shapes += [
+                (G * wts[l].shape[0], G * wts[l].shape[1]),
+                (G * wts[l].shape[0], 1),
+            ]
+        shapes += [(G, G * wts[-1].shape[1]), (1, 1)]
+        return shapes
+
+    def bwd_out_specs(wts, bs, kp):
+        return [
+            pl.BlockSpec(s, lambda i, qg: (0, 0), memory_space=pltpu.VMEM)
+            for s in bwd_shapes(wts)
+        ]
+
+    def bwd_out_shape(wts, bs, kp):
+        return [jax.ShapeDtypeStruct(s, jnp.float32) for s in bwd_shapes(wts)]
+
+    bwd_call = make_call(bwd_kernel, backward=True,
+                         out_specs=bwd_out_specs, out_shape=bwd_out_shape)
+
+    def reduce_blocked(grads, wts):
+        d_wts, d_bs = [], []
+        d_wts.append(grads[0])
+        h0 = wts[0].shape[0]
+        d_bs.append(jnp.sum(grads[1].reshape(G, h0), axis=0)[:, None])
+        idx = 2
+        for l in range(1, n_layers - 1):
+            ho, hi = wts[l].shape
+            blk = grads[idx].reshape(G, ho, G, hi)
+            d_wts.append(jnp.sum(blk[jnp.arange(G), :, jnp.arange(G), :],
+                                 axis=0))
+            d_bs.append(jnp.sum(grads[idx + 1].reshape(G, ho), axis=0)[:, None])
+            idx += 2
+        hl = wts[-1].shape[1]
+        blk_last = grads[idx].reshape(G, G, hl)
+        d_wts.append(jnp.sum(blk_last[jnp.arange(G), jnp.arange(G), :],
+                             axis=0)[None, :])
+        d_bs.append(jnp.reshape(grads[idx + 1], (1, 1)))
+        return tuple(d_wts), tuple(d_bs)
+
+    @jax.custom_vjp
+    def f(wts, bs, *data):
+        return fwd_call(wts, bs, *data)
+
+    def f_fwd(wts, bs, *data):
+        return f(wts, bs, *data), (wts, bs, data)
+
+    def f_bwd(res, gr):
+        wts, bs, data = res
+        grads = bwd_call(wts, bs, *data, gr)
+        d_wts, d_bs = reduce_blocked(grads, wts)
+        return (d_wts, d_bs) + tuple(jnp.zeros_like(a) for a in data)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
 def pallas_fused_residual(
     params,
     quad,
@@ -983,6 +1346,7 @@ def pallas_fused_residual(
     directional: bool = True,
     q_block: Optional[int] = None,
     prepared=None,
+    precoeff: bool = False,
 ):
     """Weak residual r [K] via the fully-fused kernel.
 
@@ -1009,9 +1373,16 @@ def pallas_fused_residual(
     prepared: optional (xs, flds) from prepare_residual_layout — skips
     the per-step layout transform for fixed quadrature data (the trainer
     precomputes it once per shard; ~10% of the step at bench size).
+
+    precoeff=True selects the precomputed-coefficient variant: the
+    integrand coefficients are folded into the prepared data
+    (prepare_residual_coeffs; `prepared` is then its (xs, cdir, csrc
+    [, cu]) tuple) and the kernel does no table work.  Requires
+    directional=True.  This is the only variant that supports per-node
+    [K, nQ] test tables (order-2 test space).
     """
     k, nq, n_in = quad.coords.shape
-    d = quad.dN.shape[1]
+    d = quad.dN.shape[-1]
     n_layers = len(params)
     from .pallas_mlp import _auto_tile
 
@@ -1035,6 +1406,43 @@ def pallas_fused_residual(
 
     kp = _round_up(max(k, 1), tile)
     nqp = _round_up(nq, G)
+
+    if precoeff:
+        if not directional:
+            raise ValueError("precoeff requires directional=True")
+        n_data = 3 + (1 if has_react else 0)
+        if prepared is not None:
+            data = tuple(prepared)
+            exp_cols = (nqp // G) * kp
+            exp = ((G * n_in, exp_cols), (G * n_in, exp_cols),
+                   (G, exp_cols)) + (((G, exp_cols),) if has_react else ())
+            if len(data) != n_data or tuple(a.shape for a in data) != exp:
+                raise ValueError(
+                    f"prepared coeff shapes {[a.shape for a in data]} != "
+                    f"expected {list(exp)} (G={G}, tile={tile}) — prepare "
+                    "with prepare_residual_coeffs and the same "
+                    "resolve_layout parameters"
+                )
+        else:
+            data = prepare_residual_coeffs(
+                quad, scale, shift, time_dependent=time_dependent,
+                has_react=has_react, G=G, tile=tile,
+            )
+        wts = tuple(jnp.transpose(l["w"]).astype(jnp.float32)
+                    for l in params)
+        bs = tuple(jnp.reshape(l["b"], (-1, 1)).astype(jnp.float32)
+                   for l in params)
+        f = _dirp_residual_fn(
+            n_in, n_layers, bool(has_react), activation, tile, nqp, G,
+            bool(interpret), precision,
+        )
+        r = f(wts, bs, *data)
+        return r[0, :k]
+
+    if quad.N.ndim != 1:
+        raise ValueError(
+            "per-node test tables (test_order=2) require precoeff=True"
+        )
 
     if prepared is not None:
         xs, flds = prepared
