@@ -33,6 +33,10 @@ EPOCHS = int(os.environ.get("BENCH_EPOCHS", 200))
 # Quadrature points per kernel program (0 = kernel auto; see
 # ops/pallas_residual.py q_block)
 QBLOCK = int(os.environ.get("BENCH_QBLOCK", 0)) or None
+# Experimental kernel variants (ops/pallas_residual.py): precomputed
+# coefficients and sublane-aligned q-blocking
+PRECOEFF = os.environ.get("BENCH_PRECOEFF", "0") == "1"
+SUBLANE = os.environ.get("BENCH_SUBLANE", "0") == "1"
 
 
 def main():
@@ -53,6 +57,8 @@ def main():
         b_disc_num=DISC,
         t_disc_num=TDISC,
         fused_q_block=QBLOCK,
+        fused_precoeff=PRECOEFF,
+        fused_sublane_pad=SUBLANE,
     )
     n_chips = vn.n_shards
     # The TPU tunnel occasionally drops a session mid-run (measured:

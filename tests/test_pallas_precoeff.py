@@ -279,3 +279,53 @@ def test_train_step_precoeff_prepared_matches(tmp_path):
         with_prep, without = run(prepared), run(None)
         np.testing.assert_allclose(with_prep, without, rtol=1e-6)
         assert with_prep[-1] < with_prep[0], f"order {order} not training"
+
+
+def test_sublane_pad_exact_and_grads():
+    """sublane_pad zero-pads hidden widths to 8-multiples (width 20 ->
+    24, admitting aligned G=5): values and parameter gradients must be
+    EXACTLY those of the unpadded network (padding is zeros and autodiff
+    un-pads the grads)."""
+    case = transient_ad_2d()
+    fd = build_fixed_data(case["pde"], 8, t_disc_num=4, b_disc_num=4)
+    st = fd.static
+    quad = jax.tree_util.tree_map(jnp.asarray, fd.quad)
+    params = init_mlp(jax.random.PRNGKey(7), st.n_inputs, (20, 20))
+    scale, shift = make_input_scaling(st.input_lo, st.input_hi)
+    r_ref = _reference_r(params, quad, st, scale, shift, True, False)
+    r = pallas_fused_residual(
+        params, quad, "tanh", scale, shift, time_dependent=True,
+        tile=49, interpret=True, q_block=5, precoeff=True,
+        sublane_pad=True,
+    )
+    np.testing.assert_allclose(r, r_ref, rtol=2e-5, atol=1e-7)
+
+    def loss_k(p):
+        r = pallas_fused_residual(
+            p, quad, "tanh", scale, shift, time_dependent=True,
+            tile=49, interpret=True, q_block=5, precoeff=True,
+            sublane_pad=True,
+        )
+        return jnp.sum((r * quad.mask) ** 2)
+
+    def loss_ref(p):
+        r = _reference_r(p, quad, st, scale, shift, True, False)
+        return jnp.sum((r * quad.mask) ** 2)
+
+    gk, gref = jax.grad(loss_k)(params), jax.grad(loss_ref)(params)
+    for lk, lr in zip(gk, gref):
+        assert lk["w"].shape == lr["w"].shape  # grads un-padded
+        np.testing.assert_allclose(lk["w"], lr["w"], rtol=5e-4, atol=1e-7)
+        np.testing.assert_allclose(lk["b"], lr["b"], rtol=5e-4, atol=1e-7)
+
+
+def test_sublane_pad_requires_precoeff():
+    case = transient_ad_2d()
+    fd = build_fixed_data(case["pde"], 6, t_disc_num=4, b_disc_num=4)
+    quad = jax.tree_util.tree_map(jnp.asarray, fd.quad)
+    params = init_mlp(jax.random.PRNGKey(8), fd.static.n_inputs, (20,))
+    with pytest.raises(ValueError, match="sublane_pad"):
+        pallas_fused_residual(
+            params, quad, "tanh", None, None, time_dependent=True,
+            tile=19, interpret=True, sublane_pad=True,
+        )

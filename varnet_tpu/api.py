@@ -116,6 +116,7 @@ class VarNet:
         fused_directional: bool = True,
         fused_q_block: Optional[int] = None,
         fused_precoeff: bool = False,
+        fused_sublane_pad: bool = False,
         fourier_features: Optional[int] = None,
         fourier_scale=0.5,
         omega0: float = 6.0,
@@ -150,6 +151,10 @@ class VarNet:
         # only fused path that supports test_order=2.  Opt-in until
         # TPU-measured (see ops/pallas_residual.py PRECOMPUTED section).
         self.fused_precoeff = bool(fused_precoeff)
+        # Sublane-aligned hidden widths (pad to multiples of 8) for the
+        # precoeff kernel: admits larger aligned q-blocks (G=5 at width
+        # 20->24).  Experimental, TPU-measure before defaulting.
+        self.fused_sublane_pad = bool(fused_sublane_pad)
         if source_fn is not None and source_init is None:
             raise ValueError("source_fn requires source_init")
 
@@ -264,6 +269,7 @@ class VarNet:
             directional=self.fused_directional,
             q_block=self.fused_q_block,
             precoeff=self.fused_precoeff,
+            sublane_pad=self.fused_sublane_pad,
         )
 
     def _prepare_fused_layout(self, quad_h, matmul_precision=None):
@@ -284,6 +290,8 @@ class VarNet:
 
         net = self.theta["net"] if isinstance(self.theta, dict) else self.theta
         h_max = max(l["w"].shape[1] for l in net)
+        if self.fused_sublane_pad:
+            h_max = -(-h_max // 8) * 8  # layout must match the padded widths
         nq = quad_h.coords.shape[1]
         G, tile = resolve_layout(
             h_max, nq, len(net), self.static.n_inputs,

@@ -986,6 +986,28 @@ def _dirq_residual_fn(n_in, n_layers, d, td, has_react, activation, tile,
 # prepare into the identical operand format.
 
 
+def _pad_hidden_widths(params, multiple: int = 8):
+    """Zero-pad every hidden width to a multiple of ``multiple``.
+
+    Exact: padded weight rows/cols and bias entries are zero, so padded
+    units output act(0) scaled by zero downstream weights; gradients of
+    the ORIGINAL parameters are untouched because the pad is a traced op
+    (its transpose slices the padding away)."""
+    widths = [l["w"].shape[1] for l in params[:-1]]
+    padded = [_round_up(h, multiple) for h in widths]
+    if padded == widths:
+        return params
+    out = []
+    for i, l in enumerate(params):
+        w, b = l["w"], l["b"]
+        pad_out = (padded[i] - widths[i]) if i < len(widths) else 0
+        pad_in = (padded[i - 1] - widths[i - 1]) if i > 0 else 0
+        w = jnp.pad(w, ((0, pad_in), (0, pad_out)))
+        b = jnp.pad(jnp.reshape(b, (-1,)), ((0, pad_out),)) if pad_out else b
+        out.append({"w": w, "b": b})
+    return out
+
+
 def _dirp_fwd_kernel(n_in, n_layers, has_react, activation, precision, G,
                      *refs):
     """refs: xs [G*n_in,T], cdir [G*n_in,T], csrc [G,T][, cu [G,T]],
@@ -1347,6 +1369,7 @@ def pallas_fused_residual(
     q_block: Optional[int] = None,
     prepared=None,
     precoeff: bool = False,
+    sublane_pad: bool = False,
 ):
     """Weak residual r [K] via the fully-fused kernel.
 
@@ -1380,12 +1403,26 @@ def pallas_fused_residual(
     [, cu]) tuple) and the kernel does no table work.  Requires
     directional=True.  This is the only variant that supports per-node
     [K, nQ] test tables (order-2 test space).
+
+    sublane_pad=True (precoeff only) zero-pads every hidden width to a
+    multiple of 8 (the f32 sublane height) BEFORE blocking, so the
+    G-blocked row concats are sublane-aligned and larger G fits the MXU
+    cleanly (width 20 -> 24 admits G=5: 120/128 rows vs G=4's 80/128 at
+    unaligned 20-row blocks, which is where the pathological G=6 Mosaic
+    compile came from).  Numerically exact: padded rows carry zero
+    weights/biases, and gradient un-padding falls out of autodiff
+    through the jnp.pad.  Experimental knob, off by default.
     """
     k, nq, n_in = quad.coords.shape
     d = quad.dN.shape[-1]
     n_layers = len(params)
     from .pallas_mlp import _auto_tile
 
+    if sublane_pad:
+        if not precoeff:
+            raise ValueError("sublane_pad requires precoeff=True")
+        # pad BEFORE layout resolution so G/tile see the aligned widths
+        params = _pad_hidden_widths(params)
     h_max = max(l["w"].shape[1] for l in params)
     # Auto q_block: the largest G in {4, 2} whose blocked state fits the
     # MXU height and divides nq — measured best on v5e (kernel_probe.json).
