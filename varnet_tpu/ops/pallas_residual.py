@@ -1215,9 +1215,12 @@ def prepare_residual_coeffs(quad, scale, shift, *, time_dependent,
     return out
 
 
+@functools.lru_cache(maxsize=32)
 def _dirp_residual_fn(n_in, n_layers, has_react, activation, tile, nqp, G,
                       interpret, precision=None):
-    """Precoeff directional kernel factory (G >= 1)."""
+    """Precoeff directional kernel factory (G >= 1).  Cached so repeated
+    jit traces see the SAME custom-vjp function object (stable identity
+    avoids recompiles, like the other factories)."""
     n_qg = nqp // G
 
     def blocked_weights(wts, bs):
