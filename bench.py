@@ -62,7 +62,7 @@ def main():
     )
     n_chips = vn.n_shards
     # The TPU tunnel occasionally drops a session mid-run (measured:
-    # UNAVAILABLE device errors — DESIGN.md decision 9); the bench is
+    # UNAVAILABLE device errors — DESIGN.md decision 10); the bench is
     # cheap, so retry transient faults rather than losing the round's
     # driver measurement to one flake.
     res = vn.train(

@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--k-chunks", type=int, default=48)
     ap.add_argument("--disc", type=int, default=64)
     ap.add_argument("--tdisc", type=int, default=40)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the newest LM checkpoint in the "
+                         "work folder (run_resumable.sh adds this on "
+                         "attempts 2+)")
     args = ap.parse_args()
 
     theta = load_theta_npz(RESULTS / "theta_contaminant_causal.npz")
@@ -58,7 +62,7 @@ def main():
     t0 = time.perf_counter()
     vn.refine_lm(steps=args.lm_steps, weight=(1.0, 10.0, 10.0),
                  cg_iters=args.lm_cg, cg_segment=50, k_chunks=args.k_chunks,
-                 save_freq=1, verbose=True,
+                 save_freq=1, verbose=True, resume=args.resume,
                  folderpath="/tmp/causal_lm_retry", max_retries=2)
     after, per_time = score()
     print(f"[causal-lm] polished rel-L2 {after:.4e} "

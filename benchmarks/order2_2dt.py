@@ -7,7 +7,7 @@ net, same Adam epochs, same LM iterations, same mesh), does the quadratic
 test space already pay on 2-Dt, or is the run optimization-bound there?
 
 Measured 2026-08-18 (results/order2_2dt_cpu.json): order 1 reaches
-1.40e-2 in 117 s; order 2 reaches 1.18e-2 in 1576 s — a 16%% error drop
+1.40e-2 in 117 s; order 2 reaches 1.18e-2 in 1576 s — a 16% error drop
 for 13.5x wall (K grows 245 -> 2475: bubbles add nodes in every dim
 including time).  Conclusion: at coarse meshes the 2-Dt family is
 optimization-bound, not test-space-bound; order 2's 8x floor advantage

@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--integ", type=int, default=3,
                     help="Gauss points per dim per element/piece")
     ap.add_argument("--folder", type=str, default="/tmp/order2_floor")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the newest checkpoints in --folder "
+                         "(run_resumable.sh adds this on attempts 2+)")
     args = ap.parse_args()
 
     case = transient_ad_2d()
@@ -63,12 +66,13 @@ def main():
         epoch_num=args.epochs, weight=w, save_freq=max(args.epochs // 6, 1),
         verbose=True, error_disc=96, error_times=7,
         matmul_precision="highest", folderpath=args.folder, max_retries=2,
+        resume=args.resume,
     )
     r = vn.refine_lm(
         steps=args.lm_steps, weight=w, cg_iters=args.lm_cg, cg_segment=40,
         save_freq=1, error_disc=96, error_times=7, k_chunks=args.k_chunks,
         matmul_precision="highest", verbose=True, folderpath=args.folder,
-        max_retries=2,
+        max_retries=2, resume=args.resume,
     )
     best = min([e for e in res.errors if e == e] +
                [e for e in r.errors if e == e])

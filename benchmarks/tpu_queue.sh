@@ -1,0 +1,69 @@
+#!/bin/bash
+# Serial TPU work queue for post-outage catch-up (one chip, ONE process
+# at a time — CLAUDE.md).  Each step logs to $LOGDIR/<step>.log and drops
+# a .done marker so the queue is re-runnable after interruption.
+#
+# Usage:  benchmarks/tpu_queue.sh [logdir]     (default /tmp/tpu_queue)
+#
+# Queue (CLAUDE.md round-3 pending list):
+#   1. bench sanity (default directional kernel config)
+#   2. precoeff kernel probe (BENCH_PRECOEFF=1)
+#   3. sublane-alignment probe (precoeff + pad H 20->24, G=5 then G=4)
+#   4. flagship LM push continuation (--resume --lam0 1e-11; the frozen
+#      run was at rel-L2 1.169e-4, under the 1.195e-4 pin)
+#   5. order-2 flagship floor study (order 2 then order 1 at disc 16)
+#   6. causal contaminant LM polish (hang-resilient wrapper)
+
+set -u
+cd "$(dirname "$0")/.."
+LOGDIR="${1:-/tmp/tpu_queue}"
+mkdir -p "$LOGDIR"
+
+wait_for_tpu() {
+    while true; do
+        if timeout 120 python -c "
+import jax, jax.numpy as jnp
+assert jax.devices()[0].platform == 'tpu'
+x = jnp.dot(jnp.ones((128, 128)), jnp.ones((128, 128)))[0, 0]
+assert float(x) == 128.0
+" >/dev/null 2>&1; then
+            echo "[tpu_queue] chip is up"
+            return 0
+        fi
+        echo "[tpu_queue] chip down, retry in 180s"
+        sleep 180
+    done
+}
+
+step() {  # step <name> <timeout_s> <cmd...>
+    local name="$1" tmo="$2"; shift 2
+    if [[ -e "$LOGDIR/$name.done" ]]; then
+        echo "[tpu_queue] $name: already done, skipping"
+        return 0
+    fi
+    wait_for_tpu
+    echo "[tpu_queue] $name: starting ($(date -u +%H:%M:%S))"
+    if timeout "$tmo" "$@" >"$LOGDIR/$name.log" 2>&1; then
+        touch "$LOGDIR/$name.done"
+        echo "[tpu_queue] $name: OK"
+    else
+        echo "[tpu_queue] $name: FAILED/TIMED OUT (rc=$?) — see $LOGDIR/$name.log"
+    fi
+}
+
+step bench_sanity        1800 python -u bench.py
+step bench_precoeff      1800 env BENCH_PRECOEFF=1 python -u bench.py
+step bench_sublane_g5    2400 env BENCH_PRECOEFF=1 BENCH_SUBLANE=1 BENCH_QBLOCK=5 python -u bench.py
+step bench_sublane_g4    1800 env BENCH_PRECOEFF=1 BENCH_SUBLANE=1 BENCH_QBLOCK=4 python -u bench.py
+step flagship_push       14400 benchmarks/run_resumable.sh 2400 6 \
+    python -u benchmarks/flagship_push.py --resume --lam0 1e-11
+step order2_flagship_o2  14400 benchmarks/run_resumable.sh 3600 4 \
+    python -u benchmarks/order2_floor.py --order 2 --disc 16 --tdisc 12 \
+    --folder /tmp/order2_o2
+step order2_flagship_o1  10800 benchmarks/run_resumable.sh 3600 3 \
+    python -u benchmarks/order2_floor.py --order 1 --disc 16 --tdisc 12 \
+    --folder /tmp/order2_o1
+step causal_lm           10800 benchmarks/run_resumable.sh 3600 3 \
+    python -u benchmarks/contaminant_causal_lm.py
+
+echo "[tpu_queue] queue complete"

@@ -329,3 +329,17 @@ def test_sublane_pad_requires_precoeff():
             params, quad, "tanh", None, None, time_dependent=True,
             tile=19, interpret=True, sublane_pad=True,
         )
+
+
+def test_inconsistent_kernel_knobs_fail_in_ctor():
+    """Bad knob combinations must fail at VarNet() construction, not
+    minutes later inside the first jitted train step on the device."""
+    from varnet_tpu.api import VarNet
+
+    case = transient_ad_2d()
+    with pytest.raises(ValueError, match="fused_directional"):
+        VarNet(case["pde"], layer_width=(8,), disc_num=4, t_disc_num=3,
+               n_devices=1, fused_precoeff=True, fused_directional=False)
+    with pytest.raises(ValueError, match="fused_precoeff"):
+        VarNet(case["pde"], layer_width=(8,), disc_num=4, t_disc_num=3,
+               n_devices=1, fused_sublane_pad=True)

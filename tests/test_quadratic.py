@@ -199,6 +199,46 @@ def test_order2_batched_and_chunked_paths():
     assert r2.best_error() < 5e-3
 
 
+def test_order2_batched_tables_shard_not_replicate():
+    """Regression: the batched [B, Kb, nQ] per-node tables must SHARD over
+    the data axis (P(None, 'data')) exactly like the unbatched [K, nQ]
+    ones — a replicated copy costs n_devices x the table HBM footprint
+    and a reshard every step (the ndim==2-only predicate bug)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from varnet_tpu.parallel.mesh import DATA_AXIS, make_mesh, shard_quad
+    from varnet_tpu.train.trainer import _tree_reshape_batches
+
+    case = steady_ad_1d(kappa=0.1)
+    vn = VarNet(case["pde"], layer_width=(8, 8), disc_num=12, n_devices=4,
+                test_order=2, seed=5)
+    quad_h = pad_quad(vn.fixed.quad, 2 * 4)
+    batched = _tree_reshape_batches(quad_h, 2)
+    assert batched.tables_per_node and np.ndim(batched.N) == 3
+    mesh = make_mesh(4)
+    quad_d = shard_quad(batched, mesh, batched=True)
+    want = P(None, DATA_AXIS)
+    for name in ("N", "dN", "w", "coords"):
+        spec = getattr(quad_d, name).sharding.spec
+        assert spec[:2] == want[:2], (name, spec)
+
+
+def test_order2_batched_sharded_matches_single_device():
+    """End-to-end oracle for the same regression: batch_num=2 on the
+    4-device mesh reproduces the 1-device loss history."""
+    case = steady_ad_1d(kappa=0.1)
+
+    def run(nd):
+        vn = VarNet(case["pde"], layer_width=(8, 8), disc_num=12,
+                    n_devices=nd, test_order=2, seed=5)
+        r = vn.train(epoch_num=30, weight=(1.0, 10.0), batch_num=2,
+                     save_freq=15, verbose=False)
+        return [rec["loss"] for rec in r.losses]
+
+    np.testing.assert_allclose(run(4), run(1), rtol=1e-4)
+
+
 def test_order2_beats_order1_floor_e2e():
     """The headline: at disc=10 the order-1 invisible-error floor is
     ~0.21 h^2 = 2.1e-3 (measured, BASELINE.md); the order-2 run must

@@ -155,6 +155,12 @@ class VarNet:
         # precoeff kernel: admits larger aligned q-blocks (G=5 at width
         # 20->24).  Experimental, TPU-measure before defaulting.
         self.fused_sublane_pad = bool(fused_sublane_pad)
+        # Fail inconsistent kernel-knob combinations HERE, not minutes
+        # later inside the first jitted train step on the device.
+        if self.fused_precoeff and not self.fused_directional:
+            raise ValueError("fused_precoeff=True requires fused_directional=True")
+        if self.fused_sublane_pad and not self.fused_precoeff:
+            raise ValueError("fused_sublane_pad=True requires fused_precoeff=True")
         if source_fn is not None and source_init is None:
             raise ValueError("source_fn requires source_init")
 
@@ -307,7 +313,7 @@ class VarNet:
         else:
             scale = shift = None
 
-        per_node_tables = quad_h.N.ndim == 2  # order-2 test space
+        per_node_tables = quad_h.tables_per_node  # order-2 test space
         k_pad = quad_h.coords.shape[0]
         ks = k_pad // self.n_shards
         parts = None

@@ -43,6 +43,12 @@ class QuadData(NamedTuple):
     src    [K, nQ]        source at quad points
     react  [K, nQ]        reaction coefficient at quad points
     mask   [K]            1.0 for real test functions, 0.0 for padding
+
+    Order-2 test spaces (fem/element.py build_test_classes) carry PER-NODE
+    tables instead: N/w are [K, nQ] (dN [K, nQ, d]), and after the
+    mini-batch reshape [B, Kb, nQ(, d)].  ``tables_per_node`` is the one
+    predicate distinguishing the layouts — use it instead of re-deriving
+    ndim checks at call sites.
     """
 
     coords: np.ndarray
@@ -54,6 +60,12 @@ class QuadData(NamedTuple):
     src: np.ndarray
     react: np.ndarray
     mask: np.ndarray
+
+    @property
+    def tables_per_node(self) -> bool:
+        """True when N/dN/w are per-node (order-2) tables — [K, nQ] or
+        batched [B, Kb, nQ] — rather than shared [nQ] ones."""
+        return np.ndim(self.N) >= 2
 
 
 class PointData(NamedTuple):
@@ -134,7 +146,7 @@ def pad_quad(quad: QuadData, multiple: int) -> QuadData:
     mask = np.zeros(target)
     mask[:real] = 1.0
 
-    per_node_tables = quad.N.ndim == 2  # order-2 test space
+    per_node_tables = quad.tables_per_node  # order-2 test space
 
     def tbl(a):
         # [nQ]-shaped shared tables pass through; per-node [K, nQ(, d)]

@@ -739,19 +739,31 @@ def _dirq_bwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
     xs_ref, f_ref, tab_ref, scale_ref, gr_ref, wl_col_ref = refs[:6]
     w_refs = refs[6 : 6 + 2 * n_layers]
     out_refs = refs[6 + 2 * n_layers :]
-    t = xs_ref.shape[1]
-    i = pl.program_id(0)
-    qg = pl.program_id(1)
-    xs = xs_ref[:]
 
     c_blk, cu_blk, _ = _dirq_coeffs(
-        f_ref, tab_ref, scale_ref, qg, d, td, has_react, n_in, n_f, G,
+        f_ref, tab_ref, scale_ref, pl.program_id(1), d, td, has_react, n_in,
+        n_f, G,
     )
+    _dir_blocked_bwd(_mm, act, act_p, act_pp, n_in, n_layers, G, w_refs,
+                     out_refs, xs_ref[:], c_blk, cu_blk, gr_ref[:],
+                     wl_col_ref[:])
+
+
+def _dir_blocked_bwd(_mm, act, act_p, act_pp, n_in, n_layers, G, w_refs,
+                     out_refs, xs, c_blk, cu_blk, gr, wl_col):
+    """Shared backward body of the blocked directional kernels (_dirq /
+    _dirp): recompute the forward state, then accumulate BLOCKED parameter
+    gradients into ``out_refs`` across the (i, qg) grid.  The two callers
+    differ only in where the contraction direction ``c_blk`` and reaction
+    row ``cu_blk`` come from (in-kernel table work vs precomputed
+    operands)."""
+    t = xs.shape[1]
+    i = pl.program_id(0)
+    qg = pl.program_id(1)
     u, dd, s_packed, zs, acts, jpre0 = _dirq_forward(
         _mm, act, act_p, n_in, n_layers, G, w_refs, xs, c_blk, t
     )
     del u, dd
-    gr = gr_ref[:]                                  # [1, T]
     g_tan = jnp.concatenate([gr] * G, axis=0)       # [G, T]
     g_val = gr * cu_blk if cu_blk is not None else None
 
@@ -775,7 +787,6 @@ def _dirq_bwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
         else jnp.zeros((1, 1), jnp.float32),
     )
 
-    wl_col = wl_col_ref[:]                          # [Hlast, 1]
     tan_row = _outer(wl_col, gr)                    # same for every g
     tan_panel = jnp.concatenate([tan_row] * G, axis=0)
     if g_val is not None:
@@ -817,6 +828,53 @@ def _dirq_bwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
             g_s = _mm(w_refs[2 * l][:].T, g_zc)
 
 
+def _blocked_weight_ops(wts, bs, n_layers, G):
+    """Core param pytree -> blocked kernel weight operand list (XLA-side,
+    per call — tiny arrays, fused into the surrounding graph)."""
+    eye = jnp.eye(G, dtype=jnp.float32)
+    ops = [wts[0], jnp.reshape(bs[0], (-1, 1))]
+    for l in range(1, n_layers - 1):
+        ops += [jnp.kron(eye, wts[l]), jnp.reshape(bs[l], (-1, 1))]
+    ops += [jnp.kron(eye, wts[-1]), jnp.reshape(bs[-1], (1, 1))]
+    return ops
+
+
+def _blocked_bwd_shapes(wts, n_in, n_layers, G):
+    """Shapes of the BLOCKED gradient outputs of ``_dir_blocked_bwd``."""
+    shapes = [(wts[0].shape[0], n_in), (G * wts[0].shape[0], 1)]
+    for l in range(1, n_layers - 1):
+        shapes += [
+            (G * wts[l].shape[0], G * wts[l].shape[1]),
+            (G * wts[l].shape[0], 1),
+        ]
+    shapes += [(G, G * wts[-1].shape[1]), (1, 1)]
+    return shapes
+
+
+def _reduce_blocked_grads(grads, wts, n_layers, G):
+    """Sum the G parameter copies of blocked gradients back to core
+    shapes (every diagonal block is the SAME parameter)."""
+    d_wts, d_bs = [], []
+    # layer 0: weight already core; bias is [G*H0, 1]
+    d_wts.append(grads[0])
+    h0 = wts[0].shape[0]
+    d_bs.append(jnp.sum(grads[1].reshape(G, h0), axis=0)[:, None])
+    idx = 2
+    for l in range(1, n_layers - 1):
+        ho, hi = wts[l].shape
+        blk = grads[idx].reshape(G, ho, G, hi)
+        # diagonal blocks blk[g, :, g, :] summed over g
+        d_wts.append(jnp.sum(blk[jnp.arange(G), :, jnp.arange(G), :], axis=0))
+        d_bs.append(jnp.sum(grads[idx + 1].reshape(G, ho), axis=0)[:, None])
+        idx += 2
+    hl = wts[-1].shape[1]
+    blk_last = grads[idx].reshape(G, G, hl)
+    d_wts.append(jnp.sum(blk_last[jnp.arange(G), jnp.arange(G), :],
+                         axis=0)[None, :])
+    d_bs.append(jnp.reshape(grads[idx + 1], (1, 1)))
+    return tuple(d_wts), tuple(d_bs)
+
+
 @functools.lru_cache(maxsize=32)
 def _dirq_residual_fn(n_in, n_layers, d, td, has_react, activation, tile,
                       nqp, G, interpret, precision=None):
@@ -825,16 +883,6 @@ def _dirq_residual_fn(n_in, n_layers, d, td, has_react, activation, tile,
     per program."""
     n_f = 1 + d + 1 + (1 if has_react else 0)
     n_qg = nqp // G
-
-    def blocked_weights(wts, bs):
-        """Core param pytree -> kernel weight operand list (XLA-side,
-        per call — tiny arrays, fused into the surrounding graph)."""
-        eye = jnp.eye(G, dtype=jnp.float32)
-        ops = [wts[0], jnp.reshape(bs[0], (-1, 1))]
-        for l in range(1, n_layers - 1):
-            ops += [jnp.kron(eye, wts[l]), jnp.reshape(bs[l], (-1, 1))]
-        ops += [jnp.kron(eye, wts[-1]), jnp.reshape(bs[-1], (1, 1))]
-        return ops
 
     def make_call(kernel, extra_in, out_specs, out_shape):
         def call(wts, bs, xs, f, tab, scale, *extra):
@@ -860,7 +908,7 @@ def _dirq_residual_fn(n_in, n_layers, d, td, has_react, activation, tile,
                     pl.BlockSpec((1, tile), lambda i, qg: (0, i),
                                  memory_space=pltpu.VMEM)
                 )
-            ops = blocked_weights(wts, bs)
+            ops = _blocked_weight_ops(wts, bs, n_layers, G)
             if extra_in:
                 wl_col = jnp.transpose(wts[-1])  # [Hlast, 1]
                 ops = [wl_col] + ops
@@ -903,52 +951,18 @@ def _dirq_residual_fn(n_in, n_layers, d, td, has_react, activation, tile,
         out_shape=lambda wts, bs, kp: jax.ShapeDtypeStruct((1, kp), jnp.float32),
     )
 
-    def bwd_shapes(wts):
-        """(shape list) of the BLOCKED gradient outputs."""
-        shapes = [
-            (wts[0].shape[0], n_in), (G * wts[0].shape[0], 1),
-        ]
-        for l in range(1, n_layers - 1):
-            shapes += [
-                (G * wts[l].shape[0], G * wts[l].shape[1]),
-                (G * wts[l].shape[0], 1),
-            ]
-        shapes += [(G, G * wts[-1].shape[1]), (1, 1)]
-        return shapes
-
     def bwd_out_specs(wts, bs, kp):
         return [
             pl.BlockSpec(s, lambda i, qg: (0, 0), memory_space=pltpu.VMEM)
-            for s in bwd_shapes(wts)
+            for s in _blocked_bwd_shapes(wts, n_in, n_layers, G)
         ]
 
     def bwd_out_shape(wts, bs, kp):
-        return [jax.ShapeDtypeStruct(s, jnp.float32) for s in bwd_shapes(wts)]
+        return [jax.ShapeDtypeStruct(s, jnp.float32)
+                for s in _blocked_bwd_shapes(wts, n_in, n_layers, G)]
 
     bwd_call = make_call(bwd_kernel, extra_in=True,
                          out_specs=bwd_out_specs, out_shape=bwd_out_shape)
-
-    def reduce_blocked(grads, wts):
-        """Sum the G parameter copies back to core shapes."""
-        d_wts, d_bs = [], []
-        # layer 0: weight already core; bias is [G*H0, 1]
-        d_wts.append(grads[0])
-        h0 = wts[0].shape[0]
-        d_bs.append(jnp.sum(grads[1].reshape(G, h0), axis=0)[:, None])
-        idx = 2
-        for l in range(1, n_layers - 1):
-            ho, hi = wts[l].shape
-            blk = grads[idx].reshape(G, ho, G, hi)
-            # diagonal blocks blk[g, :, g, :] summed over g
-            d_wts.append(jnp.sum(blk[jnp.arange(G), :, jnp.arange(G), :], axis=0))
-            d_bs.append(jnp.sum(grads[idx + 1].reshape(G, ho), axis=0)[:, None])
-            idx += 2
-        hl = wts[-1].shape[1]
-        blk_last = grads[idx].reshape(G, G, hl)
-        d_wts.append(jnp.sum(blk_last[jnp.arange(G), jnp.arange(G), :],
-                             axis=0)[None, :])
-        d_bs.append(jnp.reshape(grads[idx + 1], (1, 1)))
-        return tuple(d_wts), tuple(d_bs)
 
     @jax.custom_vjp
     def f(wts, bs, xs, flds, tab, scale):
@@ -960,7 +974,7 @@ def _dirq_residual_fn(n_in, n_layers, d, td, has_react, activation, tile,
     def f_bwd(res, gr):
         wts, bs, xs, flds, tab, scale = res
         grads = bwd_call(wts, bs, xs, flds, tab, scale, gr)
-        d_wts, d_bs = reduce_blocked(grads, wts)
+        d_wts, d_bs = _reduce_blocked_grads(grads, wts, n_layers, G)
         return (d_wts, d_bs, jnp.zeros_like(xs), jnp.zeros_like(flds),
                 jnp.zeros_like(tab), jnp.zeros_like(scale))
 
@@ -1059,80 +1073,11 @@ def _dirp_bwd_kernel(n_in, n_layers, has_react, activation, precision, G,
     idx += 2
     w_refs = refs[idx : idx + 2 * n_layers]
     out_refs = refs[idx + 2 * n_layers :]
-    t = xs_ref.shape[1]
-    i = pl.program_id(0)
-    qg = pl.program_id(1)
-    xs = xs_ref[:]
-    c_blk = cdir_ref[:]
 
-    u, dd, s_packed, zs, acts, jpre0 = _dirq_forward(
-        _mm, act, act_p, n_in, n_layers, G, w_refs, xs, c_blk, t
-    )
-    del u, dd
-    gr = gr_ref[:]                                  # [1, T]
-    g_tan = jnp.concatenate([gr] * G, axis=0)       # [G, T]
-    g_val = gr * cu_ref[:] if cu_ref is not None else None
-
-    def accum(ref, val):
-        @pl.when((i == 0) & (qg == 0))
-        def _():
-            ref[:] = val
-
-        @pl.when((i != 0) | (qg != 0))
-        def _():
-            ref[:] = ref[:] + val
-
-    d_wlast = _mm(g_tan, s_packed[-1][:, t:].T)     # [G, G*Hlast]
-    if g_val is not None:
-        d_wlast = d_wlast + _mm(g_val, s_packed[-1][:, :t].T)
-    accum(out_refs[2 * (n_layers - 1)], d_wlast)
-    accum(
-        out_refs[2 * (n_layers - 1) + 1],
-        jnp.sum(g_val, keepdims=True).reshape(1, 1)
-        if g_val is not None
-        else jnp.zeros((1, 1), jnp.float32),
-    )
-
-    wl_col = wl_col_ref[:]                          # [Hlast, 1]
-    tan_row = _outer(wl_col, gr)                    # same for every g
-    tan_panel = jnp.concatenate([tan_row] * G, axis=0)
-    if g_val is not None:
-        val_panel = jnp.concatenate(
-            [_outer(wl_col, g_val[g : g + 1, :]) for g in range(G)], axis=0
-        )
-    else:
-        val_panel = jnp.zeros_like(tan_panel)
-    g_s = jnp.concatenate([val_panel, tan_panel], axis=1)  # [G*Hlast, 2T]
-
-    for l in range(n_layers - 2, -1, -1):
-        sp = act_p(zs[l], acts[l])
-        spp = act_pp(zs[l], acts[l], sp)
-        ga = g_s[:, :t]
-        g_jac = g_s[:, t:]
-        pre = jpre0 if l == 0 else _mm(
-            w_refs[2 * l][:], s_packed[l - 1][:, t:]
-        )
-        gz = sp * ga + spp * (g_jac * pre)
-        g_p = sp * g_jac
-        if l == 0:
-            h0 = gz.shape[0] // G
-            acc_w = None
-            for g in range(G):
-                gzg = gz[g * h0 : (g + 1) * h0, :]
-                gpg = g_p[g * h0 : (g + 1) * h0, :]
-                xg = xs[g * n_in : (g + 1) * n_in, :]
-                cg = c_blk[g * n_in : (g + 1) * n_in, :]
-                term = _small_n_mm_t(gzg, xg, n_in) + _small_n_mm_t(
-                    gpg, cg, n_in
-                )
-                acc_w = term if acc_w is None else acc_w + term
-            accum(out_refs[0], acc_w)
-            accum(out_refs[1], jnp.sum(gz, axis=1, keepdims=True))
-        else:
-            g_zc = jnp.concatenate([gz, g_p], axis=1)
-            accum(out_refs[2 * l], _mm(g_zc, s_packed[l - 1].T))
-            accum(out_refs[2 * l + 1], jnp.sum(gz, axis=1, keepdims=True))
-            g_s = _mm(w_refs[2 * l][:].T, g_zc)
+    _dir_blocked_bwd(_mm, act, act_p, act_pp, n_in, n_layers, G, w_refs,
+                     out_refs, xs_ref[:], cdir_ref[:],
+                     cu_ref[:] if cu_ref is not None else None, gr_ref[:],
+                     wl_col_ref[:])
 
 
 def prepare_residual_coeffs(quad, scale, shift, *, time_dependent,
@@ -1223,14 +1168,6 @@ def _dirp_residual_fn(n_in, n_layers, has_react, activation, tile, nqp, G,
     avoids recompiles, like the other factories)."""
     n_qg = nqp // G
 
-    def blocked_weights(wts, bs):
-        eye = jnp.eye(G, dtype=jnp.float32)
-        ops = [wts[0], jnp.reshape(bs[0], (-1, 1))]
-        for l in range(1, n_layers - 1):
-            ops += [jnp.kron(eye, wts[l]), jnp.reshape(bs[l], (-1, 1))]
-        ops += [jnp.kron(eye, wts[-1]), jnp.reshape(bs[-1], (1, 1))]
-        return ops
-
     n_data = 3 + (1 if has_react else 0)  # xs, cdir, csrc[, cu]
     data_rows = (G * n_in, G * n_in, G) + ((G,) if has_react else ())
 
@@ -1249,7 +1186,7 @@ def _dirp_residual_fn(n_in, n_layers, has_react, activation, tile, nqp, G,
                 pl.BlockSpec((rows, tile), col_map, memory_space=pltpu.VMEM)
                 for rows in data_rows
             ]
-            ops = blocked_weights(wts, bs)
+            ops = _blocked_weight_ops(wts, bs, n_layers, G)
             if backward:  # gr cotangent + wl_col
                 in_specs.append(
                     pl.BlockSpec((1, tile), lambda i, qg: (0, i),
@@ -1295,49 +1232,18 @@ def _dirp_residual_fn(n_in, n_layers, has_react, activation, tile, nqp, G,
                                                            jnp.float32),
     )
 
-    def bwd_shapes(wts):
-        shapes = [
-            (wts[0].shape[0], n_in), (G * wts[0].shape[0], 1),
-        ]
-        for l in range(1, n_layers - 1):
-            shapes += [
-                (G * wts[l].shape[0], G * wts[l].shape[1]),
-                (G * wts[l].shape[0], 1),
-            ]
-        shapes += [(G, G * wts[-1].shape[1]), (1, 1)]
-        return shapes
-
     def bwd_out_specs(wts, bs, kp):
         return [
             pl.BlockSpec(s, lambda i, qg: (0, 0), memory_space=pltpu.VMEM)
-            for s in bwd_shapes(wts)
+            for s in _blocked_bwd_shapes(wts, n_in, n_layers, G)
         ]
 
     def bwd_out_shape(wts, bs, kp):
-        return [jax.ShapeDtypeStruct(s, jnp.float32) for s in bwd_shapes(wts)]
+        return [jax.ShapeDtypeStruct(s, jnp.float32)
+                for s in _blocked_bwd_shapes(wts, n_in, n_layers, G)]
 
     bwd_call = make_call(bwd_kernel, backward=True,
                          out_specs=bwd_out_specs, out_shape=bwd_out_shape)
-
-    def reduce_blocked(grads, wts):
-        d_wts, d_bs = [], []
-        d_wts.append(grads[0])
-        h0 = wts[0].shape[0]
-        d_bs.append(jnp.sum(grads[1].reshape(G, h0), axis=0)[:, None])
-        idx = 2
-        for l in range(1, n_layers - 1):
-            ho, hi = wts[l].shape
-            blk = grads[idx].reshape(G, ho, G, hi)
-            d_wts.append(jnp.sum(blk[jnp.arange(G), :, jnp.arange(G), :],
-                                 axis=0))
-            d_bs.append(jnp.sum(grads[idx + 1].reshape(G, ho), axis=0)[:, None])
-            idx += 2
-        hl = wts[-1].shape[1]
-        blk_last = grads[idx].reshape(G, G, hl)
-        d_wts.append(jnp.sum(blk_last[jnp.arange(G), jnp.arange(G), :],
-                             axis=0)[None, :])
-        d_bs.append(jnp.reshape(grads[idx + 1], (1, 1)))
-        return tuple(d_wts), tuple(d_bs)
 
     @jax.custom_vjp
     def f(wts, bs, *data):
@@ -1349,7 +1255,7 @@ def _dirp_residual_fn(n_in, n_layers, has_react, activation, tile, nqp, G,
     def f_bwd(res, gr):
         wts, bs, data = res
         grads = bwd_call(wts, bs, *data, gr)
-        d_wts, d_bs = reduce_blocked(grads, wts)
+        d_wts, d_bs = _reduce_blocked_grads(grads, wts, n_layers, G)
         return (d_wts, d_bs) + tuple(jnp.zeros_like(a) for a in data)
 
     f.defvjp(f_fwd, f_bwd)

@@ -78,23 +78,18 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def _tables_per_node(quad) -> bool:
-    """True when the QuadData carries per-node [K, nQ] test tables
-    (order-2 test space) instead of shared [nQ] ones."""
-    return np.ndim(quad.N) == 2
-
-
 def shard_quad(quad, mesh: Mesh, dtype=None, batched: bool = False):
     """Place QuadData: per-test-function arrays sharded on ``data``; the
     shared [nQ]-sized tables (N, dN, w) replicated — unless they are
-    per-node [K, nQ] tables (order-2 test space), which shard with the
-    node axis.  ``batched=True`` for [B, Kb, ...] arrays produced by the
-    mini-batch reshape (axis 1 shards)."""
+    per-node tables (order-2 test space, ``quad.tables_per_node``), which
+    shard with the node axis in BOTH layouts ([K, nQ] unbatched,
+    [B, Kb, nQ] after the mini-batch reshape).  ``batched=True`` for
+    [B, Kb, ...] arrays produced by that reshape (axis 1 shards)."""
     import jax.numpy as jnp
 
     dsh = batched_quad_sharding(mesh) if batched else data_sharding(mesh)
     rsh = replicated_sharding(mesh)
-    tsh = dsh if _tables_per_node(quad) else rsh
+    tsh = dsh if quad.tables_per_node else rsh
 
     def cast(a):
         a = jnp.asarray(a)

@@ -97,7 +97,7 @@ def make_residual_fn(
                 raise ValueError(f"K={k} not divisible by k_chunks={k_chunks}")
             kc = k // k_chunks
 
-            tables_per_node = quad.N.ndim == 2  # order-2 test space
+            tables_per_node = quad.tables_per_node  # order-2 test space
 
             def body(args):
                 coords, kappa, vel, src, react, mask = args[:6]

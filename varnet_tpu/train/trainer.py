@@ -42,7 +42,7 @@ def _tree_reshape_batches(quad: QuadData, batch_num: int) -> QuadData:
         )
     kb = k // batch_num
 
-    tables_per_node = np.ndim(quad.N) == 2  # order-2 test space
+    tables_per_node = quad.tables_per_node  # order-2 test space
 
     def r(a, per_node_axis0: bool):
         if not per_node_axis0:
@@ -133,7 +133,7 @@ def make_train_step(
             # shared [nQ] quadrature tables are closed over, not scanned;
             # per-node [K, nQ] tables (order-2 test space) scan with the
             # other node arrays.
-            tables_per_node = quad.N.ndim == 3  # batched: [B, Kb, nQ]
+            tables_per_node = quad.tables_per_node  # batched: [B, Kb, nQ]
             per_node = (quad.coords, quad.kappa, quad.vel, quad.src,
                         quad.react, quad.mask)
             if tables_per_node:
