@@ -12,6 +12,7 @@ from varnet_tpu.examples import (
     ad1d_transient,
     ad2d_steady,
     ad2d_transient,
+    ad3d_steady,
     contaminant_2d,
     inverse_source,
     mor_1d,
@@ -27,6 +28,7 @@ TINY = ["--epochs", "40", "--save-freq", "20", "--width", "8"]
         (ad1d_transient, ["--disc", "10", "--tdisc", "5"]),
         (ad2d_steady, ["--disc", "8"]),
         (ad2d_transient, ["--disc", "6", "--tdisc", "4"]),
+        (ad3d_steady, ["--disc", "5", "--bdisc", "3"]),
         (contaminant_2d, ["--disc", "6", "--tdisc", "4"]),
         (inverse_source, ["--disc", "8", "--n-obs", "36"]),
         (mor_1d, ["--disc", "10", "--vels", "0.5,1.0"]),

@@ -72,3 +72,21 @@ def test_sim_res_2d_steady_with_exact():
         assert "sol_exact.png" in names and "sol_abs_err.png" in names
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_sim_res_3d_slices_with_exact():
+    from varnet_tpu.problems.analytic import steady_ad_3d
+
+    tmp = tempfile.mkdtemp()
+    try:
+        case = steady_ad_3d()
+        vn = VarNet(case["pde"], layer_width=(8,), disc_num=5,
+                    b_disc_num=3, n_devices=1)
+        vn.train(epoch_num=10, weight=(1, 1), save_freq=10, verbose=False)
+        files = vn.sim_res(tmp, disc=8)
+        names = [os.path.basename(f) for f in files]
+        assert "sol_slice_x2_0.50.png" in names
+        assert "abs_err_slice_x2_0.50.png" in names
+        assert "error_table.json" in names
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1,1 +1,8 @@
-from .domain import Domain1D, Mesh, PolygonDomain2D, RectangleDomain2D
+from .domain import (
+    BoxDomain3D,
+    BoxDomainND,
+    Domain1D,
+    Mesh,
+    PolygonDomain2D,
+    RectangleDomain2D,
+)

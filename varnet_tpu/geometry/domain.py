@@ -208,6 +208,111 @@ class PolygonDomain2D:
         return nodes, self.in_domain(nodes)
 
 
+class BoxDomainND:
+    """Axis-aligned box in any spatial dimension (beyond-reference: the
+    reference geometry layer stops at 2-D — SURVEY.md §2.1 #4; every other
+    layer here is dimension-generic, so a box domain is all 3-D needs).
+
+    Boundary segments are the 2*dim faces, ordered (x_lo, x_hi, y_lo,
+    y_hi, ...), so per-face Dirichlet data attaches like per-edge data in
+    2-D.  Face points are CELL-CENTRED in the transverse dims (offset
+    half a spacing from face edges): no point lies on a face edge, so no
+    point is shared between faces — the half-open corner-ownership
+    bookkeeping the 2-D polygon needs does not arise.
+    """
+
+    def __init__(self, lo, hi):
+        lo = np.atleast_1d(np.asarray(lo, dtype=np.float64))
+        hi = np.atleast_1d(np.asarray(hi, dtype=np.float64))
+        if lo.shape != hi.shape or lo.ndim != 1:
+            raise ValueError("lo and hi must be 1-D of equal length")
+        if not np.all(hi > lo):
+            raise ValueError("BoxDomainND requires hi > lo per dim")
+        self.lo = lo
+        self.hi = hi
+        self.dim = int(lo.shape[0])
+
+    @property
+    def bounds(self):
+        return self.lo.copy(), self.hi.copy()
+
+    @property
+    def n_boundary_segments(self) -> int:
+        return 2 * self.dim
+
+    def in_domain(self, pts: np.ndarray) -> np.ndarray:
+        pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
+        return np.all((pts > self.lo) & (pts < self.hi), axis=1)
+
+    def support_inside(self, centers: np.ndarray, half) -> np.ndarray:
+        """True where the support box centre +/- half lies inside (it may
+        touch the faces: the test function vanishes there)."""
+        c = np.atleast_2d(np.asarray(centers, dtype=np.float64))
+        h = np.broadcast_to(
+            np.atleast_1d(np.asarray(half, dtype=np.float64)), (self.dim,)
+        )
+        eps = 1e-12 * np.maximum(np.abs(self.hi - self.lo), 1.0)
+        return np.all(
+            (c - h >= self.lo - eps) & (c + h <= self.hi + eps), axis=1
+        )
+
+    def mesh(self, disc_num) -> Mesh:
+        """Uniform grid; interior mask keeps nodes one spacing from every
+        face.  disc_num: int (elements per dim) or per-dim sequence."""
+        if np.isscalar(disc_num):
+            counts = (int(disc_num) + 1,) * self.dim
+        else:
+            counts = tuple(int(d) + 1 for d in disc_num)
+        nodes, _, spacing = cartesian_grid(self.lo, self.hi, counts)
+        interior = self.support_inside(nodes, spacing)
+        return Mesh(nodes=nodes, shape=counts, spacing=spacing,
+                    interior_mask=interior)
+
+    def boundary_points(self, b_disc_num: int = 8) -> List[np.ndarray]:
+        """Per-face cell-centred grids: face (j, side) gets
+        b_disc_num^(dim-1) points with the j-th coordinate pinned to the
+        face and every transverse coordinate at (i + 1/2)/b_disc_num of
+        its range."""
+        n = int(b_disc_num)
+        t = (np.arange(n) + 0.5) / n
+        pts = []
+        for j in range(self.dim):
+            axes = [
+                self.lo[k] + t * (self.hi[k] - self.lo[k])
+                for k in range(self.dim) if k != j
+            ]
+            if axes:
+                grids = np.meshgrid(*axes, indexing="ij")
+                trans = np.stack([g.ravel() for g in grids], axis=-1)
+            else:
+                trans = np.zeros((1, 0))
+            for side in (self.lo[j], self.hi[j]):
+                face = np.empty((trans.shape[0], self.dim))
+                face[:, j] = side
+                face[:, [k for k in range(self.dim) if k != j]] = trans
+                pts.append(face)
+        return pts
+
+    def grid_in_domain(self, counts) -> Tuple[np.ndarray, np.ndarray]:
+        """Uniform evaluation grid with an all-true mask (for eval)."""
+        if np.isscalar(counts):
+            counts = (int(counts),) * self.dim
+        else:
+            counts = tuple(int(c) for c in counts)
+        nodes, _, _ = cartesian_grid(self.lo, self.hi, counts)
+        return nodes, np.ones(nodes.shape[0], dtype=bool)
+
+
+class BoxDomain3D(BoxDomainND):
+    """3-D axis-aligned box: faces ordered x_lo, x_hi, y_lo, y_hi, z_lo,
+    z_hi."""
+
+    def __init__(self, lo=(0.0, 0.0, 0.0), hi=(1.0, 1.0, 1.0)):
+        super().__init__(lo, hi)
+        if self.dim != 3:
+            raise ValueError("BoxDomain3D requires 3 coordinates")
+
+
 class RectangleDomain2D(PolygonDomain2D):
     """Axis-aligned rectangle convenience domain.
 

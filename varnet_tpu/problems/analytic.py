@@ -459,3 +459,42 @@ def transient_ad_2d(kappa: float = 0.05, vel=(0.5, 0.25), t_final: float = 0.5):
         c_ex=c_ex,
     )
     return {"pde": pde, "c_ex": c_ex, "c_ex_grad": c_ex_grad, "c_ex_dt": c_ex_dt}
+
+
+def steady_ad_3d(kappa: float = 0.1, vel=(1.0, 0.5, 0.25)):
+    """3-D steady AD on the unit cube with a manufactured solution
+    (beyond-reference: the reference stops at 2-D — SURVEY.md §2.1 #4;
+    the assembly/loss/kernel layers here are dimension-generic, so 3-D
+    costs only a box domain).
+
+        u(x, y, z) = sin(pi x) sin(pi y) sin(pi z)
+        s = v . grad(u) - kappa lap(u)   (manufactured)
+    """
+    from ..geometry.domain import BoxDomain3D
+
+    v = np.asarray(vel, dtype=np.float64)
+
+    def c_ex(x, t=None):
+        x = np.atleast_2d(x)
+        return (np.sin(np.pi * x[:, 0]) * np.sin(np.pi * x[:, 1])
+                * np.sin(np.pi * x[:, 2]))
+
+    def c_ex_grad(x, t=None):
+        x = np.atleast_2d(x)
+        s = np.sin(np.pi * x)
+        c = np.cos(np.pi * x)
+        return np.pi * np.stack(
+            [c[:, 0] * s[:, 1] * s[:, 2],
+             s[:, 0] * c[:, 1] * s[:, 2],
+             s[:, 0] * s[:, 1] * c[:, 2]], axis=-1)
+
+    def source(x, t=None):
+        g = c_ex_grad(x)
+        lap = -3.0 * np.pi**2 * c_ex(x)
+        return g @ v - kappa * lap
+
+    domain = BoxDomain3D((0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
+    pde = ADPDE(domain, diff=kappa, vel=v, source=source, bcs=0.0,
+                c_ex=c_ex)
+    return {"pde": pde, "c_ex": c_ex, "c_ex_grad": c_ex_grad,
+            "c_ex_dt": None}

@@ -221,6 +221,38 @@ def plot_fields(pde, folderpath: str, disc: int = 64, t: float = 0.0):
     return out
 
 
+def plot_slices_3d(domain, eval_fn, folderpath: str, disc: int = 48,
+                   axis: int = 2, fracs=(0.25, 0.5, 0.75),
+                   prefix: str = "sol_slice"):
+    """Planar contour slices of a 3-D field: for each fraction f, a filled
+    contour of ``eval_fn(points)`` on the plane where the ``axis``-th
+    coordinate is lo + f (hi - lo).  The 3-D analogue of the 2-D
+    ContourPlot surface (beyond-reference: the reference viz stops at
+    2-D, SURVEY.md §2.1 #6)."""
+    lo, hi = domain.bounds
+    j, k = [a for a in range(3) if a != axis]
+    u = np.linspace(lo[j], hi[j], disc + 1)
+    v = np.linspace(lo[k], hi[k], disc + 1)
+    uu, vv = np.meshgrid(u, v, indexing="ij")
+    out = []
+    for f in fracs:
+        s = lo[axis] + f * (hi[axis] - lo[axis])
+        pts = np.empty((uu.size, 3))
+        pts[:, j], pts[:, k], pts[:, axis] = uu.ravel(), vv.ravel(), s
+        vals = np.asarray(eval_fn(pts)).reshape(uu.shape)
+        fig, ax = plt.subplots(figsize=(5, 4))
+        m = ax.contourf(uu, vv, vals, levels=30)
+        fig.colorbar(m, ax=ax)
+        ax.set_xlabel(f"x{j}")
+        ax.set_ylabel(f"x{k}")
+        ax.set_title(f"x{axis} = {s:.3f}")
+        p = os.path.join(folderpath, f"{prefix}_x{axis}_{f:.2f}.png")
+        fig.savefig(p, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+        out.append(p)
+    return out
+
+
 def plot_solution(vn, folderpath: str, disc: int = 64, n_times: int = 5):
     """Render the trained solution into the case folder (the body of
     ``VarNet.sim_res`` — reference ``VarNet.simRes``, SURVEY.md §3.3).
@@ -256,6 +288,22 @@ def plot_solution(vn, folderpath: str, disc: int = 64, n_times: int = 5):
             p = os.path.join(folderpath, "sol.png")
             plot_line_1d(x, series, title="steady solution", path=p)
             out.append(p)
+    elif pde.dim == 3:
+        t_last = pde.t_interval[1] if td else None
+
+        def ev(pts):
+            return vn.evaluate(pts, t_last) if td else vn.evaluate(pts)
+
+        out += plot_slices_3d(pde.domain, ev, folderpath, disc=min(disc, 48))
+        if pde.c_ex is not None:
+
+            def err(pts):
+                ex = (pde.eval_exact(pts, np.full(pts.shape[0], t_last))
+                      if td else pde.eval_exact(pts))
+                return np.abs(ev(pts) - ex)
+
+            out += plot_slices_3d(pde.domain, err, folderpath,
+                                  disc=min(disc, 48), prefix="abs_err_slice")
     else:
         cp = ContourPlot(pde.domain, disc=disc)
         if td:
