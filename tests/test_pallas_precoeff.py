@@ -18,6 +18,7 @@ from varnet_tpu.ops.pallas_residual import (
 from varnet_tpu.ops.residual import weak_residual
 from varnet_tpu.problems.analytic import (
     mor_steady_ad_2d,
+    steady_ad_3d,
     steady_adr_1d,
     transient_ad_2d,
 )
@@ -44,6 +45,7 @@ CASES = [
      dict(t_disc_num=4, b_disc_num=4), 49, 2),
     ("adr1d", steady_adr_1d, False, True, 16, dict(), 15, 1),
     ("adr1d-g2", steady_adr_1d, False, True, 16, dict(), 15, 2),
+    ("3d-g2", steady_ad_3d, False, False, 4, dict(b_disc_num=3), 27, 2),
 ]
 
 

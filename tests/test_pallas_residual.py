@@ -11,7 +11,11 @@ from varnet_tpu.fem.assembly import build_fixed_data
 from varnet_tpu.models.mlp import init_mlp, make_input_scaling, mlp_value_and_jac
 from varnet_tpu.ops.pallas_residual import pallas_fused_residual
 from varnet_tpu.ops.residual import weak_residual
-from varnet_tpu.problems.analytic import steady_adr_1d, transient_ad_2d
+from varnet_tpu.problems.analytic import (
+    steady_ad_3d,
+    steady_adr_1d,
+    transient_ad_2d,
+)
 
 
 def _reference_r(params, quad, st, scale, shift, td, react):
@@ -31,6 +35,9 @@ def _reference_r(params, quad, st, scale, shift, td, react):
 CASES = [
     ("2dt", transient_ad_2d, True, False, 8, dict(t_disc_num=4, b_disc_num=4), 49),
     ("adr1d", steady_adr_1d, False, True, 16, dict(), 15),
+    # 3-D steady (beyond-reference geometry): same n_in/nQ as 2dt, so the
+    # TPU hot path needs no new layouts — this pins that it stays true.
+    ("3d", steady_ad_3d, False, False, 4, dict(b_disc_num=3), 27),
 ]
 
 
