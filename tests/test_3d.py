@@ -10,7 +10,7 @@ import numpy as np
 from varnet_tpu.api import VarNet
 from varnet_tpu.fem.assembly import build_fixed_data
 from varnet_tpu.geometry.domain import BoxDomain3D, BoxDomainND
-from varnet_tpu.problems.analytic import steady_ad_3d
+from varnet_tpu.problems.analytic import steady_ad_3d, transient_ad_3d
 
 from tests.test_assembly import residual_of_function
 
@@ -60,6 +60,21 @@ def test_analytic_solution_residual_converges_3d():
     for disc in (6, 12):
         fixed = build_fixed_data(case["pde"], disc_num=disc, b_disc_num=4)
         r = residual_of_function(fixed, case["c_ex_grad"])
+        maxr.append(np.max(np.abs(r)) / np.sum(fixed.quad.w))
+    assert maxr[1] < maxr[0] / 3.0, maxr
+    assert maxr[1] < 5e-2, maxr
+
+
+def test_analytic_solution_residual_converges_3d_transient():
+    """Same keystone through the 4-D tensor-product tables
+    (nQ = (2q)^4 = 256): space-time hats around each interior
+    (node, time-level) centre."""
+    case = transient_ad_3d()
+    maxr = []
+    for disc, tdisc in ((4, 4), (8, 8)):
+        fixed = build_fixed_data(case["pde"], disc_num=disc,
+                                 t_disc_num=tdisc, b_disc_num=3)
+        r = residual_of_function(fixed, case["c_ex_grad"], case["c_ex_dt"])
         maxr.append(np.max(np.abs(r)) / np.sum(fixed.quad.w))
     assert maxr[1] < maxr[0] / 3.0, maxr
     assert maxr[1] < 5e-2, maxr

@@ -387,3 +387,39 @@ def test_varnet_trains_with_fused_residual():
         theta, opt_state, aux = step(theta, opt_state, quad, bc, None, None, w)
         losses.append(float(aux["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_fused_residual_3d_transient():
+    """3-D TRANSIENT through the directional kernel (n_in = 4, nQ = 256):
+    one combined value + parameter-gradient check vs the compositional
+    reference (the full matrix runs on the cheaper cases above)."""
+    from varnet_tpu.problems.analytic import transient_ad_3d
+
+    case = transient_ad_3d()
+    fd = build_fixed_data(case["pde"], 4, t_disc_num=3, b_disc_num=3)
+    st = fd.static
+    quad = jax.tree_util.tree_map(jnp.asarray, fd.quad)
+    params = init_mlp(jax.random.PRNGKey(2), st.n_inputs, (12, 12))
+    scale, shift = make_input_scaling(st.input_lo, st.input_hi)
+    k = quad.coords.shape[0]
+    cw = jax.random.normal(jax.random.PRNGKey(7), (k,))
+
+    r_ref = _reference_r(params, quad, st, scale, shift, True, False)
+    r = pallas_fused_residual(params, quad, "tanh", scale, shift,
+                              time_dependent=True, tile=27, interpret=True)
+    np.testing.assert_allclose(r, r_ref, rtol=1e-5, atol=1e-8)
+
+    def loss(fn):
+        def f(p):
+            rr = fn(p)
+            return jnp.sum(rr * cw) + jnp.sum(rr * rr)
+        return f
+
+    g1 = jax.grad(loss(lambda p: _reference_r(
+        p, quad, st, scale, shift, True, False)))(params)
+    g2 = jax.grad(loss(lambda p: pallas_fused_residual(
+        p, quad, "tanh", scale, shift, time_dependent=True, tile=27,
+        interpret=True)))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-6)

@@ -498,3 +498,50 @@ def steady_ad_3d(kappa: float = 0.1, vel=(1.0, 0.5, 0.25)):
                 c_ex=c_ex)
     return {"pde": pde, "c_ex": c_ex, "c_ex_grad": c_ex_grad,
             "c_ex_dt": None}
+
+
+def transient_ad_3d(kappa: float = 0.1, vel=(1.0, 0.5, 0.25),
+                    t_final: float = 0.5):
+    """3-D transient AD on the unit cube with a manufactured solution
+    (exercises the 4-D tensor-product quadrature tables, nQ = (2q)^4).
+
+        u(x, t) = sin(pi x) sin(pi y) sin(pi z) exp(-t)
+        s = u_t + v . grad(u) - kappa lap(u)   (manufactured)
+    """
+    from ..geometry.domain import BoxDomain3D
+
+    v = np.asarray(vel, dtype=np.float64)
+
+    def c_ex(x, t):
+        x = np.atleast_2d(x)
+        t = np.asarray(t)
+        return (np.sin(np.pi * x[:, 0]) * np.sin(np.pi * x[:, 1])
+                * np.sin(np.pi * x[:, 2]) * np.exp(-t))
+
+    def c_ex_grad(x, t):
+        x = np.atleast_2d(x)
+        s = np.sin(np.pi * x)
+        c = np.cos(np.pi * x)
+        e = np.exp(-np.asarray(t))
+        return np.pi * e[..., None] * np.stack(
+            [c[:, 0] * s[:, 1] * s[:, 2],
+             s[:, 0] * c[:, 1] * s[:, 2],
+             s[:, 0] * s[:, 1] * c[:, 2]], axis=-1)
+
+    def c_ex_dt(x, t):
+        return -c_ex(x, t)
+
+    def source(x, t):
+        g = c_ex_grad(x, t)
+        lap = -3.0 * np.pi**2 * c_ex(x, t)
+        return c_ex_dt(x, t) + g @ v - kappa * lap
+
+    domain = BoxDomain3D((0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
+    pde = ADPDE(
+        domain, diff=kappa, vel=v, source=source, bcs=0.0,
+        t_interval=(0.0, float(t_final)),
+        ic=lambda x: c_ex(x, np.zeros(np.atleast_2d(x).shape[0])),
+        c_ex=c_ex,
+    )
+    return {"pde": pde, "c_ex": c_ex, "c_ex_grad": c_ex_grad,
+            "c_ex_dt": c_ex_dt}
