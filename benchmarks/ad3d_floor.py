@@ -1,0 +1,79 @@
+"""Accuracy floor of the 3-D steady manufactured case (geometry-only
+3-D extension, DESIGN.md decision 11): Adam + LM at two meshes, recording
+rel-L2 to benchmarks/results/ad3d_floor.json.  Runs on CPU (small) or TPU
+(pass --width/--epochs up).
+
+Run:  python -u benchmarks/ad3d_floor.py [--disc 8 --width 32 ...]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+RESULTS = Path(__file__).parent / "results"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--disc", type=int, default=8)
+    ap.add_argument("--width", type=int, default=32)
+    ap.add_argument("--layers", type=int, default=2)
+    ap.add_argument("--epochs", type=int, default=4000)
+    ap.add_argument("--lm-steps", type=int, default=40)
+    ap.add_argument("--lm-cg", type=int, default=80)
+    ap.add_argument("--error-disc", type=int, default=24)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (in-process, beats the "
+                         "axon sitecustomize)")
+    ap.add_argument("--resume", action="store_true", help="accepted for "
+                    "run_resumable.sh compatibility (fresh runs are cheap)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from varnet_tpu.api import VarNet
+    from varnet_tpu.problems.analytic import steady_ad_3d
+
+    case = steady_ad_3d()
+    w = (1.0, 10.0)
+    t0 = time.perf_counter()
+    vn = VarNet(case["pde"], layer_width=(args.width,) * args.layers,
+                disc_num=args.disc, b_disc_num=max(args.disc, 6),
+                n_devices=1)
+    res = vn.train(epoch_num=args.epochs, weight=w,
+                   save_freq=max(args.epochs // 5, 1), verbose=True,
+                   error_disc=args.error_disc,
+                   matmul_precision="highest")
+    r = vn.refine_lm(steps=args.lm_steps, weight=w, cg_iters=args.lm_cg,
+                     save_freq=max(args.lm_steps // 8, 1), verbose=True,
+                     error_disc=args.error_disc,
+                     matmul_precision="highest")
+    best = min([e for e in res.errors if e == e] +
+               [e for e in r.errors if e == e])
+    row = {
+        "disc": args.disc,
+        "network": f"({args.width},)x{args.layers}",
+        "epochs": args.epochs,
+        "lm": f"{args.lm_steps} iters cg={args.lm_cg}",
+        "platform": jax.devices()[0].platform,
+        "best_rel_l2": best,
+        "adam_rel_l2": min(e for e in res.errors if e == e),
+        "wall_s": time.perf_counter() - t0,
+    }
+    RESULTS.mkdir(exist_ok=True)
+    path = RESULTS / "ad3d_floor.json"
+    rows = json.loads(path.read_text()) if path.exists() else []
+    rows.append(row)
+    path.write_text(json.dumps(rows, indent=2))
+    print(json.dumps(row, indent=2), flush=True)
+
+
+if __name__ == "__main__":
+    main()
