@@ -1,7 +1,9 @@
 """Accuracy floor of the 3-D steady manufactured case (geometry-only
-3-D extension, DESIGN.md decision 11): Adam + LM at two meshes, recording
-rel-L2 to benchmarks/results/ad3d_floor.json.  Runs on CPU (small) or TPU
-(pass --width/--epochs up).
+3-D extension, DESIGN.md decision 11): Adam + LM at ONE mesh per
+invocation (re-run with different --disc for a floor comparison),
+appending rel-L2 rows to benchmarks/results/ad3d_floor.json.  Runs on
+CPU (small) or TPU (pass --width/--epochs up; checkpoints to --folder so
+run_resumable.sh retries continue instead of restarting).
 
 Run:  python -u benchmarks/ad3d_floor.py [--disc 8 --width 32 ...]
 """
@@ -29,8 +31,10 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (in-process, beats the "
                          "axon sitecustomize)")
-    ap.add_argument("--resume", action="store_true", help="accepted for "
-                    "run_resumable.sh compatibility (fresh runs are cheap)")
+    ap.add_argument("--folder", type=str, default="/tmp/ad3d_floor")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the newest checkpoints in --folder "
+                         "(run_resumable.sh adds this on attempts 2+)")
     args = ap.parse_args()
 
     import jax
@@ -40,7 +44,9 @@ def main():
 
     from varnet_tpu.api import VarNet
     from varnet_tpu.problems.analytic import steady_ad_3d
+    from varnet_tpu.utils.helpers import enable_compilation_cache
 
+    enable_compilation_cache()
     case = steady_ad_3d()
     w = (1.0, 10.0)
     t0 = time.perf_counter()
@@ -50,21 +56,24 @@ def main():
     res = vn.train(epoch_num=args.epochs, weight=w,
                    save_freq=max(args.epochs // 5, 1), verbose=True,
                    error_disc=args.error_disc,
-                   matmul_precision="highest")
+                   matmul_precision="highest", folderpath=args.folder,
+                   resume=args.resume, max_retries=2)
     r = vn.refine_lm(steps=args.lm_steps, weight=w, cg_iters=args.lm_cg,
                      save_freq=max(args.lm_steps // 8, 1), verbose=True,
                      error_disc=args.error_disc,
-                     matmul_precision="highest")
-    best = min([e for e in res.errors if e == e] +
-               [e for e in r.errors if e == e])
+                     matmul_precision="highest", folderpath=args.folder,
+                     resume=args.resume, max_retries=2)
+    finite = ([e for e in res.errors if e == e]
+              + [e for e in r.errors if e == e])
     row = {
         "disc": args.disc,
         "network": f"({args.width},)x{args.layers}",
         "epochs": args.epochs,
         "lm": f"{args.lm_steps} iters cg={args.lm_cg}",
         "platform": jax.devices()[0].platform,
-        "best_rel_l2": best,
-        "adam_rel_l2": min(e for e in res.errors if e == e),
+        "best_rel_l2": min(finite, default=float("nan")),
+        "adam_rel_l2": min((e for e in res.errors if e == e),
+                           default=float("nan")),
         "wall_s": time.perf_counter() - t0,
     }
     RESULTS.mkdir(exist_ok=True)

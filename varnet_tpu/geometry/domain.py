@@ -208,6 +208,21 @@ class PolygonDomain2D:
         return nodes, self.in_domain(nodes)
 
 
+def _box_in_domain(lo, hi, pts) -> np.ndarray:
+    """Strict interior test for an axis-aligned box."""
+    pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
+    return np.all((pts > lo) & (pts < hi), axis=1)
+
+
+def _box_support_inside(lo, hi, nodes, h) -> np.ndarray:
+    """True where node +/- h lies inside the box, with a relative eps so
+    supports that exactly TOUCH a face (test fn vanishes there) pass."""
+    eps = 1e-12 * np.maximum(np.abs(hi - lo), 1.0)
+    return np.all(
+        (nodes - h >= lo - eps) & (nodes + h <= hi + eps), axis=1
+    )
+
+
 class BoxDomainND:
     """Axis-aligned box in any spatial dimension (beyond-reference: the
     reference geometry layer stops at 2-D — SURVEY.md §2.1 #4; every other
@@ -241,8 +256,7 @@ class BoxDomainND:
         return 2 * self.dim
 
     def in_domain(self, pts: np.ndarray) -> np.ndarray:
-        pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
-        return np.all((pts > self.lo) & (pts < self.hi), axis=1)
+        return _box_in_domain(self.lo, self.hi, pts)
 
     def support_inside(self, centers: np.ndarray, half) -> np.ndarray:
         """True where the support box centre +/- half lies inside (it may
@@ -251,10 +265,7 @@ class BoxDomainND:
         h = np.broadcast_to(
             np.atleast_1d(np.asarray(half, dtype=np.float64)), (self.dim,)
         )
-        eps = 1e-12 * np.maximum(np.abs(self.hi - self.lo), 1.0)
-        return np.all(
-            (c - h >= self.lo - eps) & (c + h <= self.hi + eps), axis=1
-        )
+        return _box_support_inside(self.lo, self.hi, c, h)
 
     def mesh(self, disc_num) -> Mesh:
         """Uniform grid; interior mask keeps nodes one spacing from every
@@ -337,13 +348,9 @@ class RectangleDomain2D(PolygonDomain2D):
         )
 
     def in_domain(self, pts: np.ndarray) -> np.ndarray:
-        pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
         lo, hi = self.bounds
-        return np.all((pts > lo) & (pts < hi), axis=1)
+        return _box_in_domain(lo, hi, pts)
 
     def _support_inside(self, nodes, h):
         lo, hi = self.bounds
-        eps = 1e-12 * np.maximum(np.abs(hi - lo), 1.0)
-        return np.all(
-            (nodes - h >= lo - eps) & (nodes + h <= hi + eps), axis=1
-        )
+        return _box_support_inside(lo, hi, nodes, h)

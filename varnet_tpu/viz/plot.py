@@ -304,6 +304,11 @@ def plot_solution(vn, folderpath: str, disc: int = 64, n_times: int = 5):
 
             out += plot_slices_3d(pde.domain, err, folderpath,
                                   disc=min(disc, 48), prefix="abs_err_slice")
+    elif pde.dim > 3:
+        raise ValueError(
+            f"plot_solution supports dim <= 3 (got {pde.dim}); training "
+            "and error evaluation are dimension-generic, plots are not"
+        )
     else:
         cp = ContourPlot(pde.domain, disc=disc)
         if td:
