@@ -1,0 +1,125 @@
+"""Neumann (flux) boundary conditions — beyond-reference (the reference
+supports Dirichlet only, SURVEY.md §0 item 8): NeumannBC segments become
+FluxData penalty rows (kappa-scaled outward normals precomputed), enforced
+through the Adam loss AND the LM residual.
+
+Keystone analogue: the flux residual of the EXACT solution's gradient at
+the assembled points is zero by construction — it validates segment
+normals, kappa evaluation, and data pairing jointly, no training."""
+
+import numpy as np
+import pytest
+
+from varnet_tpu.api import VarNet
+from varnet_tpu.fem.assembly import build_fixed_data
+from varnet_tpu.geometry.domain import (
+    BoxDomain3D,
+    Domain1D,
+    PolygonDomain2D,
+    RectangleDomain2D,
+)
+from varnet_tpu.problems.adpde import ADPDE, NeumannBC
+from varnet_tpu.problems.analytic import (
+    steady_ad_1d_neumann,
+    steady_ad_2d_neumann,
+)
+
+
+def test_segment_normals_1d_and_box():
+    d1 = Domain1D(0.0, 2.0)
+    np.testing.assert_allclose(d1.segment_normal(0), [-1.0])
+    np.testing.assert_allclose(d1.segment_normal(1), [1.0])
+    box = BoxDomain3D()
+    np.testing.assert_allclose(box.segment_normal(0), [-1, 0, 0])
+    np.testing.assert_allclose(box.segment_normal(1), [1, 0, 0])
+    np.testing.assert_allclose(box.segment_normal(4), [0, 0, -1])
+    np.testing.assert_allclose(box.segment_normal(5), [0, 0, 1])
+
+
+@pytest.mark.parametrize("flip", [False, True], ids=["ccw", "cw"])
+def test_segment_normals_polygon_orientation(flip):
+    """Edge normals point OUTWARD for both vertex orientations."""
+    verts = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    if flip:
+        verts = verts[::-1].copy()
+    poly = PolygonDomain2D(verts)
+    for seg in range(4):
+        v = poly.vertices
+        a, b = v[seg], v[(seg + 1) % 4]
+        mid = (a + b) / 2.0
+        n = poly.segment_normal(seg)
+        np.testing.assert_allclose(np.linalg.norm(n), 1.0)
+        # stepping outward must LEAVE the square
+        assert not poly.in_domain((mid + 0.01 * n)[None, :])[0], (seg, n)
+        assert poly.in_domain((mid - 0.01 * n)[None, :])[0], (seg, n)
+
+
+def test_pure_neumann_rejected():
+    with pytest.raises(ValueError, match="Dirichlet"):
+        ADPDE(Domain1D(0, 1), diff=0.1, vel=1.0,
+              bcs=[NeumannBC(0.0), NeumannBC(1.0)])
+
+
+@pytest.mark.parametrize("case_fn,disc,kw", [
+    (steady_ad_1d_neumann, 16, dict()),
+    (steady_ad_2d_neumann, 8, dict(b_disc_num=6)),
+])
+def test_flux_residual_of_exact_is_zero(case_fn, disc, kw):
+    """dirs . grad(c_ex) - g == 0 at every assembled flux point: pins the
+    normal direction, the kappa scaling, and the value pairing."""
+    case = case_fn()
+    fd = build_fixed_data(case["pde"], disc, **kw)
+    assert fd.neu is not None and fd.static.n_neu > 0
+    pts = fd.neu.coords[:, : case["pde"].dim]
+    g_ex = case["c_ex_grad"](pts)
+    flux = np.einsum("nd,nd->n", fd.neu.dirs, g_ex)
+    np.testing.assert_allclose(
+        (flux - fd.neu.values) * fd.neu.mask, 0.0, atol=1e-12
+    )
+
+
+def test_dirichlet_only_has_no_flux_data():
+    from varnet_tpu.problems.analytic import steady_ad_1d
+
+    fd = build_fixed_data(steady_ad_1d()["pde"], 10)
+    assert fd.neu is None and fd.static.n_neu == 0
+
+
+def test_neumann_1d_end_to_end_adam_and_lm():
+    """Manufactured 1-D mixed problem converges through BOTH optimizers
+    (measured: Adam 6.4e-3 at 2000 epochs, LM 3.0e-5 after 30 iters)."""
+    case = steady_ad_1d_neumann()
+    vn = VarNet(case["pde"], layer_width=(16, 16), disc_num=16, n_devices=1)
+    vn.train(epoch_num=2000, weight=(1.0, 10.0), save_freq=500,
+             verbose=False)
+    r = vn.refine_lm(steps=30, weight=(1.0, 10.0), cg_iters=40,
+                     save_freq=10, verbose=False, matmul_precision=None)
+    assert r.best_error() < 1e-3, r.best_error()
+
+
+def test_neumann_2d_sharded_matches_single_device():
+    """Flux rows shard over the data axis like the other penalty points:
+    first-step loss identical (f32 order), trajectory within the Adam
+    amplification band."""
+    case = steady_ad_2d_neumann()
+
+    def run(nd):
+        vn = VarNet(case["pde"], layer_width=(10, 10), disc_num=8,
+                    b_disc_num=8, n_devices=nd, seed=4)
+        r = vn.train(epoch_num=25, weight=(1.0, 10.0), save_freq=1,
+                     verbose=False)
+        return [rec["loss"] for rec in r.losses]
+
+    l8, l1 = run(8), run(1)
+    np.testing.assert_allclose(l8[0], l1[0], rtol=1e-5)
+    np.testing.assert_allclose(l8, l1, rtol=3e-2)
+
+
+def test_neumann_2d_short_train_improves():
+    """2-D mixed BC problem trains (loss decreases, flux aux present)."""
+    case = steady_ad_2d_neumann()
+    vn = VarNet(case["pde"], layer_width=(12, 12), disc_num=8,
+                b_disc_num=8, n_devices=1)
+    r = vn.train(epoch_num=400, weight=(1.0, 10.0), save_freq=100,
+                 verbose=False)
+    assert r.losses[-1]["loss"] < r.losses[0]["loss"]

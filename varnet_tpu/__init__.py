@@ -8,12 +8,25 @@ data-parallel over a TPU device mesh.
 """
 
 from .api import VarNet
-from .fem.assembly import FixedData, PointData, ProblemStatic, QuadData, build_fixed_data
+from .fem.assembly import (
+    FixedData,
+    FluxData,
+    PointData,
+    ProblemStatic,
+    QuadData,
+    build_fixed_data,
+)
 from .fem.element import HatQuadrature, MasterElement
-from .geometry.domain import Domain1D, PolygonDomain2D, RectangleDomain2D
+from .geometry.domain import (
+    BoxDomain3D,
+    BoxDomainND,
+    Domain1D,
+    PolygonDomain2D,
+    RectangleDomain2D,
+)
 from .models.mlp import init_mlp, mlp_apply, mlp_value_and_jac
 from .models.source import make_gaussian_source, make_mlp_source, make_mlp_source_xt
-from .problems.adpde import ADPDE, MORVar
+from .problems.adpde import ADPDE, MORVar, NeumannBC
 from .train.loss import make_loss_fn
 from .train.optim import OptimizerConfig
 from .train.trainer import TrainResult
@@ -24,7 +37,10 @@ __all__ = [
     "VarNet",
     "ADPDE",
     "MORVar",
+    "NeumannBC",
     "Domain1D",
+    "BoxDomain3D",
+    "BoxDomainND",
     "PolygonDomain2D",
     "RectangleDomain2D",
     "MasterElement",
@@ -33,6 +49,7 @@ __all__ = [
     "FixedData",
     "QuadData",
     "PointData",
+    "FluxData",
     "ProblemStatic",
     "init_mlp",
     "mlp_apply",

@@ -31,6 +31,7 @@ from .fem.assembly import (
     FixedData,
     PointData,
     build_fixed_data,
+    pad_flux,
     pad_points,
     pad_quad,
 )
@@ -41,6 +42,7 @@ from .parallel.mesh import (
     data_sharding,
     make_mesh,
     replicate,
+    shard_flux,
     shard_points,
     shard_quad,
 )
@@ -533,6 +535,12 @@ class VarNet:
         bc_d = shard_points(bc_h, self.mesh, dtype=self.dtype)
         ic_d = None if ic_h is None else shard_points(ic_h, self.mesh, dtype=self.dtype)
         obs_d = None if obs_h is None else shard_points(obs_h, self.mesh, dtype=self.dtype)
+        neu_d = None
+        if self.fixed.neu is not None:
+            neu_d = shard_flux(
+                pad_flux(self.fixed.neu, self.n_shards), self.mesh,
+                dtype=self.dtype,
+            )
 
         loss_kwargs = {}
         fused = None if value_and_jac is not None else self._fused_residual_hook(
@@ -557,6 +565,7 @@ class VarNet:
             n_obs_real=0 if not has_obs else int(self.obs_data.mask.sum()),
             normalize_residual=normalize_residual,
             has_react=self.has_react,
+            flux_value_and_jac=self._value_and_jac_default,
             **loss_kwargs,
         )
         optimizer = make_optimizer(self.optimizer_cfg)
@@ -611,7 +620,7 @@ class VarNet:
         for epoch in range(start_epoch + 1, start_epoch + int(epoch_num) + 1):
             theta, opt_state, aux = step_fn(
                 theta, opt_state, quad_d, bc_d, ic_d, obs_d, weights_arr,
-                prepared_d,
+                prepared_d, neu_d,
             )
             if t_start is None:
                 jax.block_until_ready(aux["loss"])
@@ -756,6 +765,12 @@ class VarNet:
         bc_d = shard_points(bc_h, self.mesh, dtype=self.dtype)
         ic_d = None if ic_h is None else shard_points(ic_h, self.mesh, dtype=self.dtype)
         obs_d = None if obs_h is None else shard_points(obs_h, self.mesh, dtype=self.dtype)
+        neu_d = None
+        if self.fixed.neu is not None:
+            neu_d = shard_flux(
+                pad_flux(self.fixed.neu, self.n_shards), self.mesh,
+                dtype=self.dtype,
+            )
 
         loss_kwargs = {}
         if self.use_pallas:
@@ -775,11 +790,13 @@ class VarNet:
             n_obs_real=0 if not has_obs else int(self.obs_data.mask.sum()),
             normalize_residual=normalize_residual,
             has_react=self.has_react,
+            flux_value_and_jac=self._value_and_jac_default,
             **loss_kwargs,
         )
 
         def scalar_loss(theta):
-            return loss_fn(theta, quad_d, bc_d, ic_d, obs_d, weights_arr)[0]
+            return loss_fn(theta, quad_d, bc_d, ic_d, obs_d, weights_arr,
+                           neu=neu_d)[0]
 
         opt = optax.lbfgs(memory_size=memory_size)
         theta = replicate(self.theta, self.mesh)
@@ -998,6 +1015,12 @@ class VarNet:
         bc_d = shard_points(bc_h, self.mesh, dtype=self.dtype)
         ic_d = None if ic_h is None else shard_points(ic_h, self.mesh, dtype=self.dtype)
         obs_d = None if obs_h is None else shard_points(obs_h, self.mesh, dtype=self.dtype)
+        neu_d = None
+        if self.fixed.neu is not None:
+            neu_d = shard_flux(
+                pad_flux(self.fixed.neu, self.n_shards), self.mesh,
+                dtype=self.dtype,
+            )
 
         res_kwargs = {"k_chunks": int(k_chunks)}
         if self._value_and_jac_default is not None:
@@ -1030,6 +1053,7 @@ class VarNet:
             has_obs=has_obs,
             n_obs_real=0 if not has_obs else int(self.obs_data.mask.sum()),
             has_react=self.has_react,
+            flux_value_and_jac=self._value_and_jac_default,
         )
         res_fn = make_residual_fn(self.static, **common, **res_kwargs)
         res_fn_jvp = (
@@ -1045,14 +1069,16 @@ class VarNet:
         # closures take the sharded data pytree and compute the PER-SHARD
         # residual slice.
         def closure(flat, data):
-            quad, bc, ic, obs = data
-            return res_fn(unravel(flat), quad, bc, ic, obs, weights_arr)
+            quad, bc, ic, obs, neu = data
+            return res_fn(unravel(flat), quad, bc, ic, obs, weights_arr,
+                          neu=neu)
 
         closure_jvp = None
         if res_fn_jvp is not res_fn:
             def closure_jvp(flat, data):
-                quad, bc, ic, obs = data
-                return res_fn_jvp(unravel(flat), quad, bc, ic, obs, weights_arr)
+                quad, bc, ic, obs, neu = data
+                return res_fn_jvp(unravel(flat), quad, bc, ic, obs,
+                                  weights_arr, neu=neu)
 
         from jax.sharding import PartitionSpec as P
 
@@ -1068,8 +1094,8 @@ class VarNet:
             kappa=per_node, vel=per_node, src=per_node, react=per_node,
             mask=per_node,
         )
-        data = (quad_d, bc_d, ic_d, obs_d)
-        data_specs = (quad_spec, per_node, per_node, per_node)
+        data = (quad_d, bc_d, ic_d, obs_d, neu_d)
+        data_specs = (quad_spec, per_node, per_node, per_node, per_node)
 
         lm_step = make_lm_step(
             closure, cg_iters=cg_iters, cg_segment=cg_segment,

@@ -81,6 +81,25 @@ class PointData(NamedTuple):
     mask: np.ndarray
 
 
+class FluxData(NamedTuple):
+    """Neumann (normal-flux) penalty-point fixed data (beyond-reference:
+    the reference is Dirichlet-only).  The residual at a point is
+    ``sum_j dirs_j du/dx_j - values`` with ``dirs = kappa(x, t) * n_seg``
+    precomputed host-side, so the loss needs one jacobian contraction and
+    no in-graph normal/field logic.
+
+    coords [N, n_in]  network inputs
+    dirs   [N, d]     kappa-scaled outward segment normals
+    values [N]        target normal flux g
+    mask   [N]        1.0 real / 0.0 padding
+    """
+
+    coords: np.ndarray
+    dirs: np.ndarray
+    values: np.ndarray
+    mask: np.ndarray
+
+
 @dataclass(frozen=True)
 class ProblemStatic:
     """Static (non-array) description of the assembled problem."""
@@ -96,6 +115,7 @@ class ProblemStatic:
     input_lo: np.ndarray   # [n_inputs] for input scaling
     input_hi: np.ndarray
     test_order: int = 1    # 1 = hat test space, 2 = quadratic Lagrange
+    n_neu: int = 0         # real Neumann (flux) penalty points
 
 
 class FixedData(NamedTuple):
@@ -103,6 +123,7 @@ class FixedData(NamedTuple):
     bc: PointData
     ic: Optional[PointData]
     static: ProblemStatic
+    neu: Optional[FluxData] = None
 
 
 def _pad_axis0(a: np.ndarray, target: int) -> np.ndarray:
@@ -162,6 +183,20 @@ def pad_quad(quad: QuadData, multiple: int) -> QuadData:
         vel=_pad_axis0(quad.vel[:real], target),
         src=_pad_axis0(quad.src[:real], target),
         react=_pad_axis0(quad.react[:real], target),
+        mask=mask,
+    )
+
+
+def pad_flux(flux: FluxData, multiple: int) -> FluxData:
+    """Re-pad a FluxData's leading axis to a multiple (mask-aware)."""
+    real = int(flux.mask.sum())
+    target = _pad_to_multiple(real, multiple)
+    mask = np.zeros(target)
+    mask[:real] = 1.0
+    return FluxData(
+        coords=_pad_axis0(flux.coords[:real], target),
+        dirs=_pad_axis0(flux.dirs[:real], target),
+        values=_pad_axis0(flux.values[:real], target),
         mask=mask,
     )
 
@@ -296,8 +331,13 @@ def build_fixed_data(
     react = pde.eval_react(x_f, t_f, mu_f).reshape(k_real, nq)
 
     # ---- boundary condition points --------------------------------------
+    from ..problems.adpde import NeumannBC
+
     bc_coords_list: List[np.ndarray] = []
     bc_vals_list: List[np.ndarray] = []
+    neu_coords_list: List[np.ndarray] = []
+    neu_dirs_list: List[np.ndarray] = []
+    neu_vals_list: List[np.ndarray] = []
     seg_points = pde.domain.boundary_points(b_disc_num)
     for seg, pts in enumerate(seg_points):
         if pde.bcs[seg] is None:
@@ -311,6 +351,14 @@ def build_fixed_data(
         xs = pts_t[:, :d]
         ts = pts_t[:, d] if td else None
         mus = pts_t[:, (d + 1 if td else d):] if pde.mor is not None else None
+        if isinstance(pde.bcs[seg], NeumannBC):
+            # flux rows: kappa-scaled outward normal + target flux g
+            normal = pde.domain.segment_normal(seg)  # [d]
+            kap = pde.eval_diff(xs, ts, mus)         # [N]
+            neu_coords_list.append(pts_t)
+            neu_dirs_list.append(kap[:, None] * normal[None, :])
+            neu_vals_list.append(pde.eval_neumann(seg, xs, ts, mus))
+            continue
         vals = pde.eval_bc(seg, xs, ts, mus)
         bc_coords_list.append(pts_t)
         bc_vals_list.append(vals)
@@ -367,6 +415,21 @@ def build_fixed_data(
         mask=bc_mask,
     )
 
+    neu: Optional[FluxData] = None
+    n_neu_real = 0
+    if neu_coords_list:
+        neu_coords = np.concatenate(neu_coords_list, axis=0)
+        n_neu_real = neu_coords.shape[0]
+        nn_pad = _pad_to_multiple(n_neu_real, pad_multiple)
+        neu_mask = np.zeros(nn_pad)
+        neu_mask[:n_neu_real] = 1.0
+        neu = FluxData(
+            coords=_pad_axis0(neu_coords, nn_pad),
+            dirs=_pad_axis0(np.concatenate(neu_dirs_list, axis=0), nn_pad),
+            values=_pad_axis0(np.concatenate(neu_vals_list, axis=0), nn_pad),
+            mask=neu_mask,
+        )
+
     # ---- input scaling ranges (network preconditioning) ------------------
     lo, hi = pde.domain.bounds
     lo = list(np.asarray(lo, dtype=np.float64))
@@ -390,5 +453,6 @@ def build_fixed_data(
         input_lo=np.asarray(lo),
         input_hi=np.asarray(hi),
         test_order=int(test_order),
+        n_neu=n_neu_real,
     )
-    return FixedData(quad=quad, bc=bc, ic=ic, static=static)
+    return FixedData(quad=quad, bc=bc, ic=ic, static=static, neu=neu)

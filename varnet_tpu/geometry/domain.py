@@ -83,6 +83,10 @@ class Domain1D:
         del b_disc_num
         return [np.array([[self.lo]]), np.array([[self.hi]])]
 
+    def segment_normal(self, seg: int) -> np.ndarray:
+        """Outward unit normal of a boundary segment (Neumann BCs)."""
+        return np.array([-1.0]) if seg == 0 else np.array([1.0])
+
     @property
     def n_boundary_segments(self) -> int:
         return 2
@@ -201,6 +205,21 @@ class PolygonDomain2D:
             pts.append(a[None, :] * (1 - t) + b[None, :] * t)
         return pts
 
+    def segment_normal(self, seg: int) -> np.ndarray:
+        """Outward unit normal of edge ``seg`` (vertices[seg] ->
+        vertices[seg+1]), orientation-aware via the polygon's signed
+        area (Neumann BCs)."""
+        v = self.vertices
+        a, b = v[seg], v[(seg + 1) % v.shape[0]]
+        d = b - a
+        n = np.array([d[1], -d[0]])  # right-hand normal (outward for CCW)
+        x1, y1 = v[:, 0], v[:, 1]
+        x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+        signed_area = 0.5 * np.sum(x1 * y2 - x2 * y1)
+        if signed_area < 0:  # clockwise vertex order: flip
+            n = -n
+        return n / np.linalg.norm(n)
+
     def grid_in_domain(self, counts) -> Tuple[np.ndarray, np.ndarray]:
         """Uniform evaluation grid masked to the polygon (for viz/eval)."""
         lo, hi = self.bounds
@@ -303,6 +322,13 @@ class BoxDomainND:
                 face[:, [k for k in range(self.dim) if k != j]] = trans
                 pts.append(face)
         return pts
+
+    def segment_normal(self, seg: int) -> np.ndarray:
+        """Outward unit normal of face ``seg`` (order x_lo, x_hi, y_lo,
+        ...): face 2j+s has normal (-1)^(1-s) e_j (Neumann BCs)."""
+        n = np.zeros(self.dim)
+        n[seg // 2] = -1.0 if seg % 2 == 0 else 1.0
+        return n
 
     def grid_in_domain(self, counts) -> Tuple[np.ndarray, np.ndarray]:
         """Uniform evaluation grid with an all-true mask (for eval)."""

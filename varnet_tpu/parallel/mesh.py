@@ -125,6 +125,25 @@ def shard_points(points, mesh: Mesh, dtype=None):
     )
 
 
+def shard_flux(flux, mesh: Mesh, dtype=None):
+    """Place FluxData (Neumann penalty rows): every array sharded on
+    ``data`` along axis 0, like PointData."""
+    import jax.numpy as jnp
+
+    dsh = data_sharding(mesh)
+
+    def cast(a):
+        a = jnp.asarray(a)
+        return a.astype(dtype) if dtype is not None else a
+
+    return type(flux)(
+        coords=jax.device_put(cast(flux.coords), dsh),
+        dirs=jax.device_put(cast(flux.dirs), dsh),
+        values=jax.device_put(cast(flux.values), dsh),
+        mask=jax.device_put(cast(flux.mask), dsh),
+    )
+
+
 def replicate(tree, mesh: Mesh):
     """Place a pytree replicated over the mesh, always COPYING: the result
     is donated into the train step, and a device_put that aliased the

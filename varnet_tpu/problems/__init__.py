@@ -1,10 +1,14 @@
-from .adpde import ADPDE, MORVar, eval_field
+from .adpde import ADPDE, MORVar, NeumannBC, eval_field
 from .analytic import (
     steady_adr_1d,
     contaminant_transport_2d,
     inverse_source_2d,
     steady_ad_1d,
+    steady_ad_1d_neumann,
     steady_ad_2d,
+    steady_ad_2d_neumann,
+    steady_ad_3d,
     transient_ad_1d,
     transient_ad_2d,
+    transient_ad_3d,
 )

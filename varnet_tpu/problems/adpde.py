@@ -103,6 +103,26 @@ class MORVar:
         return self.samples.shape[0]
 
 
+@dataclass(frozen=True)
+class NeumannBC:
+    """Flux (Neumann) boundary data for one segment (beyond-reference:
+    the reference supports Dirichlet only — SURVEY.md §0 item 8).
+
+    Enforced as a penalty on the normal diffusive flux at the segment's
+    boundary points:
+
+        kappa(x, t) * du/dn = flux(x, t)
+
+    where n is the segment's outward unit normal (constant per segment on
+    the supported domains).  ``flux`` follows the usual constant-or-
+    callable convention.  The penalty shares the Dirichlet BC weight
+    (w_bc) and needs only the network's FIRST derivatives — the same
+    order the weak interior residual already uses.
+    """
+
+    flux: Any = 0.0
+
+
 @dataclass
 class ADPDE:
     """Advection-diffusion PDE problem (reference ``ADPDE``).
@@ -116,10 +136,14 @@ class ADPDE:
                 (advection-diffusion-REACTION; 0 = off — beyond-reference
                 extension, trivially supported by the weak form)
     t_interval: (t0, T) for time-dependent problems, None for steady
-    bcs:        per-boundary-segment Dirichlet data, list of length
-                domain.n_boundary_segments; entries are constants,
-                callables g(x, t), or None (no BC on that segment).
-                A single scalar/callable is broadcast to every segment.
+    bcs:        per-boundary-segment data, list of length
+                domain.n_boundary_segments; entries are constants or
+                callables g(x, t) (Dirichlet), ``NeumannBC(flux)``
+                (normal-flux data — beyond-reference), or None (no BC on
+                that segment).  A single scalar/callable is broadcast to
+                every segment.  At least one segment must be Dirichlet
+                (a pure-Neumann problem is only determined up to a
+                constant).
     ic:         initial condition u0(x) (time-dependent only)
     c_ex:       optional exact solution u(x, t) for error reporting
     mor:        optional MORVar for parametric training
@@ -145,6 +169,13 @@ class ADPDE:
         if len(self.bcs) != nseg:
             raise ValueError(
                 f"bcs has {len(self.bcs)} entries; domain has {nseg} segments"
+            )
+        if not any(
+            g is not None and not isinstance(g, NeumannBC) for g in self.bcs
+        ):
+            raise ValueError(
+                "at least one segment needs Dirichlet data (pure-Neumann "
+                "problems are only determined up to a constant)"
             )
         if self.t_interval is not None:
             t0, t1 = float(self.t_interval[0]), float(self.t_interval[1])
@@ -190,9 +221,15 @@ class ADPDE:
 
     def eval_bc(self, seg: int, x, t=None, mu=None):
         g = self.bcs[seg]
-        if g is None:
+        if g is None or isinstance(g, NeumannBC):
             return None
         return eval_field(g, x, t, mu)
+
+    def eval_neumann(self, seg: int, x, t=None, mu=None):
+        g = self.bcs[seg]
+        if not isinstance(g, NeumannBC):
+            return None
+        return eval_field(g.flux, x, t, mu)
 
     def eval_ic(self, x, mu=None):
         return eval_field(self.ic, x, None, mu)

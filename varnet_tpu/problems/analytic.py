@@ -545,3 +545,77 @@ def transient_ad_3d(kappa: float = 0.1, vel=(1.0, 0.5, 0.25),
     )
     return {"pde": pde, "c_ex": c_ex, "c_ex_grad": c_ex_grad,
             "c_ex_dt": c_ex_dt}
+
+
+def steady_ad_1d_neumann(kappa: float = 0.2, vel: float = 1.0):
+    """1-D steady AD with a Dirichlet left end and a NEUMANN right end
+    (beyond-reference: the reference is Dirichlet-only — NeumannBC).
+
+        u(x) = sin(pi x / 3)  on [0, 1]
+        u(0) = 0,   kappa u'(1) = kappa pi/3 cos(pi/3)
+        s = v u' - kappa u''   (manufactured)
+    """
+    from .adpde import NeumannBC
+
+    k3 = np.pi / 3.0
+
+    def c_ex(x, t=None):
+        x = np.atleast_2d(x)
+        return np.sin(k3 * x[:, 0])
+
+    def c_ex_grad(x, t=None):
+        x = np.atleast_2d(x)
+        return (k3 * np.cos(k3 * x[:, 0]))[:, None]
+
+    def source(x, t=None):
+        x = np.atleast_2d(x)[:, 0]
+        return kappa * k3**2 * np.sin(k3 * x) + vel * k3 * np.cos(k3 * x)
+
+    flux_right = float(kappa * k3 * np.cos(k3))
+    pde = ADPDE(Domain1D(0.0, 1.0), diff=kappa, vel=vel, source=source,
+                bcs=[0.0, NeumannBC(flux_right)], c_ex=c_ex)
+    return {"pde": pde, "c_ex": c_ex, "c_ex_grad": c_ex_grad,
+            "c_ex_dt": None}
+
+
+def steady_ad_2d_neumann(kappa: float = 0.1, vel=(1.0, 0.5)):
+    """2-D steady AD on the unit square, Dirichlet on three edges and
+    NEUMANN flux data on the right edge x = 1 (beyond-reference).
+
+        u(x, y) = sin(pi x) sin(pi y)
+        kappa du/dn |_{x=1} = kappa pi cos(pi) sin(pi y)
+        s = v . grad(u) - kappa lap(u)   (manufactured)
+
+    Segment order (RectangleDomain2D): bottom, right, top, left.
+    """
+    from .adpde import NeumannBC
+
+    vx, vy = float(vel[0]), float(vel[1])
+
+    def c_ex(x, t=None):
+        x = np.atleast_2d(x)
+        return np.sin(np.pi * x[:, 0]) * np.sin(np.pi * x[:, 1])
+
+    def c_ex_grad(x, t=None):
+        x = np.atleast_2d(x)
+        sx, cx = np.sin(np.pi * x[:, 0]), np.cos(np.pi * x[:, 0])
+        sy, cy = np.sin(np.pi * x[:, 1]), np.cos(np.pi * x[:, 1])
+        return np.stack([np.pi * cx * sy, np.pi * sx * cy], axis=-1)
+
+    def source(x, t=None):
+        g = c_ex_grad(x)
+        lap = -2.0 * np.pi**2 * c_ex(x)
+        return vx * g[:, 0] + vy * g[:, 1] - kappa * lap
+
+    def flux_right(x, t=None):
+        # n = +e_x on the right edge: kappa * du/dx (1, y)
+        x = np.atleast_2d(x)
+        return kappa * np.pi * np.cos(np.pi) * np.sin(np.pi * x[:, 1])
+
+    domain = RectangleDomain2D((0.0, 0.0), (1.0, 1.0))
+    pde = ADPDE(
+        domain, diff=kappa, vel=np.array([vx, vy]), source=source,
+        bcs=[0.0, NeumannBC(flux_right), 0.0, 0.0], c_ex=c_ex,
+    )
+    return {"pde": pde, "c_ex": c_ex, "c_ex_grad": c_ex_grad,
+            "c_ex_dt": None}

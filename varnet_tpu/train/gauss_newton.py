@@ -39,6 +39,7 @@ def make_residual_fn(
     n_obs_real: int = 1,
     k_chunks: int = 1,
     has_react: bool = False,
+    flux_value_and_jac: Optional[Callable] = None,
 ):
     """Weighted residual VECTOR r_full(theta) with sum(r^2) == total loss
     (the normalize_residual=True convention of make_loss_fn).
@@ -54,6 +55,7 @@ def make_residual_fn(
     n_bc = float(max(static.n_bc, 1))
     n_ic = float(max(static.n_ic, 1))
     n_obs = float(max(int(n_obs_real), 1))
+    n_neu = float(max(getattr(static, "n_neu", 0), 1))
     n_k = float(max(static.n_test, 1))
     if input_scaling:
         scale, shift = make_input_scaling(static.input_lo, static.input_hi)
@@ -84,7 +86,8 @@ def make_residual_fn(
         vol = jnp.sum(w_tbl, axis=-1) if w_tbl.ndim == 2 else jnp.sum(w_tbl)
         return (r / vol) * mask
 
-    def residual_fn(theta, quad, bc, ic=None, obs=None, weights=(1.0, 1.0, 1.0, 0.0)):
+    def residual_fn(theta, quad, bc, ic=None, obs=None,
+                    weights=(1.0, 1.0, 1.0, 0.0), neu=None):
         weights = jnp.asarray(weights)
         if k_chunks == 1:
             r = interior(
@@ -127,6 +130,16 @@ def make_residual_fn(
             u_obs = apply_fn(net, obs.coords, activation, scale, shift)
             parts.append(
                 jnp.sqrt(weights[3] / n_obs) * (u_obs - obs.values) * obs.mask
+            )
+        if neu is not None:
+            # Neumann flux rows (share the Dirichlet weight w_bc); the
+            # batch is tiny, so it rides the XLA jac path
+            # (flux_value_and_jac) even when the interior is fused.
+            vj = flux_value_and_jac or mlp_value_and_jac
+            _, du_n = vj(net, neu.coords, activation, scale, shift)
+            flux = jnp.einsum("nd,nd->n", du_n[:, :d], neu.dirs)
+            parts.append(
+                jnp.sqrt(weights[1] / n_neu) * (flux - neu.values) * neu.mask
             )
         return jnp.concatenate(parts)
 

@@ -37,6 +37,7 @@ def make_loss_fn(
     normalize_residual: bool = True,
     has_react: bool = False,
     fused_residual: Optional[Callable] = None,
+    flux_value_and_jac: Optional[Callable] = None,
 ):
     """Build the total-loss function for an assembled problem.
 
@@ -60,6 +61,7 @@ def make_loss_fn(
     n_bc = float(max(static.n_bc, 1))
     n_ic = float(max(static.n_ic, 1))
     n_obs = float(max(int(n_obs_real), 1))
+    n_neu = float(max(getattr(static, "n_neu", 0), 1))
     if input_scaling:
         scale, shift = make_input_scaling(static.input_lo, static.input_hi)
     else:
@@ -69,7 +71,7 @@ def make_loss_fn(
         return theta["net"] if isinstance(theta, dict) and "net" in theta else theta
 
     def loss_fn(theta, quad, bc, ic=None, obs=None, weights=(1.0, 1.0, 1.0),
-                prepared=None):
+                prepared=None, neu=None):
         net = net_params(theta)
         weights = jnp.asarray(weights)
         k, nq = quad.coords.shape[0], quad.coords.shape[1]
@@ -114,6 +116,20 @@ def make_loss_fn(
 
         total = weights[0] * loss_int + weights[1] * loss_bc
         aux = {"loss_int": loss_int, "loss_bc": loss_bc}
+        if neu is not None:
+            # Neumann (flux) penalty, sharing the Dirichlet weight w_bc:
+            # dirs = kappa * n precomputed, so the residual is one
+            # jacobian contraction (beyond-reference — NeumannBC).  The
+            # flux batch is TINY (BC-scale), so it rides the XLA matmul
+            # chain (flux_value_and_jac) rather than the interior's
+            # injected/fused Pallas evaluator, whose tiling assumes
+            # quad-scale batches.
+            vj = flux_value_and_jac or mlp_value_and_jac
+            _, du_n = vj(net, neu.coords, activation, scale, shift)
+            flux = jnp.einsum("nd,nd->n", du_n[:, :d], neu.dirs)
+            loss_neu = masked_mse(flux, neu.values, neu.mask, n_neu)
+            total = total + weights[1] * loss_neu
+            aux["loss_neu"] = loss_neu
         if ic is not None:
             u_ic = apply_fn(net, ic.coords, activation, scale, shift)
             loss_ic = masked_mse(u_ic, ic.values, ic.mask, n_ic)

@@ -113,16 +113,16 @@ def make_train_step(
 
     def make_epoch_step(reduce_fn):
         def one_update(theta, opt_state, quad, bc, ic, obs, weights,
-                       prepared=None):
+                       prepared=None, neu=None):
             (_, aux), grads = grad_fn(theta, quad, bc, ic, obs, weights,
-                                      prepared)
+                                      prepared, neu)
             return reduce_and_update(theta, opt_state, grads, aux, reduce_fn)
 
         if batch_num == 1:
             return one_update
 
         def epoch_step(theta, opt_state, quad, bc, ic, obs, weights,
-                       prepared=None):
+                       prepared=None, neu=None):
             if prepared is not None:
                 # a prepared layout is built for the FULL (unbatched) quad
                 # and cannot feed the per-batch kernel calls inside scan
@@ -149,7 +149,8 @@ def make_train_step(
                     kappa=kappa, vel=vel, src=src, react=react, mask=mask,
                 )
                 theta, opt_state, aux = one_update(
-                    theta, opt_state, quad_b, bc, ic, obs, weights
+                    theta, opt_state, quad_b, bc, ic, obs, weights,
+                    neu=neu,
                 )
                 return (theta, opt_state), aux
 
@@ -169,9 +170,9 @@ def make_train_step(
         jitted = jax.jit(step, donate_argnums=donate_argnums)
 
         def call(theta, opt_state, quad, bc, ic, obs, weights,
-                 prepared=None):
+                 prepared=None, neu=None):
             return jitted(theta, opt_state, quad, bc, ic, obs, weights,
-                          prepared)
+                          prepared, neu)
 
         call.jitted = jitted  # for lowering/inspection (HLO tests)
         return call
@@ -183,12 +184,13 @@ def make_train_step(
     step = make_epoch_step(partial(jax.lax.psum, axis_name=DATA_AXIS))
 
     def step_with_prepared(theta, opt_state, quad, bc, ic, obs, weights,
-                           prepared):
+                           prepared, neu):
         # per-shard precomputed kernel layout arrives stacked on a
         # leading shard axis; drop it inside the shard_map body
         if prepared is not None:
             prepared = jax.tree_util.tree_map(lambda a: a[0], prepared)
-        return step(theta, opt_state, quad, bc, ic, obs, weights, prepared)
+        return step(theta, opt_state, quad, bc, ic, obs, weights, prepared,
+                    neu)
 
     rep = P()  # replicated: params, optimizer state, shared tables, weights
     per_node = P(None, DATA_AXIS) if batch_num > 1 else P(DATA_AXIS)
@@ -206,14 +208,16 @@ def make_train_step(
         step_with_prepared,
         mesh=mesh,
         in_specs=(rep, rep, quad_spec, pt_spec, pt_spec, pt_spec, rep,
-                  pt_spec),
+                  pt_spec, pt_spec),
         out_specs=(rep, rep, rep),
         check_vma=False,
     )
     jitted = jax.jit(sharded, donate_argnums=donate_argnums)
 
-    def call(theta, opt_state, quad, bc, ic, obs, weights, prepared=None):
-        return jitted(theta, opt_state, quad, bc, ic, obs, weights, prepared)
+    def call(theta, opt_state, quad, bc, ic, obs, weights, prepared=None,
+             neu=None):
+        return jitted(theta, opt_state, quad, bc, ic, obs, weights, prepared,
+                      neu)
 
     call.jitted = jitted  # for lowering/inspection (HLO tests)
     return call
