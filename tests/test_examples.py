@@ -16,6 +16,7 @@ from varnet_tpu.examples import (
     contaminant_2d,
     inverse_source,
     mor_1d,
+    neumann_2d,
 )
 
 TINY = ["--epochs", "40", "--save-freq", "20", "--width", "8"]
@@ -29,6 +30,7 @@ TINY = ["--epochs", "40", "--save-freq", "20", "--width", "8"]
         (ad2d_steady, ["--disc", "8"]),
         (ad2d_transient, ["--disc", "6", "--tdisc", "4"]),
         (ad3d_steady, ["--disc", "5", "--bdisc", "3"]),
+        (neumann_2d, ["--disc", "8"]),
         (contaminant_2d, ["--disc", "6", "--tdisc", "4"]),
         (inverse_source, ["--disc", "8", "--n-obs", "36"]),
         (mor_1d, ["--disc", "10", "--vels", "0.5,1.0"]),
