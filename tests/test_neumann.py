@@ -123,3 +123,50 @@ def test_neumann_2d_short_train_improves():
     r = vn.train(epoch_num=400, weight=(1.0, 10.0), save_freq=100,
                  verbose=False)
     assert r.losses[-1]["loss"] < r.losses[0]["loss"]
+
+
+def test_flux_residual_of_exact_transient():
+    """TRANSIENT Neumann keystone: flux points carry a time column and a
+    time-varying kappa; dirs . grad(c_ex)(x, t) - g(x, t) must still be
+    identically zero (pins the t-column pairing and kappa(x, t) eval)."""
+    k3 = np.pi / 3.0
+
+    def c_ex(x, t):
+        x = np.atleast_2d(x)
+        return np.sin(k3 * x[:, 0]) * np.exp(-np.asarray(t))
+
+    def c_ex_grad(x, t):
+        x = np.atleast_2d(x)
+        return (k3 * np.cos(k3 * x[:, 0]) * np.exp(-np.asarray(t)))[:, None]
+
+    def kappa(x, t):
+        return 0.2 + 0.1 * np.asarray(t)
+
+    def flux_right(x, t):
+        x = np.atleast_2d(x)
+        return kappa(x, t) * c_ex_grad(x, t)[:, 0]
+
+    def source(x, t):
+        x2 = np.atleast_2d(x)[:, 0]
+        e = np.exp(-np.asarray(t))
+        u = np.sin(k3 * x2) * e
+        return -u + kappa(x, t) * k3**2 * u + 1.0 * c_ex_grad(x, t)[:, 0]
+
+    pde = ADPDE(Domain1D(0.0, 1.0), diff=kappa, vel=1.0, source=source,
+                t_interval=(0.0, 0.5), ic=lambda x: c_ex(x, 0.0),
+                bcs=[0.0, NeumannBC(flux_right)], c_ex=c_ex)
+    fd = build_fixed_data(pde, 10, t_disc_num=5)
+    assert fd.neu is not None
+    d = 1
+    pts = fd.neu.coords[:, :d]
+    ts = fd.neu.coords[:, d]
+    flux = np.einsum("nd,nd->n", fd.neu.dirs, c_ex_grad(pts, ts))
+    np.testing.assert_allclose(
+        (flux - fd.neu.values) * fd.neu.mask, 0.0, atol=1e-12
+    )
+    # and the full transient train step runs with flux rows present
+    vn = VarNet(pde, layer_width=(10, 10), disc_num=8, t_disc_num=4,
+                n_devices=1)
+    r = vn.train(epoch_num=150, weight=(1.0, 10.0, 10.0), save_freq=75,
+                 verbose=False)
+    assert r.losses[-1]["loss"] < r.losses[0]["loss"]

@@ -247,6 +247,16 @@ class VarNet:
             self.static, self.activation, self.input_scaling, **eval_kwargs
         )
 
+    def _shard_neu(self):
+        """Padded + sharded Neumann FluxData, or None (one place to
+        change flux placement for train/refine_lm/refine_lbfgs)."""
+        if self.fixed.neu is None:
+            return None
+        return shard_flux(
+            pad_flux(self.fixed.neu, self.n_shards), self.mesh,
+            dtype=self.dtype,
+        )
+
     def _fused_residual_hook(self, matmul_precision):
         """Fully-fused weak-residual kernel when eligible (plain MLP, fixed
         source), else None — the hot-path selection for TPU training."""
@@ -535,12 +545,7 @@ class VarNet:
         bc_d = shard_points(bc_h, self.mesh, dtype=self.dtype)
         ic_d = None if ic_h is None else shard_points(ic_h, self.mesh, dtype=self.dtype)
         obs_d = None if obs_h is None else shard_points(obs_h, self.mesh, dtype=self.dtype)
-        neu_d = None
-        if self.fixed.neu is not None:
-            neu_d = shard_flux(
-                pad_flux(self.fixed.neu, self.n_shards), self.mesh,
-                dtype=self.dtype,
-            )
+        neu_d = self._shard_neu()
 
         loss_kwargs = {}
         fused = None if value_and_jac is not None else self._fused_residual_hook(
@@ -765,12 +770,7 @@ class VarNet:
         bc_d = shard_points(bc_h, self.mesh, dtype=self.dtype)
         ic_d = None if ic_h is None else shard_points(ic_h, self.mesh, dtype=self.dtype)
         obs_d = None if obs_h is None else shard_points(obs_h, self.mesh, dtype=self.dtype)
-        neu_d = None
-        if self.fixed.neu is not None:
-            neu_d = shard_flux(
-                pad_flux(self.fixed.neu, self.n_shards), self.mesh,
-                dtype=self.dtype,
-            )
+        neu_d = self._shard_neu()
 
         loss_kwargs = {}
         if self.use_pallas:
@@ -1015,12 +1015,7 @@ class VarNet:
         bc_d = shard_points(bc_h, self.mesh, dtype=self.dtype)
         ic_d = None if ic_h is None else shard_points(ic_h, self.mesh, dtype=self.dtype)
         obs_d = None if obs_h is None else shard_points(obs_h, self.mesh, dtype=self.dtype)
-        neu_d = None
-        if self.fixed.neu is not None:
-            neu_d = shard_flux(
-                pad_flux(self.fixed.neu, self.n_shards), self.mesh,
-                dtype=self.dtype,
-            )
+        neu_d = self._shard_neu()
 
         res_kwargs = {"k_chunks": int(k_chunks)}
         if self._value_and_jac_default is not None:

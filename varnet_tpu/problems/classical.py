@@ -11,9 +11,13 @@ on a RECTANGLE, integrated with the theta-scheme (Crank-Nicolson by
 default).  Host-side NumPy/SciPy — this is validation tooling, not a
 training path.  Second-order central differences for both advection and
 diffusion (flux form with midpoint kappa); per-segment boundary handling
-mirrors ``ADPDE.bcs``: Dirichlet rows for constrained segments, zero-normal-
-gradient (ghost reflection + one-sided advection) for ``None`` (free
-outflow) segments.
+mirrors ``ADPDE.bcs``: Dirichlet rows for constrained segments, zero-
+normal-gradient (ghost reflection + one-sided advection) for ``None``
+(free outflow) segments, and GENERAL flux data for ``NeumannBC(g)``
+segments — the reflected ghost value gains the standard correction
+``u_ghost = u_refl + 2 h g / kappa_face`` (kappa du/dn = g), which lands
+in the right-hand side as a boundary source ``2 g(x, t) / h`` on the
+segment's nodes, theta-weighted in time like the volumetric source.
 
 Accuracy: O(h^2 + dt^2) on smooth solutions, verified against the analytic
 2-D transient AD configuration in tests/test_classical.py — the same
@@ -110,8 +114,12 @@ def solve_ad_fdm_2d(
         2: ([idx(i, ny) for i in range(nxn)], (0, 1)),        # top
         3: ([idx(0, j) for j in range(nyn)], (-1, 0)),        # left
     }
+    from .adpde import NeumannBC
+
     for seg, (nodes_i, normal) in edge_nodes.items():
-        if pde.bcs[seg] is None:
+        if pde.bcs[seg] is None or isinstance(pde.bcs[seg], NeumannBC):
+            # free AND flux edges share the ghost-reflected stencil; a
+            # NeumannBC edge additionally gets the 2 g / h RHS source
             for k in nodes_i:
                 if dirichlet_seg[k] < 0:
                     neumann_dir[k] = normal
@@ -122,6 +130,28 @@ def solve_ad_fdm_2d(
             for k in nodes_i:
                 neumann_dir[k] = 0
     is_dir = dirichlet_seg >= 0
+
+    # Per-segment flux-source assembly for NeumannBC edges: node lists and
+    # the 2 / h_axis factor (corners shared between two flux edges sum).
+    flux_segs = []
+    for seg, (nodes_i, normal) in edge_nodes.items():
+        if isinstance(pde.bcs[seg], NeumannBC):
+            free_nodes = np.array(
+                [k for k in nodes_i if dirichlet_seg[k] < 0], dtype=np.int64
+            )
+            h_axis = hx if normal[0] != 0 else hy
+            flux_segs.append((seg, free_nodes, 2.0 / h_axis))
+
+    def flux_source(t):
+        """[N] boundary-source vector from NeumannBC segments at time t."""
+        fs = np.zeros(n)
+        for seg, free_nodes, fac in flux_segs:
+            if free_nodes.size:
+                g = pde.eval_neumann(
+                    seg, nodes[free_nodes], np.full(free_nodes.size, t)
+                )
+                fs[free_nodes] += fac * g
+        return fs
 
     # ---- spatial operator A: du/dt = A u + s ---------------------------
     rows, cols, vals = [], [], []
@@ -234,12 +264,12 @@ def solve_ad_fdm_2d(
                 taken[s] = True
 
     take(t0, t0, u, u)
-    s_prev = source_at(t0)
+    s_prev = source_at(t0) + flux_source(t0)
     free_mask = (~is_dir).astype(np.float64)
     for step in range(1, nt + 1):
         t_old = t0 + (step - 1) * dt
         t_new = t0 + step * dt
-        s_new = source_at(t_new)
+        s_new = source_at(t_new) + flux_source(t_new)
         b = rhs_op @ u + dt * (theta * s_new + (1 - theta) * s_prev)
         b = b * free_mask  # zero the Dirichlet rows ...
         g_new = dirichlet_values(t_new)
