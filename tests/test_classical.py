@@ -159,3 +159,38 @@ def test_fdm_neumann_edge_second_order():
     assert np.isfinite(e_coarse) and np.isfinite(e_fine)
     assert e_fine < 5e-3, e_fine
     assert e_fine < e_coarse / 2.5, (e_coarse, e_fine)
+
+
+def test_fdm_robin_edge_second_order():
+    """RobinBC in the FDM: the -2a/h diagonal + 2g/h source keep the
+    scheme second-order on the analytic transient problem."""
+    from varnet_tpu.geometry.domain import RectangleDomain2D
+    from varnet_tpu.problems.adpde import ADPDE, RobinBC
+
+    case = transient_ad_2d()
+    p0, c_ex, c_ex_grad = case["pde"], case["c_ex"], case["c_ex_grad"]
+    kappa, a = 0.05, 1.0
+
+    def g_right(x, t):
+        return a * c_ex(x, t) + kappa * c_ex_grad(x, t)[:, 0]
+
+    def err(nx, nt):
+        pde = ADPDE(
+            RectangleDomain2D((0, 0), (1, 1)), diff=kappa, vel=p0.vel,
+            source=0.0, t_interval=p0.t_interval,
+            bcs=[p0.bcs[0], RobinBC(alpha=a, flux=g_right), p0.bcs[2],
+                 p0.bcs[3]],
+            ic=p0.ic, c_ex=c_ex,
+        )
+        times = np.linspace(0.0, 0.5, 6)
+        out = solve_ad_fdm_2d(pde, nx=nx, ny=nx, nt=nt, sample_times=times)
+        pred, true = [], []
+        for s, t in enumerate(out["times"]):
+            pred.append(out["u"][s])
+            true.append(c_ex(out["x"], np.full(out["x"].shape[0], t)))
+        return rel_l2_error(np.concatenate(pred), np.concatenate(true))
+
+    e_coarse, e_fine = err(16, 32), err(32, 64)
+    assert np.isfinite(e_coarse) and np.isfinite(e_fine)
+    assert e_fine < 5e-3, e_fine
+    assert e_fine < e_coarse / 2.5, (e_coarse, e_fine)

@@ -170,3 +170,45 @@ def test_flux_residual_of_exact_transient():
     r = vn.train(epoch_num=150, weight=(1.0, 10.0, 10.0), save_freq=75,
                  verbose=False)
     assert r.losses[-1]["loss"] < r.losses[0]["loss"]
+
+
+def test_robin_keystone_and_e2e():
+    """RobinBC (alpha u + kappa du/dn = g): assembled alpha lands in
+    FluxData, the keystone residual of the exact solution vanishes, and
+    the mixed Dirichlet/Robin problem converges through Adam + LM."""
+    from varnet_tpu.problems.adpde import RobinBC
+
+    kappa, v, a = 0.2, 1.0, 1.5
+    k3 = np.pi / 3.0
+
+    def c_ex(x, t=None):
+        x = np.atleast_2d(x)
+        return np.sin(k3 * x[:, 0])
+
+    def c_ex_grad(x, t=None):
+        x = np.atleast_2d(x)
+        return (k3 * np.cos(k3 * x[:, 0]))[:, None]
+
+    def source(x, t=None):
+        x = np.atleast_2d(x)[:, 0]
+        return kappa * k3**2 * np.sin(k3 * x) + v * k3 * np.cos(k3 * x)
+
+    g_right = float(a * np.sin(k3) + kappa * k3 * np.cos(k3))
+    pde = ADPDE(Domain1D(0.0, 1.0), diff=kappa, vel=v, source=source,
+                bcs=[0.0, RobinBC(alpha=a, flux=g_right)], c_ex=c_ex)
+    fd = build_fixed_data(pde, 14)
+    assert fd.neu is not None
+    np.testing.assert_allclose(fd.neu.alpha, a)
+    flux = (np.einsum("nd,nd->n", fd.neu.dirs,
+                      c_ex_grad(fd.neu.coords[:, :1]))
+            + fd.neu.alpha * c_ex(fd.neu.coords[:, :1]))
+    np.testing.assert_allclose(
+        (flux - fd.neu.values) * fd.neu.mask, 0.0, atol=1e-12
+    )
+
+    vn = VarNet(pde, layer_width=(16, 16), disc_num=16, n_devices=1)
+    vn.train(epoch_num=1500, weight=(1.0, 10.0), save_freq=500,
+             verbose=False)
+    r = vn.refine_lm(steps=30, weight=(1.0, 10.0), cg_iters=40,
+                     save_freq=10, verbose=False, matmul_precision=None)
+    assert r.best_error() < 1e-3, r.best_error()

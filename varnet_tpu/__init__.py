@@ -26,7 +26,7 @@ from .geometry.domain import (
 )
 from .models.mlp import init_mlp, mlp_apply, mlp_value_and_jac
 from .models.source import make_gaussian_source, make_mlp_source, make_mlp_source_xt
-from .problems.adpde import ADPDE, MORVar, NeumannBC
+from .problems.adpde import ADPDE, MORVar, NeumannBC, RobinBC
 from .train.loss import make_loss_fn
 from .train.optim import OptimizerConfig
 from .train.trainer import TrainResult
@@ -38,6 +38,7 @@ __all__ = [
     "ADPDE",
     "MORVar",
     "NeumannBC",
+    "RobinBC",
     "Domain1D",
     "BoxDomain3D",
     "BoxDomainND",

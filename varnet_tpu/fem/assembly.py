@@ -82,22 +82,25 @@ class PointData(NamedTuple):
 
 
 class FluxData(NamedTuple):
-    """Neumann (normal-flux) penalty-point fixed data (beyond-reference:
-    the reference is Dirichlet-only).  The residual at a point is
-    ``sum_j dirs_j du/dx_j - values`` with ``dirs = kappa(x, t) * n_seg``
-    precomputed host-side, so the loss needs one jacobian contraction and
-    no in-graph normal/field logic.
+    """Neumann/Robin (normal-flux) penalty-point fixed data (beyond-
+    reference: the reference is Dirichlet-only).  The residual at a
+    point is ``alpha u + sum_j dirs_j du/dx_j - values`` with
+    ``dirs = kappa(x, t) * n_seg`` and ``alpha`` precomputed host-side
+    (zeros for pure Neumann), so the loss needs one jacobian contraction
+    and no in-graph normal/field logic.
 
     coords [N, n_in]  network inputs
     dirs   [N, d]     kappa-scaled outward segment normals
     values [N]        target normal flux g
     mask   [N]        1.0 real / 0.0 padding
+    alpha  [N]        Robin u-coefficient (0 = Neumann)
     """
 
     coords: np.ndarray
     dirs: np.ndarray
     values: np.ndarray
     mask: np.ndarray
+    alpha: np.ndarray
 
 
 @dataclass(frozen=True)
@@ -198,6 +201,7 @@ def pad_flux(flux: FluxData, multiple: int) -> FluxData:
         dirs=_pad_axis0(flux.dirs[:real], target),
         values=_pad_axis0(flux.values[:real], target),
         mask=mask,
+        alpha=_pad_axis0(flux.alpha[:real], target),
     )
 
 
@@ -331,13 +335,14 @@ def build_fixed_data(
     react = pde.eval_react(x_f, t_f, mu_f).reshape(k_real, nq)
 
     # ---- boundary condition points --------------------------------------
-    from ..problems.adpde import NeumannBC
+    from ..problems.adpde import NeumannBC, RobinBC
 
     bc_coords_list: List[np.ndarray] = []
     bc_vals_list: List[np.ndarray] = []
     neu_coords_list: List[np.ndarray] = []
     neu_dirs_list: List[np.ndarray] = []
     neu_vals_list: List[np.ndarray] = []
+    neu_alpha_list: List[np.ndarray] = []
     seg_points = pde.domain.boundary_points(b_disc_num)
     for seg, pts in enumerate(seg_points):
         if pde.bcs[seg] is None:
@@ -351,13 +356,15 @@ def build_fixed_data(
         xs = pts_t[:, :d]
         ts = pts_t[:, d] if td else None
         mus = pts_t[:, (d + 1 if td else d):] if pde.mor is not None else None
-        if isinstance(pde.bcs[seg], NeumannBC):
+        if isinstance(pde.bcs[seg], (NeumannBC, RobinBC)):
             # flux rows: kappa-scaled outward normal + target flux g
+            # (+ the Robin u-coefficient alpha; zeros for pure Neumann)
             normal = pde.domain.segment_normal(seg)  # [d]
             kap = pde.eval_diff(xs, ts, mus)         # [N]
             neu_coords_list.append(pts_t)
             neu_dirs_list.append(kap[:, None] * normal[None, :])
             neu_vals_list.append(pde.eval_neumann(seg, xs, ts, mus))
+            neu_alpha_list.append(pde.eval_robin_alpha(seg, xs, ts, mus))
             continue
         vals = pde.eval_bc(seg, xs, ts, mus)
         bc_coords_list.append(pts_t)
@@ -428,6 +435,7 @@ def build_fixed_data(
             dirs=_pad_axis0(np.concatenate(neu_dirs_list, axis=0), nn_pad),
             values=_pad_axis0(np.concatenate(neu_vals_list, axis=0), nn_pad),
             mask=neu_mask,
+            alpha=_pad_axis0(np.concatenate(neu_alpha_list, axis=0), nn_pad),
         )
 
     # ---- input scaling ranges (network preconditioning) ------------------

@@ -141,6 +141,7 @@ def shard_flux(flux, mesh: Mesh, dtype=None):
         dirs=jax.device_put(cast(flux.dirs), dsh),
         values=jax.device_put(cast(flux.values), dsh),
         mask=jax.device_put(cast(flux.mask), dsh),
+        alpha=jax.device_put(cast(flux.alpha), dsh),
     )
 
 

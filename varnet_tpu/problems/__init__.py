@@ -1,4 +1,4 @@
-from .adpde import ADPDE, MORVar, NeumannBC, eval_field
+from .adpde import ADPDE, MORVar, NeumannBC, RobinBC, eval_field
 from .analytic import (
     steady_adr_1d,
     contaminant_transport_2d,

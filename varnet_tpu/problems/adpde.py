@@ -122,6 +122,25 @@ class NeumannBC:
 
     flux: Any = 0.0
 
+    @property
+    def alpha(self):
+        return 0.0
+
+
+@dataclass(frozen=True)
+class RobinBC:
+    """Robin (mixed) boundary data for one segment (beyond-reference):
+
+        alpha(x, t) * u + kappa(x, t) * du/dn = flux(x, t)
+
+    the convective/radiation boundary family; ``alpha = 0`` degenerates
+    to :class:`NeumannBC`.  Both coefficients follow the constant-or-
+    callable convention; enforcement and weighting are identical to
+    NeumannBC (rows in the same FluxData with a per-point alpha)."""
+
+    alpha: Any = 1.0
+    flux: Any = 0.0
+
 
 @dataclass
 class ADPDE:
@@ -171,11 +190,14 @@ class ADPDE:
                 f"bcs has {len(self.bcs)} entries; domain has {nseg} segments"
             )
         if not any(
-            g is not None and not isinstance(g, NeumannBC) for g in self.bcs
+            g is not None and not isinstance(g, (NeumannBC, RobinBC))
+            for g in self.bcs
         ):
             raise ValueError(
                 "at least one segment needs Dirichlet data (pure-Neumann "
-                "problems are only determined up to a constant)"
+                "problems are only determined up to a constant; pure-Robin "
+                "is unsupported because the penalty-point set would carry "
+                "no Dirichlet rows)"
             )
         if self.t_interval is not None:
             t0, t1 = float(self.t_interval[0]), float(self.t_interval[1])
@@ -221,15 +243,24 @@ class ADPDE:
 
     def eval_bc(self, seg: int, x, t=None, mu=None):
         g = self.bcs[seg]
-        if g is None or isinstance(g, NeumannBC):
+        if g is None or isinstance(g, (NeumannBC, RobinBC)):
             return None
         return eval_field(g, x, t, mu)
 
     def eval_neumann(self, seg: int, x, t=None, mu=None):
+        """Target flux g of a NeumannBC/RobinBC segment (None otherwise)."""
         g = self.bcs[seg]
-        if not isinstance(g, NeumannBC):
+        if not isinstance(g, (NeumannBC, RobinBC)):
             return None
         return eval_field(g.flux, x, t, mu)
+
+    def eval_robin_alpha(self, seg: int, x, t=None, mu=None):
+        """Robin u-coefficient alpha of a flux segment (zeros for pure
+        Neumann, None for non-flux segments)."""
+        g = self.bcs[seg]
+        if not isinstance(g, (NeumannBC, RobinBC)):
+            return None
+        return eval_field(g.alpha, x, t, mu)
 
     def eval_ic(self, x, mu=None):
         return eval_field(self.ic, x, None, mu)

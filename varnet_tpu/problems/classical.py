@@ -114,10 +114,11 @@ def solve_ad_fdm_2d(
         2: ([idx(i, ny) for i in range(nxn)], (0, 1)),        # top
         3: ([idx(0, j) for j in range(nyn)], (-1, 0)),        # left
     }
-    from .adpde import NeumannBC
+    from .adpde import NeumannBC, RobinBC
 
     for seg, (nodes_i, normal) in edge_nodes.items():
-        if pde.bcs[seg] is None or isinstance(pde.bcs[seg], NeumannBC):
+        if pde.bcs[seg] is None or isinstance(pde.bcs[seg],
+                                              (NeumannBC, RobinBC)):
             # free AND flux edges share the ghost-reflected stencil; a
             # NeumannBC edge additionally gets the 2 g / h RHS source
             for k in nodes_i:
@@ -134,13 +135,22 @@ def solve_ad_fdm_2d(
     # Per-segment flux-source assembly for NeumannBC edges: node lists and
     # the 2 / h_axis factor (corners shared between two flux edges sum).
     flux_segs = []
+    robin_diag = np.zeros(n)
     for seg, (nodes_i, normal) in edge_nodes.items():
-        if isinstance(pde.bcs[seg], NeumannBC):
+        if isinstance(pde.bcs[seg], (NeumannBC, RobinBC)):
             free_nodes = np.array(
                 [k for k in nodes_i if dirichlet_seg[k] < 0], dtype=np.int64
             )
             h_axis = hx if normal[0] != 0 else hy
             flux_segs.append((seg, free_nodes, 2.0 / h_axis))
+            if free_nodes.size:
+                # Robin: the ghost value u_g = u_refl + 2h(g - a u)/kappa
+                # contributes -2a/h on the diagonal (a = 0 for Neumann);
+                # a must be time-independent like the other operator fields
+                a_vals = pde.eval_robin_alpha(
+                    seg, nodes[free_nodes], np.zeros(free_nodes.size)
+                )
+                robin_diag[free_nodes] += -(2.0 / h_axis) * a_vals
 
     def flux_source(t):
         """[N] boundary-source vector from NeumannBC segments at time t."""
@@ -216,6 +226,8 @@ def solve_ad_fdm_2d(
     a_mat = sp.csr_matrix(
         (vals, (rows, cols)), shape=(n, n), dtype=np.float64
     )
+    if np.any(robin_diag):
+        a_mat = (a_mat + sp.diags(robin_diag)).tocsr()
 
     dt = (t1 - t0) / nt
     eye = sp.identity(n, format="csr")

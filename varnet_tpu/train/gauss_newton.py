@@ -136,8 +136,9 @@ def make_residual_fn(
             # batch is tiny, so it rides the XLA jac path
             # (flux_value_and_jac) even when the interior is fused.
             vj = flux_value_and_jac or mlp_value_and_jac
-            _, du_n = vj(net, neu.coords, activation, scale, shift)
-            flux = jnp.einsum("nd,nd->n", du_n[:, :d], neu.dirs)
+            u_n, du_n = vj(net, neu.coords, activation, scale, shift)
+            flux = (jnp.einsum("nd,nd->n", du_n[:, :d], neu.dirs)
+                    + neu.alpha * u_n)  # Robin term; alpha=0 for Neumann
             parts.append(
                 jnp.sqrt(weights[1] / n_neu) * (flux - neu.values) * neu.mask
             )

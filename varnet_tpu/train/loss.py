@@ -125,8 +125,9 @@ def make_loss_fn(
             # injected/fused Pallas evaluator, whose tiling assumes
             # quad-scale batches.
             vj = flux_value_and_jac or mlp_value_and_jac
-            _, du_n = vj(net, neu.coords, activation, scale, shift)
-            flux = jnp.einsum("nd,nd->n", du_n[:, :d], neu.dirs)
+            u_n, du_n = vj(net, neu.coords, activation, scale, shift)
+            flux = (jnp.einsum("nd,nd->n", du_n[:, :d], neu.dirs)
+                    + neu.alpha * u_n)  # Robin term; alpha=0 for Neumann
             loss_neu = masked_mse(flux, neu.values, neu.mask, n_neu)
             total = total + weights[1] * loss_neu
             aux["loss_neu"] = loss_neu
