@@ -157,12 +157,15 @@ class ADPDE:
     t_interval: (t0, T) for time-dependent problems, None for steady
     bcs:        per-boundary-segment data, list of length
                 domain.n_boundary_segments; entries are constants or
-                callables g(x, t) (Dirichlet), ``NeumannBC(flux)``
-                (normal-flux data — beyond-reference), or None (no BC on
-                that segment).  A single scalar/callable is broadcast to
-                every segment.  At least one segment must be Dirichlet
-                (a pure-Neumann problem is only determined up to a
-                constant).
+                callables g(x, t) (Dirichlet), ``NeumannBC(flux)`` /
+                ``RobinBC(alpha, flux)`` (normal-flux data
+                alpha u + kappa du/dn = g — beyond-reference), or None
+                (no BC on that segment).  A single scalar/callable is
+                broadcast to every segment.  At least one segment must be
+                Dirichlet: pure-Neumann problems are only determined up
+                to a constant, and pure-Robin (though well-posed for
+                alpha > 0) is rejected because the penalty-point set
+                would carry no Dirichlet rows.
     ic:         initial condition u0(x) (time-dependent only)
     c_ex:       optional exact solution u(x, t) for error reporting
     mor:        optional MORVar for parametric training

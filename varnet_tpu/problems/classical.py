@@ -146,11 +146,23 @@ def solve_ad_fdm_2d(
             if free_nodes.size:
                 # Robin: the ghost value u_g = u_refl + 2h(g - a u)/kappa
                 # contributes -2a/h on the diagonal (a = 0 for Neumann);
-                # a must be time-independent like the other operator fields
-                a_vals = pde.eval_robin_alpha(
-                    seg, nodes[free_nodes], np.zeros(free_nodes.size)
+                # a must be time-independent like the other operator
+                # fields — the variational path honors alpha(x, t), so a
+                # time-varying alpha would silently diverge here.
+                a_t0 = pde.eval_robin_alpha(
+                    seg, nodes[free_nodes], np.full(free_nodes.size, t0)
                 )
-                robin_diag[free_nodes] += -(2.0 / h_axis) * a_vals
+                a_t1 = pde.eval_robin_alpha(
+                    seg, nodes[free_nodes], np.full(free_nodes.size, t1)
+                )
+                if not np.allclose(a_t0, a_t1):
+                    raise ValueError(
+                        f"segment {seg}: Robin alpha varies in time; "
+                        "solve_ad_fdm_2d factorizes the operator once and "
+                        "requires time-independent alpha (like diff/vel/"
+                        "react)"
+                    )
+                robin_diag[free_nodes] += -(2.0 / h_axis) * a_t0
 
     def flux_source(t):
         """[N] boundary-source vector from NeumannBC segments at time t."""
