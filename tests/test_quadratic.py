@@ -17,6 +17,7 @@ from varnet_tpu.fem.element import build_test_classes, gauss_legendre
 from varnet_tpu.problems.analytic import (
     lshape_manufactured_2d,
     steady_ad_1d,
+    steady_ad_3d,
     transient_ad_2d,
 )
 
@@ -94,6 +95,8 @@ def _residual_of_function(fixed, grad_fn, dt_fn=None):
     # non-convex polygon: exercises the per-class support filter
     # (bubble classes use half-width h/2) around the re-entrant corner
     (lshape_manufactured_2d, (8, 16), None),
+    # 3-D x order-2 composition: 2^3 tensor-product classes on the box
+    (steady_ad_3d, (4, 8), None),
 ])
 def test_exact_solution_residual_converges_order2(case_fn, disc, tdisc):
     """Keystone (SURVEY.md §4): the weak residual of the analytic
