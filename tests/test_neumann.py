@@ -212,3 +212,37 @@ def test_robin_keystone_and_e2e():
     r = vn.refine_lm(steps=30, weight=(1.0, 10.0), cg_iters=40,
                      save_freq=10, verbose=False, matmul_precision=None)
     assert r.best_error() < 1e-3, r.best_error()
+
+
+def test_neumann_mor_pairing():
+    """MOR x Neumann composition: flux points pair with the mu samples
+    (sample index slowest) and the keystone still vanishes when g
+    depends on mu."""
+    from varnet_tpu.problems.adpde import MORVar
+
+    kappa = 0.2
+    k3 = np.pi / 3.0
+
+    def c_ex(x, t=None, mu=None):
+        x = np.atleast_2d(x)
+        amp = 1.0 if mu is None else mu[:, 0]
+        return amp * np.sin(k3 * x[:, 0])
+
+    def grad_mu(x, mu):
+        return (mu[:, 0] * k3 * np.cos(k3 * np.atleast_2d(x)[:, 0]))[:, None]
+
+    def flux_right(x, t, mu):
+        return kappa * grad_mu(x, mu)[:, 0]
+
+    pde = ADPDE(Domain1D(0.0, 1.0), diff=kappa, vel=1.0, source=0.0,
+                bcs=[0.0, NeumannBC(flux_right)],
+                mor=MORVar(np.array([[0.5], [2.0]])), c_ex=c_ex)
+    fd = build_fixed_data(pde, 10)
+    assert fd.neu is not None
+    d = 1
+    pts = fd.neu.coords[:, :d]
+    mus = fd.neu.coords[:, d:]
+    flux = np.einsum("nd,nd->n", fd.neu.dirs, grad_mu(pts, mus))
+    np.testing.assert_allclose(
+        (flux - fd.neu.values) * fd.neu.mask, 0.0, atol=1e-12
+    )
