@@ -125,3 +125,15 @@ def test_3d_end_to_end_train():
                      save_freq=12, verbose=False, matmul_precision=None,
                      error_disc=12)
     assert r.best_error() < 5e-2, r.best_error()
+
+
+def test_plot_fields_3d_slices(tmp_path):
+    import os
+
+    from varnet_tpu.viz.plot import plot_fields
+
+    case = steady_ad_3d()
+    files = plot_fields(case["pde"], str(tmp_path), disc=8)
+    names = {os.path.basename(f) for f in files}
+    assert "field_kappa_x2_0.50.png" in names
+    assert "field_vel_z_x2_0.50.png" in names

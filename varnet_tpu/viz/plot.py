@@ -205,6 +205,25 @@ def plot_fields(pde, folderpath: str, disc: int = 64, t: float = 0.0):
             plot_line_1d(x, {name: v}, title=name, path=p)
             out.append(p)
         return out
+    if pde.dim == 3:
+        def field_fn(name):
+            if name == "kappa":
+                return lambda pts: pde.eval_diff(
+                    pts, np.full(pts.shape[0], t) if td else None)
+            if name == "source":
+                return lambda pts: pde.eval_source(
+                    pts, np.full(pts.shape[0], t) if td else None)
+            j = {"vel_x": 0, "vel_y": 1, "vel_z": 2}[name]
+            return lambda pts: pde.eval_vel(
+                pts, np.full(pts.shape[0], t) if td else None)[:, j]
+
+        for name in ("kappa", "vel_x", "vel_y", "vel_z", "source"):
+            out += plot_slices_3d(pde.domain, field_fn(name), folderpath,
+                                  disc=min(disc, 48), fracs=(0.5,),
+                                  prefix=f"field_{name}")
+        return out
+    if pde.dim > 3:
+        raise ValueError(f"plot_fields supports dim <= 3 (got {pde.dim})")
     cp = ContourPlot(pde.domain, disc=disc)
     tcol = np.full(cp.points.shape[0], t) if td else None
     vel = pde.eval_vel(cp.points, tcol)
