@@ -100,3 +100,37 @@ def test_jit_and_vmap_compatible():
     x = jnp.ones((4, 2))
     u, du = jax.jit(lambda p, x: mlp_value_and_jac(p, x, "tanh", None, None))(params, x)
     assert u.shape == (4,) and du.shape == (4, 2)
+
+
+def test_evaluate_grad_matches_finite_differences():
+    """VarNet.evaluate_grad (beyond-reference flux evaluation): the
+    returned spatial gradient and u_t match central differences of
+    evaluate() on an untrained net — an exactness check of the public
+    jacobian surface, no training needed."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from varnet_tpu.api import VarNet
+    from varnet_tpu.problems.analytic import transient_ad_2d
+
+    case = transient_ad_2d()
+    vn = VarNet(case["pde"], layer_width=(10, 10), disc_num=6,
+                t_disc_num=4, b_disc_num=4, n_devices=1)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0.2, 0.8, size=(40, 2))
+    t = rng.uniform(0.1, 0.4, size=(40,))
+    out = vn.evaluate_grad(x, t)
+    assert out["u"].shape == (40,) and out["grad"].shape == (40, 2)
+
+    # eps balances truncation O(eps^2) against f32 rounding O(1e-7/eps):
+    # 1e-3 keeps both near 1e-4 relative
+    eps = 1e-3
+    for j in range(2):
+        dxp = x.copy(); dxp[:, j] += eps
+        dxm = x.copy(); dxm[:, j] -= eps
+        fd = (vn.evaluate(dxp, t) - vn.evaluate(dxm, t)) / (2 * eps)
+        np.testing.assert_allclose(out["grad"][:, j], fd, rtol=3e-3,
+                                   atol=3e-5)
+    fd_t = (vn.evaluate(x, t + eps) - vn.evaluate(x, t - eps)) / (2 * eps)
+    np.testing.assert_allclose(out["u_t"], fd_t, rtol=3e-3, atol=3e-5)
+    np.testing.assert_allclose(out["u"], vn.evaluate(x, t), rtol=1e-5)

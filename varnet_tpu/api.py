@@ -1183,6 +1183,54 @@ class VarNet:
         with matmul_precision_scope(matmul_precision):
             return self._evaluate_inner(x, t, mu, theta, chunk)
 
+    def evaluate_grad(
+        self,
+        x: np.ndarray,
+        t: Optional[np.ndarray] = None,
+        mu: Optional[np.ndarray] = None,
+        theta: Any = None,
+        matmul_precision: Optional[str] = "highest",
+    ) -> Dict[str, np.ndarray]:
+        """u and its input derivatives at points (beyond-reference: users
+        need fluxes kappa grad u, not just u).
+
+        Returns ``{"u": [P], "grad": [P, d]}`` plus ``"u_t": [P]`` for
+        time-dependent problems.  Conventions match :meth:`evaluate`; the
+        jacobian comes from the model-consistent forward-mode chain (the
+        same path the Neumann flux penalty uses)."""
+        from .models.mlp import make_input_scaling, mlp_value_and_jac
+
+        coords = self._make_coords(x, t, mu)
+        theta = self.theta if theta is None else theta
+        net = theta["net"] if isinstance(theta, dict) and "net" in theta else theta
+
+        fn = getattr(self, "_grad_eval_fn", None)
+        if fn is None:
+            vj = self._value_and_jac_default or mlp_value_and_jac
+            if self.input_scaling:
+                scale, shift = make_input_scaling(
+                    self.static.input_lo, self.static.input_hi
+                )
+            else:
+                scale = shift = None
+            act = self.activation
+
+            def _call(p, flat):
+                return vj(p, flat, act, scale, shift)
+
+            fn = jax.jit(_call)
+            self._grad_eval_fn = fn
+
+        d = self.static.n_space
+        with matmul_precision_scope(matmul_precision):
+            u, du = fn(self._replicated(net), jnp.asarray(coords, self.dtype))
+        u = np.asarray(jax.device_get(u), dtype=np.float64)
+        du = np.asarray(jax.device_get(du), dtype=np.float64)
+        out = {"u": u, "grad": du[:, :d]}
+        if self.static.time_dependent:
+            out["u_t"] = du[:, d]
+        return out
+
     def _replicated(self, theta):
         """Replicate theta onto the mesh, cached by LEAF identity —
         error reports and chunked evaluation call this once per time
