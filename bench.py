@@ -37,6 +37,14 @@ QBLOCK = int(os.environ.get("BENCH_QBLOCK", 0)) or None
 # coefficients and sublane-aligned q-blocking
 PRECOEFF = os.environ.get("BENCH_PRECOEFF", "0") == "1"
 SUBLANE = os.environ.get("BENCH_SUBLANE", "0") == "1"
+# Fourier-feature trial net (BENCH_FOURIER = n_feat, 0 = plain MLP):
+# measures the FF directional kernel (the contaminant flagship's net
+# shape; scale fixed at the measured multi-scale recipe)
+FOURIER = int(os.environ.get("BENCH_FOURIER", 0))
+# BENCH_NO_FUSED=1 disables the fused-residual kernel (A/B: the
+# value+jac kernel + XLA contraction path the config would otherwise
+# auto-select past)
+NO_FUSED = os.environ.get("BENCH_NO_FUSED", "0") == "1"
 
 
 def main():
@@ -50,6 +58,9 @@ def main():
     enable_compilation_cache()
 
     case = transient_ad_2d()
+    ff_kwargs = {}
+    if FOURIER:
+        ff_kwargs = dict(fourier_features=FOURIER, fourier_scale=(0.5, 2.0))
     vn = VarNet(
         case["pde"],
         layer_width=(WIDTH, WIDTH),
@@ -59,6 +70,8 @@ def main():
         fused_q_block=QBLOCK,
         fused_precoeff=PRECOEFF,
         fused_sublane_pad=SUBLANE,
+        use_fused_residual=not NO_FUSED,
+        **ff_kwargs,
     )
     n_chips = vn.n_shards
     # The TPU tunnel occasionally drops a session mid-run (measured:
@@ -93,6 +106,7 @@ def main():
         "final_loss": res.losses[-1]["loss"] if res.losses else None,
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0].device_kind),
+        "fourier_features": FOURIER or None,
     }
     print(json.dumps(out))
 

@@ -67,3 +67,11 @@ step causal_lm           10800 benchmarks/run_resumable.sh 3600 3 \
     python -u benchmarks/contaminant_causal_lm.py
 
 echo "[tpu_queue] queue complete"
+
+# --- appended mid-outage (round 3 cont.): Fourier directional kernel ---
+# FF bench at the contaminant flagship's net shape (width 96, ff128
+# multi-scale): new fused FF kernel vs the value+jac fallback it replaces.
+step bench_ff_fused      2400 env BENCH_FOURIER=128 BENCH_WIDTH=96 python -u bench.py
+step bench_ff_fallback   2400 env BENCH_FOURIER=128 BENCH_WIDTH=96 BENCH_NO_FUSED=1 python -u bench.py
+
+echo "[tpu_queue] appended steps complete"

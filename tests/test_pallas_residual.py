@@ -423,3 +423,154 @@ def test_fused_residual_3d_transient():
     for a, b in zip(jax.tree_util.tree_leaves(g1),
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-6)
+
+
+# ---------------------------------------------------------------------- #
+# Fourier-embedded directional kernel (round 3): the embedding and its
+# directional tangent run in-kernel (_embed_dir), so FF configs (the
+# contaminant flagship) keep the fully-fused hot path.
+
+
+def _ff_reference_r(b, params, quad, st, scale, shift, td):
+    from varnet_tpu.models.mlp import ff_value_and_jac
+
+    k, nq, _ = quad.coords.shape
+    d = st.n_space
+    flat = quad.coords.reshape(k * nq, st.n_inputs)
+    u, du = ff_value_and_jac(b, params, flat, "tanh", scale, shift)
+    gu = du[:, :d].reshape(k, nq, d)
+    ut = du[:, d].reshape(k, nq) if td else None
+    return weak_residual(
+        gu, quad.N, quad.dN, quad.w, quad.kappa, quad.vel, quad.src, ut
+    )
+
+
+def _ff_case(multiscale=False):
+    from varnet_tpu.models.mlp import make_fourier_features
+
+    case = transient_ad_2d()
+    fd = build_fixed_data(case["pde"], 8, t_disc_num=4, b_disc_num=4)
+    st = fd.static
+    quad = jax.tree_util.tree_map(jnp.asarray, fd.quad)
+    b = make_fourier_features(
+        jax.random.PRNGKey(3), st.n_inputs, 8,
+        scale=(0.5, 2.0) if multiscale else 0.7,
+    )
+    params = init_mlp(jax.random.PRNGKey(0), 16, (16, 16))
+    scale, shift = make_input_scaling(st.input_lo, st.input_hi)
+    bt = (2.0 * jnp.pi) * jnp.transpose(b).astype(jnp.float32)
+    return b, bt, params, quad, st, scale, shift
+
+
+@pytest.mark.parametrize("multiscale", [False, True],
+                         ids=["single-scale", "multi-scale"])
+def test_fused_residual_fourier_matches_reference(multiscale):
+    b, bt, params, quad, st, scale, shift = _ff_case(multiscale)
+    r_ref = _ff_reference_r(b, params, quad, st, scale, shift, True)
+    r = pallas_fused_residual(
+        params, quad, "tanh", scale, shift, time_dependent=True, tile=49,
+        interpret=True, fourier_bt=bt,
+    )
+    np.testing.assert_allclose(r, r_ref, rtol=1e-5, atol=1e-7)
+
+
+def test_fused_residual_fourier_param_grads():
+    b, bt, params, quad, st, scale, shift = _ff_case()
+
+    def loss_kernel(p):
+        r = pallas_fused_residual(
+            p, quad, "tanh", scale, shift, time_dependent=True, tile=49,
+            interpret=True, fourier_bt=bt,
+        )
+        return jnp.sum(r**2)
+
+    def loss_ref(p):
+        return jnp.sum(_ff_reference_r(b, p, quad, st, scale, shift, True) ** 2)
+
+    gk = jax.grad(loss_kernel)(params)
+    gr = jax.grad(loss_ref)(params)
+    for lk, lr in zip(gk, gr):
+        for key in ("w", "b"):
+            np.testing.assert_allclose(
+                lk[key], lr[key],
+                rtol=1e-4, atol=1e-6 * float(jnp.max(jnp.abs(lr[key])) + 1),
+            )
+
+
+def test_fused_residual_fourier_validation():
+    b, bt, params, quad, st, scale, shift = _ff_case()
+    with pytest.raises(ValueError, match="directional"):
+        pallas_fused_residual(
+            params, quad, "tanh", scale, shift, time_dependent=True,
+            tile=49, interpret=True, fourier_bt=bt, directional=False,
+        )
+    with pytest.raises(ValueError, match="q_block"):
+        pallas_fused_residual(
+            params, quad, "tanh", scale, shift, time_dependent=True,
+            tile=49, interpret=True, fourier_bt=bt, q_block=2,
+        )
+    with pytest.raises(ValueError, match="precoeff"):
+        pallas_fused_residual(
+            params, quad, "tanh", scale, shift, time_dependent=True,
+            tile=49, interpret=True, fourier_bt=bt, precoeff=True,
+        )
+
+
+def test_varnet_fourier_hook_selected():
+    """Hot-path selection: an FF VarNet on the (simulated) TPU backend gets
+    the fused kernel with fourier_bt bound; precoeff keeps the fallback."""
+    from varnet_tpu.api import VarNet
+    from varnet_tpu.problems.analytic import steady_ad_2d
+
+    case = steady_ad_2d(kappa=0.1)
+    vn = VarNet(case["pde"], layer_width=(16, 16), disc_num=10,
+                n_devices=1, fourier_features=8, use_pallas=True)
+    hook = vn._fused_residual_hook(None)
+    assert hook is not None
+    assert hook.keywords["fourier_bt"].shape == (8, 2)
+    vn2 = VarNet(case["pde"], layer_width=(16, 16), disc_num=10,
+                 n_devices=1, fourier_features=8, use_pallas=True,
+                 fused_precoeff=True)
+    assert vn2._fused_residual_hook(None) is None
+
+
+def test_varnet_trains_with_fourier_fused_residual():
+    """End-to-end on the CPU backend: FF net + fused residual kernel
+    (interpret mode) through make_loss_fn, loss decreases."""
+    import functools
+
+    from varnet_tpu.models.mlp import ff_apply, make_fourier_features
+    from varnet_tpu.train.loss import make_loss_fn
+    from varnet_tpu.train.optim import OptimizerConfig, make_optimizer
+    from varnet_tpu.train.trainer import make_train_step
+    from varnet_tpu.fem.assembly import pad_points, pad_quad
+    from varnet_tpu.parallel.mesh import (
+        make_mesh, replicate, shard_points, shard_quad,
+    )
+    from varnet_tpu.problems.analytic import steady_ad_1d
+
+    case = steady_ad_1d(kappa=0.2)
+    fd = build_fixed_data(case["pde"], 15)
+    mesh = make_mesh(1)
+    quad = shard_quad(pad_quad(fd.quad, 1), mesh)
+    bc = shard_points(pad_points(fd.bc, 1), mesh)
+    b = make_fourier_features(jax.random.PRNGKey(5), 1, 6, scale=0.5)
+    bt = (2.0 * jnp.pi) * jnp.transpose(b).astype(jnp.float32)
+    fused = functools.partial(
+        pallas_fused_residual, time_dependent=False, has_react=False,
+        tile=14, interpret=True, fourier_bt=bt,
+    )
+    loss_fn = make_loss_fn(
+        fd.static, fused_residual=fused,
+        apply_fn=functools.partial(ff_apply, b),
+    )
+    opt = make_optimizer(OptimizerConfig())
+    theta = replicate(init_mlp(jax.random.PRNGKey(0), 12, (8, 8)), mesh)
+    opt_state = replicate(opt.init(theta), mesh)
+    step = make_train_step(loss_fn, opt, mesh=mesh)
+    w = jnp.asarray([1.0, 10.0, 0.0, 0.0])
+    losses = []
+    for _ in range(30):
+        theta, opt_state, aux = step(theta, opt_state, quad, bc, None, None, w)
+        losses.append(float(aux["loss"]))
+    assert losses[-1] < losses[0]

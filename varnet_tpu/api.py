@@ -264,7 +264,12 @@ class VarNet:
             not self.use_pallas
             or not self.use_fused_residual
             or self.source_fn is not None
-            or self.fourier_b is not None
+            # Fourier-embedded nets ride the directional kernel (the
+            # embedding + its tangent run in-kernel, _embed_dir); the
+            # precoeff variant and order-2 tables keep the general path
+            or (self.fourier_b is not None
+                and (not self.fused_directional or self.fused_precoeff
+                     or self.test_order != 1))
             # shared-[nQ]-table kernels can't express order 2; the
             # precoeff variant folds the tables into the data and can
             or (self.test_order != 1 and not self.fused_precoeff)
@@ -279,6 +284,11 @@ class VarNet:
             if matmul_precision in ("highest", "float32")
             else None
         )
+        fourier_bt = None
+        if self.fourier_b is not None:
+            fourier_bt = (2.0 * jnp.pi) * jnp.transpose(
+                jnp.asarray(self.fourier_b, jnp.float32)
+            )
         return functools.partial(
             pallas_fused_residual,
             time_dependent=self.static.time_dependent,
@@ -288,6 +298,7 @@ class VarNet:
             q_block=self.fused_q_block,
             precoeff=self.fused_precoeff,
             sublane_pad=self.fused_sublane_pad,
+            fourier_bt=fourier_bt,
         )
 
     def _prepare_fused_layout(self, quad_h, matmul_precision=None):
@@ -311,11 +322,12 @@ class VarNet:
         if self.fused_sublane_pad:
             h_max = -(-h_max // 8) * 8  # layout must match the padded widths
         nq = quad_h.coords.shape[1]
+        n_ff = 0 if self.fourier_b is None else int(self.fourier_b.shape[1])
         G, tile = resolve_layout(
             h_max, nq, len(net), self.static.n_inputs,
             activation=self.activation, directional=self.fused_directional,
             interpret=False, tile=None, q_block=self.fused_q_block,
-            precision=matmul_precision,
+            precision=matmul_precision, n_ff=n_ff,
         )
         if self.input_scaling:
             scale, shift = make_input_scaling(
@@ -1023,24 +1035,27 @@ class VarNet:
         if self._apply_override is not None:
             res_kwargs["apply_fn"] = self._apply_override
         jvp_kwargs = dict(res_kwargs)
-        if self.use_pallas and self.fourier_b is None:
+        if self.use_pallas:
             # Fused kernels: the VJP-wrapped one backs J^T w (reverse mode),
-            # the JVP-wrapped twin backs J v (forward mode).
-            from .ops.pallas_mlp import pallas_value_and_jac_jvp
-
+            # the JVP-wrapped twin backs J v (forward mode).  The Fourier
+            # variant only has the VJP-wrapped kernel; its J v side stays
+            # on the general forward-mode path (jvp_kwargs untouched).
             res_kwargs["value_and_jac"] = self._pallas_value_and_jac(
                 matmul_precision
             )
-            prec = (
-                jax.lax.Precision.HIGHEST
-                if matmul_precision in ("highest", "float32")
-                else None
-            )
-            import functools
+            if self.fourier_b is None:
+                from .ops.pallas_mlp import pallas_value_and_jac_jvp
 
-            jvp_kwargs["value_and_jac"] = functools.partial(
-                pallas_value_and_jac_jvp, precision=prec
-            )
+                prec = (
+                    jax.lax.Precision.HIGHEST
+                    if matmul_precision in ("highest", "float32")
+                    else None
+                )
+                import functools
+
+                jvp_kwargs["value_and_jac"] = functools.partial(
+                    pallas_value_and_jac_jvp, precision=prec
+                )
         common = dict(
             activation=self.activation,
             input_scaling=self.input_scaling,

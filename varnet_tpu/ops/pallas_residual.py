@@ -275,15 +275,46 @@ def _dir_coeffs(f_ref, tab_ref, scale_ref, q, d, td, has_react, like,
     return c_rows, cu, -w_q * n_q * src
 
 
-def _dir_forward(_mm, act, act_p, n_in, n_layers, w_refs, xs, c_rows, t):
-    """2-panel packed forward: s = [a | tangent].  Returns (u, dd, s_packed,
-    zs, acts, jpre0) — jpre0 is the layer-1 tangent pre-activation (needed
-    by the backward's gz term)."""
+def _embed_dir(xs, c_rows, bt, n_in):
+    """Fourier layer-0 operands for the directional kernel.
+
+    bt = 2*pi*B^T [F, n_in] (fixed, non-trainable).  Returns
+    a0 = [sin | cos](bt @ xs)  [2F, T]   — the embedded input, and
+    d0 = dphi(xs) . c          [2F, T]   — its directional tangent, the
+    contraction of the embedding jacobian (cf. pallas_mlp._embed, which
+    seeds FULL per-coordinate panels) with the weak-form direction c.
+    Both consume SCALED inputs; the input scale stays folded into c by
+    _dir_coeffs exactly as in the plain path."""
+    c = jnp.concatenate(c_rows, axis=0)  # [n_in, T]
+    ang = _small_k_mm(bt, xs, n_in)      # [F, T]
+    pc = _small_k_mm(bt, c, n_in)        # [F, T]
+    sn, cs = jnp.sin(ang), jnp.cos(ang)
+    a0 = jnp.concatenate([sn, cs], axis=0)
+    d0 = jnp.concatenate([cs * pc, -sn * pc], axis=0)
+    return a0, d0
+
+
+def _dir_layer0(_mm, n_in, n_ff, w_refs, xs, c_rows, bt_ref):
+    """Layer-0 pre-activations (z, jpre0) plus the effective layer-0 input
+    pair (x0, t0) the backward contracts weight gradients against: the
+    embedded (a0, d0) under Fourier features, raw (xs, c) otherwise."""
+    if n_ff:
+        a0, d0 = _embed_dir(xs, c_rows, bt_ref[:], n_in)
+        z = _mm(w_refs[0][:], a0) + w_refs[1][:]
+        jpre0 = _mm(w_refs[0][:], d0)
+        return z, jpre0, a0, d0
     c = jnp.concatenate(c_rows, axis=0)  # [n_in, T]
     z = _small_k_mm(w_refs[0][:], xs, n_in) + w_refs[1][:]
+    jpre0 = _small_k_mm(w_refs[0][:], c, n_in)  # [H, T]
+    return z, jpre0, xs, c
+
+
+def _dir_forward_from(_mm, act, act_p, n_layers, w_refs, z, jpre0, t):
+    """2-panel packed forward from layer-0 pre-activations: s = [a | tangent].
+    Returns (u, dd, s_packed, zs, acts, jpre0) — jpre0 is the layer-1
+    tangent pre-activation (needed by the backward's gz term)."""
     a = act(z)
     sp = act_p(z, a)
-    jpre0 = _small_k_mm(w_refs[0][:], c, n_in)  # [H, T]
     s = jnp.concatenate([a, sp * jpre0], axis=1)  # [H, 2T]
     zs, acts, s_packed = [z], [a], [s]
     for l in range(1, n_layers - 1):
@@ -304,13 +335,16 @@ def _dir_forward(_mm, act, act_p, n_in, n_layers, w_refs, xs, c_rows, t):
 
 
 def _dir_fwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
-                    *refs):
-    """refs: xs [n_in,T], f [n_f,T], tab (SMEM), scale (SMEM), Wt/b, r [1,T]."""
+                    n_ff, *refs):
+    """refs: xs [n_in,T], f [n_f,T], tab (SMEM), scale (SMEM)[, bt [F,n_in]
+    when n_ff > 0], Wt/b, r [1,T]."""
     _mm = _make_mm(precision)
     act, act_p, _ = _act_pair(activation)
     xs_ref, f_ref, tab_ref, scale_ref = refs[:4]
-    w_refs = refs[4 : 4 + 2 * n_layers]
-    r_ref = refs[4 + 2 * n_layers]
+    base = 5 if n_ff else 4
+    bt_ref = refs[4] if n_ff else None
+    w_refs = refs[base : base + 2 * n_layers]
+    r_ref = refs[base + 2 * n_layers]
     t = xs_ref.shape[1]
     q = pl.program_id(1)
 
@@ -318,8 +352,10 @@ def _dir_fwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
         f_ref, tab_ref, scale_ref, q, d, td, has_react, f_ref[0:1, :],
         n_mor=n_in - d - (1 if td else 0),
     )
-    u, dd, _, _, _, _ = _dir_forward(
-        _mm, act, act_p, n_in, n_layers, w_refs, xs_ref[:], c_rows, t
+    z, jpre0, _, _ = _dir_layer0(_mm, n_in, n_ff, w_refs, xs_ref[:], c_rows,
+                                 bt_ref)
+    u, dd, _, _, _, _ = _dir_forward_from(
+        _mm, act, act_p, n_layers, w_refs, z, jpre0, t
     )
     contrib = dd + c_src
     if cu is not None:
@@ -335,13 +371,16 @@ def _dir_fwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
 
 
 def _dir_bwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
-                    *refs):
-    """refs: xs, f, tab, scale, gr [1,T], Wt/b pairs, outs dWt/db pairs."""
+                    n_ff, *refs):
+    """refs: xs, f, tab, scale[, bt], gr [1,T], Wt/b pairs, outs dWt/db."""
     _mm = _make_mm(precision)
     act, act_p, act_pp = _act_pair(activation)
-    xs_ref, f_ref, tab_ref, scale_ref, gr_ref = refs[:5]
-    w_refs = refs[5 : 5 + 2 * n_layers]
-    out_refs = refs[5 + 2 * n_layers :]
+    xs_ref, f_ref, tab_ref, scale_ref = refs[:4]
+    base = 5 if n_ff else 4
+    bt_ref = refs[4] if n_ff else None
+    gr_ref = refs[base]
+    w_refs = refs[base + 1 : base + 1 + 2 * n_layers]
+    out_refs = refs[base + 1 + 2 * n_layers :]
     t = xs_ref.shape[1]
     i = pl.program_id(0)
     q = pl.program_id(1)
@@ -351,8 +390,9 @@ def _dir_bwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
         f_ref, tab_ref, scale_ref, q, d, td, has_react, f_ref[0:1, :],
         n_mor=n_in - d - (1 if td else 0),
     )
-    u, dd, s_packed, zs, acts, jpre0 = _dir_forward(
-        _mm, act, act_p, n_in, n_layers, w_refs, xs, c_rows, t
+    z0, jp0, x0, t0 = _dir_layer0(_mm, n_in, n_ff, w_refs, xs, c_rows, bt_ref)
+    u, dd, s_packed, zs, acts, jpre0 = _dir_forward_from(
+        _mm, act, act_p, n_layers, w_refs, z0, jp0, t
     )
     del u, dd
     gr = gr_ref[:]
@@ -400,8 +440,14 @@ def _dir_bwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
         gz = sp * ga + spp * (g_jac * pre)
         g_p = sp * g_jac
         if l == 0:
-            c = jnp.concatenate(c_rows, axis=0)
-            d_wt = _small_n_mm_t(gz, xs, n_in) + _small_n_mm_t(g_p, c, n_in)
+            if n_ff:
+                # embedded inputs: full matmuls against a0/d0 (B is fixed,
+                # so parameter gradients stop at the first weight)
+                d_wt = _mm(gz, x0.T) + _mm(g_p, t0.T)
+            else:
+                d_wt = _small_n_mm_t(gz, x0, n_in) + _small_n_mm_t(
+                    g_p, t0, n_in
+                )
             accum(out_refs[0], d_wt)
             accum(out_refs[1], jnp.sum(gz, axis=1, keepdims=True))
         else:
@@ -417,7 +463,7 @@ def _round_up(n, m):
 
 def resolve_layout(h_max, nq, n_layers, n_in, activation="tanh",
                    directional=True, interpret=False, tile=None,
-                   q_block=None, precision=None):
+                   q_block=None, precision=None, n_ff=0):
     """(G, tile) the fused-residual dispatcher will use — exposed so the
     trainer can PRECOMPUTE the kernel's data layout once (see
     prepare_residual_layout) with guaranteed-matching parameters.
@@ -435,27 +481,39 @@ def resolve_layout(h_max, nq, n_layers, n_in, activation="tanh",
     )
     if q_block is None:
         q_block = 1
-        if directional and not interpret and not highest:
+        if directional and not interpret and not highest and not n_ff:
             for g_try in (4, 2):
                 if g_try * h_max <= 80 and nq % g_try == 0:
                     q_block = g_try
                     break
     G = int(q_block)
+    if n_ff and G != 1:
+        raise ValueError("fourier_bt requires q_block == 1")
     if tile is None:
         tile = DEFAULT_TILE_K_DIR if directional else DEFAULT_TILE_K
     eff_in = 1 if directional else n_in
     from .pallas_mlp import _VMEM_BUDGET_BYTES, _auto_tile
 
+    if n_ff:
+        # Fourier path: the embedded a0/d0 panels ([2F, T] each) stay live
+        # through the whole backward, like one extra layer of width 2F;
+        # budget stays at the default (the doubled-budget envelope below
+        # was measured for the plain kernels only).
+        h_eff = max(h_max, 2 * n_ff)
+        layers_eff = n_layers + 1
+    else:
+        h_eff, layers_eff = h_max, n_layers
     if highest:
         budget = (3 * _VMEM_BUDGET_BYTES) // 4
     elif (directional and activation in ("tanh", "sigmoid")
-          and G * h_max <= 80):
+          and G * h_max <= 80 and not n_ff):
         # tanh/sigmoid never read the retained pre-activation panels, so
         # within the measured envelope the effective budget doubles
         budget = 2 * _VMEM_BUDGET_BYTES
     else:
         budget = None  # _auto_tile default
-    tile = _auto_tile(tile, G * h_max, n_layers, eff_in, budget_bytes=budget)
+    tile = _auto_tile(tile, G * h_eff, layers_eff, eff_in,
+                      budget_bytes=budget)
     return G, tile
 
 
@@ -512,10 +570,14 @@ def prepare_residual_layout(quad, scale, shift, *, has_react, G, tile):
 
 @functools.lru_cache(maxsize=32)
 def _fused_residual_fn(n_in, n_layers, d, td, has_react, activation, tile,
-                       nq, interpret, precision=None, directional=True):
+                       nq, interpret, precision=None, directional=True,
+                       n_ff=0):
     n_f = 1 + d + 1 + (1 if has_react else 0)  # kappa, vel, src[, react]
 
-    def make_call(kernel, extra_in, out_specs, out_shape):
+    def make_call(kernel, extra_kinds, out_specs, out_shape):
+        # extra_kinds: per extra operand, "full" = whole-array block
+        # (e.g. the Fourier bt matrix), "tile" = [1, tile] column block
+        # indexed by i (the residual cotangent gr in the backward).
         def call(wts, bs, xs, f, tab, scale, *extra):
             kp = xs.shape[1] // nq
             n_i = kp // tile
@@ -533,11 +595,17 @@ def _fused_residual_fn(n_in, n_layers, d, td, has_react, activation, tile,
                 pl.BlockSpec(scale.shape, lambda i, q: (0, 0),
                              memory_space=pltpu.SMEM),
             ]
-            if extra_in:
-                in_specs.append(
-                    pl.BlockSpec((1, tile), lambda i, q: (0, i),
-                                 memory_space=pltpu.VMEM)
-                )
+            for a, kind in zip(extra, extra_kinds):
+                if kind == "full":
+                    in_specs.append(
+                        pl.BlockSpec(a.shape, lambda i, q: (0, 0),
+                                     memory_space=pltpu.VMEM)
+                    )
+                else:
+                    in_specs.append(
+                        pl.BlockSpec((1, tile), lambda i, q: (0, i),
+                                     memory_space=pltpu.VMEM)
+                    )
             wb = []
             for wt, b in zip(wts, bs):
                 wb += [wt, b]
@@ -558,17 +626,21 @@ def _fused_residual_fn(n_in, n_layers, d, td, has_react, activation, tile,
 
         return call
 
+    if n_ff and not directional:
+        raise ValueError("n_ff > 0 requires directional=True")
+    dir_extra = (n_ff,) if directional else ()
     fwd_kernel = functools.partial(
         _dir_fwd_kernel if directional else _fused_fwd_kernel,
-        n_in, n_layers, d, td, has_react, activation, precision,
+        n_in, n_layers, d, td, has_react, activation, precision, *dir_extra,
     )
     bwd_kernel = functools.partial(
         _dir_bwd_kernel if directional else _fused_bwd_kernel,
-        n_in, n_layers, d, td, has_react, activation, precision,
+        n_in, n_layers, d, td, has_react, activation, precision, *dir_extra,
     )
 
+    ff_kinds = ("full",) if n_ff else ()
     fwd_call = make_call(
-        fwd_kernel, extra_in=False,
+        fwd_kernel, extra_kinds=ff_kinds,
         out_specs=lambda wts, bs, kp: pl.BlockSpec(
             (1, tile), lambda i, q: (0, i), memory_space=pltpu.VMEM
         ),
@@ -595,8 +667,29 @@ def _fused_residual_fn(n_in, n_layers, d, td, has_react, activation, tile,
             ]
         return shapes
 
-    bwd_call = make_call(bwd_kernel, extra_in=True,
+    bwd_call = make_call(bwd_kernel, extra_kinds=ff_kinds + ("tile",),
                          out_specs=bwd_out_specs, out_shape=bwd_out_shape)
+
+    if n_ff:
+        @jax.custom_vjp
+        def f(wts, bs, xs, flds, tab, scale, bt):
+            return fwd_call(wts, bs, xs, flds, tab, scale, bt)
+
+        def f_fwd(wts, bs, xs, flds, tab, scale, bt):
+            return (f(wts, bs, xs, flds, tab, scale, bt),
+                    (wts, bs, xs, flds, tab, scale, bt))
+
+        def f_bwd(res, gr):
+            wts, bs, xs, flds, tab, scale, bt = res
+            grads = bwd_call(wts, bs, xs, flds, tab, scale, bt, gr)
+            d_wts = tuple(grads[2 * l] for l in range(n_layers))
+            d_bs = tuple(grads[2 * l + 1] for l in range(n_layers))
+            return (d_wts, d_bs, jnp.zeros_like(xs), jnp.zeros_like(flds),
+                    jnp.zeros_like(tab), jnp.zeros_like(scale),
+                    jnp.zeros_like(bt))
+
+        f.defvjp(f_fwd, f_bwd)
+        return f
 
     @jax.custom_vjp
     def f(wts, bs, xs, flds, tab, scale):
@@ -1279,15 +1372,25 @@ def pallas_fused_residual(
     prepared=None,
     precoeff: bool = False,
     sublane_pad: bool = False,
+    fourier_bt=None,
 ):
     """Weak residual r [K] via the fully-fused kernel.
 
     params: MLP pytree; quad: QuadData (device arrays); scale/shift: input
-    scaling (or None).  Restriction: plain MLP trial function, fixed source
-    (no trainable source_fn, no Fourier embedding — the general path
-    handles those).  MOR/parametric inputs ARE supported: any coordinate
+    scaling (or None).  Restriction: plain or Fourier-embedded MLP trial
+    function, fixed source (no trainable source_fn — the general path
+    handles that).  MOR/parametric inputs ARE supported: any coordinate
     columns beyond x (and t) get zero derivative coefficients (the weak
     form never differentiates in mu — SURVEY.md §3.5).
+
+    fourier_bt: optional [F, n_in] fixed matrix 2*pi*B^T — the trial net
+    is then MLP([sin|cos](x_scaled @ B * 2*pi)) (models.mlp.ff_apply).
+    The embedding and its directional tangent run IN-KERNEL (_embed_dir),
+    so Fourier-feature configs (e.g. the contaminant flagship) keep the
+    fully-fused hot path instead of falling back to the value+jac kernel.
+    Requires directional=True, no precoeff, order-1 test tables, and
+    forces q_block=1 (the blocked weights assume the raw-coordinate
+    layer 0; width-96 FF nets resolve to G=1 anyway).
 
     directional=True (default) uses the 2-panel directional-tangent kernel
     (the integrand contracts du with a fixed per-point direction, so the
@@ -1332,6 +1435,17 @@ def pallas_fused_residual(
             raise ValueError("sublane_pad requires precoeff=True")
         # pad BEFORE layout resolution so G/tile see the aligned widths
         params = _pad_hidden_widths(params)
+    n_ff = 0
+    if fourier_bt is not None:
+        if not directional:
+            raise ValueError("fourier_bt requires directional=True")
+        if precoeff:
+            raise ValueError("fourier_bt is not supported with precoeff=True")
+        n_ff = int(fourier_bt.shape[0])
+        if fourier_bt.shape != (n_ff, n_in):
+            raise ValueError(
+                f"fourier_bt shape {fourier_bt.shape} != (F, n_in={n_in})"
+            )
     h_max = max(l["w"].shape[1] for l in params)
     # Auto q_block: the largest G in {4, 2} whose blocked state fits the
     # MXU height and divides nq — measured best on v5e (kernel_probe.json).
@@ -1345,7 +1459,7 @@ def pallas_fused_residual(
     G, tile = resolve_layout(
         h_max, nq, n_layers, n_in, activation=activation,
         directional=directional, interpret=interpret, tile=tile,
-        q_block=q_block, precision=precision,
+        q_block=q_block, precision=precision, n_ff=n_ff,
     )
     if G > 1 and not directional:
         raise ValueError("q_block > 1 requires directional=True")
@@ -1437,7 +1551,11 @@ def pallas_fused_residual(
         f = _fused_residual_fn(
             n_in, n_layers, d, bool(time_dependent), bool(has_react),
             activation, tile, nqp, bool(interpret), precision,
-            directional=bool(directional),
+            directional=bool(directional), n_ff=n_ff,
         )
-    r = f(wts, bs, xs, flds, tab, scale_col)  # [1, kp]
+    if n_ff:
+        bt = jnp.asarray(fourier_bt, jnp.float32)
+        r = f(wts, bs, xs, flds, tab, scale_col, bt)  # [1, kp]
+    else:
+        r = f(wts, bs, xs, flds, tab, scale_col)  # [1, kp]
     return r[0, :k]
