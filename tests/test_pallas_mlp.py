@@ -201,3 +201,84 @@ def test_param_grads_with_scaling_multitile():
     g = jax.grad(functools.partial(loss, pvj))(params)
     for a, b in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5)
+
+
+def test_ff_jvp_kernel_matches_auto():
+    """The Fourier custom-JVP twin (LM's J v path for FF trial nets) must
+    reproduce jax.jvp of the XLA ff_value_and_jac path w.r.t. params."""
+    from varnet_tpu.models.mlp import ff_value_and_jac, make_fourier_features
+    from varnet_tpu.ops.pallas_mlp import pallas_ff_value_and_jac_jvp
+
+    n_in, n_feat = 3, 8
+    b = make_fourier_features(jax.random.PRNGKey(4), n_in, n_feat, scale=0.8)
+    params = init_mlp(jax.random.PRNGKey(0), 2 * n_feat, (8, 8))
+    tangent = jax.tree_util.tree_map(
+        lambda a: jax.random.normal(jax.random.PRNGKey(7), a.shape), params
+    )
+    scale, shift = make_input_scaling(np.zeros(n_in), 2 * np.ones(n_in))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (300, n_in), maxval=2.0)
+    kernel_fn = functools.partial(pallas_ff_value_and_jac_jvp, b, tile=128,
+                                  interpret=True)
+    ref_fn = functools.partial(ff_value_and_jac, b)
+
+    def f(vj_fn, p):
+        u, du = vj_fn(p, x, "tanh", scale, shift)
+        return jnp.concatenate([u[None, :] ** 2, du.T * u[None, :]])
+
+    out_ref, dout_ref = jax.jvp(
+        functools.partial(f, ref_fn), (params,), (tangent,)
+    )
+    out, dout = jax.jvp(functools.partial(f, kernel_fn), (params,), (tangent,))
+    # FF paths carry trig-evaluation noise on top of the matmul chain
+    # (cf. test_ff_kernel_matches_jnp_path's looser du tolerance)
+    np.testing.assert_allclose(out, out_ref, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(dout, dout_ref, rtol=2e-3, atol=1e-4)
+
+
+def test_lm_rides_ff_jvp_kernel_pair():
+    """make_lm_step with the Fourier (VJP, JVP) kernel-closure pair matches
+    the XLA-only FF pair on a tiny least-squares problem."""
+    from varnet_tpu.models.mlp import ff_value_and_jac, make_fourier_features
+    from varnet_tpu.ops.pallas_mlp import (
+        pallas_ff_value_and_jac,
+        pallas_ff_value_and_jac_jvp,
+    )
+    from varnet_tpu.train.gauss_newton import LMState, make_lm_step
+
+    b = make_fourier_features(jax.random.PRNGKey(4), 2, 6, scale=0.5)
+    params = init_mlp(jax.random.PRNGKey(0), 12, (8, 8))
+    from jax.flatten_util import ravel_pytree
+
+    flat0, unravel = ravel_pytree(params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (128, 2))
+    target = jnp.sin(x[:, 0]) * x[:, 1]
+
+    def make_closure(vj_fn):
+        def closure(flat):
+            u, du = vj_fn(unravel(flat), x, "tanh")
+            return jnp.concatenate([u - target, 0.1 * du[:, 0]])
+
+        return closure
+
+    c_vjp = make_closure(functools.partial(pallas_ff_value_and_jac, b,
+                                           tile=128, interpret=True))
+    c_jvp = make_closure(functools.partial(pallas_ff_value_and_jac_jvp, b,
+                                           tile=128, interpret=True))
+    c_xla = make_closure(functools.partial(ff_value_and_jac, b))
+
+    def run(step_fn, closure):
+        r0 = closure(flat0)
+        st = LMState(flat=flat0, lam=jnp.asarray(1e-2), loss=jnp.dot(r0, r0))
+        for _ in range(3):
+            st = step_fn(st)
+        return float(st.loss)
+
+    loss_kernel = run(
+        make_lm_step(c_vjp, cg_iters=20, residual_jvp=c_jvp), c_vjp
+    )
+    loss_xla = run(make_lm_step(c_xla, cg_iters=20), c_xla)
+    assert loss_kernel < 0.9 * float(jnp.dot(c_xla(flat0), c_xla(flat0)))
+    # 3 LM iterations amplify f32 trig-evaluation noise through the
+    # accept/reject damping logic -- 2% is trajectory agreement, not
+    # per-product precision (pinned by test_ff_jvp_kernel_matches_auto)
+    np.testing.assert_allclose(loss_kernel, loss_xla, rtol=2e-2)

@@ -1037,24 +1037,32 @@ class VarNet:
         jvp_kwargs = dict(res_kwargs)
         if self.use_pallas:
             # Fused kernels: the VJP-wrapped one backs J^T w (reverse mode),
-            # the JVP-wrapped twin backs J v (forward mode).  The Fourier
-            # variant only has the VJP-wrapped kernel; its J v side stays
-            # on the general forward-mode path (jvp_kwargs untouched).
+            # the JVP-wrapped twin backs J v (forward mode) — JAX allows one
+            # differentiation rule per function, hence the pair.  Both have
+            # Fourier-embedded variants.
+            import functools
+
+            from .ops.pallas_mlp import (
+                pallas_ff_value_and_jac_jvp,
+                pallas_value_and_jac_jvp,
+            )
+
             res_kwargs["value_and_jac"] = self._pallas_value_and_jac(
                 matmul_precision
             )
+            prec = (
+                jax.lax.Precision.HIGHEST
+                if matmul_precision in ("highest", "float32")
+                else None
+            )
             if self.fourier_b is None:
-                from .ops.pallas_mlp import pallas_value_and_jac_jvp
-
-                prec = (
-                    jax.lax.Precision.HIGHEST
-                    if matmul_precision in ("highest", "float32")
-                    else None
-                )
-                import functools
-
                 jvp_kwargs["value_and_jac"] = functools.partial(
                     pallas_value_and_jac_jvp, precision=prec
+                )
+            else:
+                jvp_kwargs["value_and_jac"] = functools.partial(
+                    pallas_ff_value_and_jac_jvp, self.fourier_b,
+                    precision=prec,
                 )
         common = dict(
             activation=self.activation,

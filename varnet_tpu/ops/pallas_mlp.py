@@ -368,6 +368,15 @@ def _jvp_kernel(n_in: int, n_layers: int, activation: str, precision, *refs):
         + [dsp * w1[:, j : j + 1] + sp * dw1[:, j : j + 1] for j in range(n_in)],
         axis=1,
     )
+    _jvp_tail(_mm, act, act_p, act_pp, n_in, n_layers, w_refs, dw_refs,
+              s, ds, t, out_ref)
+
+
+def _jvp_tail(_mm, act, act_p, act_pp, n_in, n_layers, w_refs, dw_refs,
+              s, ds, t, out_ref):
+    """Hidden + output layers of the parameter-tangent JVP propagation,
+    shared by the plain (_jvp_kernel) and Fourier (_jvp_kernel_ff) variants
+    (they differ only in how the layer-0 packed state (s, ds) is seeded)."""
     for l in range(1, n_layers - 1):
         wt, b = w_refs[2 * l][:], w_refs[2 * l + 1][:]
         dwt, db = dw_refs[2 * l][:], dw_refs[2 * l + 1][:]
@@ -395,6 +404,42 @@ def _jvp_kernel(n_in: int, n_layers: int, activation: str, precision, *refs):
         out_ref[j + 1 : j + 2, :] = doc[:, (j + 1) * t : (j + 2) * t]
 
 
+def _jvp_kernel_ff(n_in: int, n_layers: int, activation: str, precision,
+                   *refs):
+    """Fourier variant of _jvp_kernel: refs = xs, bt2pi, Wt/b pairs,
+    dWt/db pairs, out.  B is fixed (no tangent); the embedding (a0, j0)
+    seeds both the packed state and its parameter tangent:
+        z  = W1 a0 + b1,           dz  = dW1 a0 + db1
+        J_j = sp * (W1 j0_j),      dJ_j = dsp * (W1 j0_j) + sp * (dW1 j0_j)
+    """
+    _mm = _make_mm(precision)
+    act, act_p, act_pp = _act_pair(activation)
+    xs_ref, bt_ref = refs[0], refs[1]
+    w_refs = refs[2 : 2 + 2 * n_layers]
+    dw_refs = refs[2 + 2 * n_layers : 2 + 4 * n_layers]
+    out_ref = refs[2 + 4 * n_layers]
+    t = xs_ref.shape[1]
+
+    a0, j0 = _embed(xs_ref[:], bt_ref[:], _mm)
+    w1, b1 = w_refs[0][:], w_refs[1][:]
+    dw1, db1 = dw_refs[0][:], dw_refs[1][:]
+    z = _mm(w1, a0) + b1
+    dz = _mm(dw1, a0) + db1
+    a = act(z)
+    sp = act_p(z, a)
+    spp = act_pp(z, a, sp)
+    da = sp * dz
+    dsp = spp * dz
+    pre = [_mm(w1, j0[j]) for j in range(n_in)]
+    dpre = [_mm(dw1, j0[j]) for j in range(n_in)]
+    s = jnp.concatenate([a] + [sp * pre[j] for j in range(n_in)], axis=1)
+    ds = jnp.concatenate(
+        [da] + [dsp * pre[j] + sp * dpre[j] for j in range(n_in)], axis=1
+    )
+    _jvp_tail(_mm, act, act_p, act_pp, n_in, n_layers, w_refs, dw_refs,
+              s, ds, t, out_ref)
+
+
 def _jvp_pallas(wts, bs, dwts, dbs, xs_t, *, n_in, tile, activation, precision,
                 interpret):
     n_layers = len(wts)
@@ -419,6 +464,34 @@ def _jvp_pallas(wts, bs, dwts, dbs, xs_t, *, n_in, tile, activation, precision,
         out_shape=jax.ShapeDtypeStruct((1 + n_in, p_total), jnp.float32),
         interpret=interpret,
     )(xs_t, *wb)
+
+
+def _jvp_pallas_ff(wts, bs, dwts, dbs, xs_t, bt, *, n_in, tile, activation,
+                   precision, interpret):
+    n_layers = len(wts)
+    p_total = xs_t.shape[1]
+    in_specs = [
+        pl.BlockSpec((n_in, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec(bt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    wb = []
+    for wt, b in list(zip(wts, bs)) + list(zip(dwts, dbs)):
+        wb += [wt, b]
+        in_specs += [
+            pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+    kernel = functools.partial(_jvp_kernel_ff, n_in, n_layers, activation,
+                               precision)
+    return pl.pallas_call(
+        kernel,
+        grid=(p_total // tile,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1 + n_in, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1 + n_in, p_total), jnp.float32),
+        interpret=interpret,
+    )(xs_t, bt, *wb)
 
 
 @functools.lru_cache(maxsize=16)
@@ -449,6 +522,78 @@ def _fused_fn_jvp(n_in: int, n_layers: int, activation: str, tile: int,
         return out, dout
 
     return f
+
+
+@functools.lru_cache(maxsize=16)
+def _fused_fn_jvp_ff(n_in: int, n_layers: int, activation: str, tile: int,
+                     interpret: bool, precision=None):
+    """custom_jvp'd Fourier-embedded evaluation (forward-mode companion of
+    _fused_fn_ff).  PARAMETER tangents only: xs_t and bt are fixed data."""
+
+    @jax.custom_jvp
+    def f(wts, bs, xs_t, bt):
+        return _fwd_pallas_ff(
+            wts, bs, xs_t, bt, n_in=n_in, tile=tile,
+            activation=activation, precision=precision, interpret=interpret,
+        )
+
+    @f.defjvp
+    def f_jvp(primals, tangents):
+        wts, bs, xs_t, bt = primals
+        dwts, dbs, _, _ = tangents  # d(xs_t)/d(bt) ignored: fixed data
+        out = f(wts, bs, xs_t, bt)
+        dout = _jvp_pallas_ff(
+            wts, bs, tuple(dwts), tuple(dbs), xs_t, bt, n_in=n_in, tile=tile,
+            activation=activation, precision=precision, interpret=interpret,
+        )
+        return out, dout
+
+    return f
+
+
+def pallas_ff_value_and_jac_jvp(
+    b_mat,
+    params,
+    x: jax.Array,
+    activation: str = "tanh",
+    scale: Optional[jax.Array] = None,
+    shift: Optional[jax.Array] = None,
+    *,
+    tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+    precision=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Forward-mode-differentiable variant of :func:`pallas_ff_value_and_jac`
+    (the Fourier twin of :func:`pallas_value_and_jac_jvp`): supports
+    ``jax.jvp`` w.r.t. PARAMS with B and the input points treated as
+    constants — the Levenberg-Marquardt J v side for Fourier-embedded trial
+    nets.  NOT reverse-mode differentiable; pair with
+    ``pallas_ff_value_and_jac`` (see ``VarNet.refine_lm``)."""
+    p, n_in = x.shape
+    n_layers = len(params)
+    if n_layers < 2:
+        from ..models.mlp import ff_value_and_jac
+
+        return ff_value_and_jac(b_mat, params, x, activation, scale, shift)
+    h_max = max(l["w"].shape[1] for l in params)
+    tile = _auto_tile(tile, max(2 * b_mat.shape[1], h_max), n_layers, n_in)
+    f = _fused_fn_jvp_ff(n_in, n_layers, activation, tile, bool(interpret),
+                         precision)
+
+    xs = x if scale is None else (x - shift) * scale
+    xs_t = jnp.transpose(xs).astype(jnp.float32)
+    p_pad = _round_up(max(p, 1), tile)
+    if p_pad != p:
+        xs_t = jnp.pad(xs_t, ((0, 0), (0, p_pad - p)))
+    bt = (2.0 * jnp.pi) * jnp.transpose(b_mat).astype(jnp.float32)
+    wts = tuple(jnp.transpose(l["w"]).astype(jnp.float32) for l in params)
+    bs = tuple(jnp.reshape(l["b"], (-1, 1)).astype(jnp.float32) for l in params)
+    out = f(wts, bs, xs_t, bt)
+    u = out[0, :p]
+    du_scaled = out[1:, :p]
+    if scale is not None:
+        du_scaled = du_scaled * scale[:, None].astype(du_scaled.dtype)
+    return u, jnp.transpose(du_scaled)
 
 
 def pallas_value_and_jac_jvp(
