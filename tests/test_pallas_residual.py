@@ -574,3 +574,127 @@ def test_varnet_trains_with_fourier_fused_residual():
         theta, opt_state, aux = step(theta, opt_state, quad, bc, None, None, w)
         losses.append(float(aux["loss"]))
     assert losses[-1] < losses[0]
+
+
+# ---------------------------------------------------------------------- #
+# Inverse-source mode on the fused kernel (round 3): the trainable source
+# enters the weak residual linearly, so the kernel integrates with the
+# fixed source ZEROED and the loss adds the -s N w term XLA-side.
+
+
+def test_fused_loss_with_source_fn_matches_general():
+    """make_loss_fn(fused + source_fn) == make_loss_fn(general + source_fn):
+    loss values and gradients w.r.t. BOTH the net and the source params."""
+    import functools
+
+    from varnet_tpu.models.source import make_gaussian_source
+    from varnet_tpu.train.loss import make_loss_fn
+    from varnet_tpu.fem.assembly import pad_points, pad_quad
+    from varnet_tpu.parallel.mesh import (
+        make_mesh, replicate, shard_points, shard_quad,
+    )
+    from varnet_tpu.problems.analytic import inverse_source_2d
+
+    case = inverse_source_2d(kappa=0.1, n_obs=20)
+    fd = build_fixed_data(case["pde"], 8)
+    st = fd.static
+    mesh = make_mesh(1)
+    quad_gen = shard_quad(pad_quad(fd.quad, 1), mesh)
+    # fused path contract: the fixed source field is zeroed by the trainer
+    quad_fused = quad_gen._replace(src=jnp.zeros_like(quad_gen.src))
+    bc = shard_points(pad_points(fd.bc, 1), mesh)
+    source_fn, phi0 = make_gaussian_source(2)
+    theta = {
+        "net": init_mlp(jax.random.PRNGKey(0), st.n_inputs, (8, 8)),
+        "src": phi0,
+    }
+    k = fd.quad.coords.shape[0]
+    tile = k  # one padded tile
+    fused = functools.partial(
+        pallas_fused_residual, time_dependent=False, has_react=False,
+        tile=tile, interpret=True,
+    )
+    loss_fused = make_loss_fn(st, source_fn=source_fn, fused_residual=fused)
+    loss_gen = make_loss_fn(st, source_fn=source_fn)
+    w = jnp.asarray([1.0, 10.0, 0.0, 0.0])
+
+    vf, auxf = loss_fused(theta, quad_fused, bc, None, None, w)
+    vg, auxg = loss_gen(theta, quad_gen, bc, None, None, w)
+    np.testing.assert_allclose(float(vf), float(vg), rtol=1e-5)
+
+    gf = jax.grad(lambda th: loss_fused(th, quad_fused, bc, None, None, w)[0])(theta)
+    gg = jax.grad(lambda th: loss_gen(th, quad_gen, bc, None, None, w)[0])(theta)
+    for a, b in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gg)):
+        np.testing.assert_allclose(
+            a, b, rtol=5e-4, atol=1e-6 * float(jnp.max(jnp.abs(b)) + 1)
+        )
+
+
+def test_varnet_source_fn_hook_selected():
+    """Inverse-source VarNets now keep the fused hot path (the hook no
+    longer bails on source_fn); the trainer zeroes the fixed source."""
+    from varnet_tpu.api import VarNet
+    from varnet_tpu.models.source import make_gaussian_source
+    from varnet_tpu.fem.assembly import PointData
+    from varnet_tpu.problems.analytic import inverse_source_2d
+
+    case = inverse_source_2d(kappa=0.1, n_obs=10)
+    source_fn, phi0 = make_gaussian_source(2)
+    obs = PointData(
+        coords=case["obs_x"], values=case["obs_u"],
+        mask=np.ones(case["obs_x"].shape[0]),
+    )
+    vn = VarNet(case["pde"], layer_width=(8, 8), disc_num=8, n_devices=1,
+                source_fn=source_fn, source_init=phi0, obs_data=obs,
+                use_pallas=True)
+    assert vn._fused_residual_hook(None) is not None
+
+
+def test_fused_residual_fourier_mor_matches_reference():
+    """Composition pin: Fourier embedding x parametric (MOR) inputs — the
+    embedding spans ALL inputs (x and mu), the contraction direction is
+    zero on the mu rows, values + parameter grads match the FF general
+    path."""
+    from varnet_tpu.models.mlp import ff_value_and_jac, make_fourier_features
+    from varnet_tpu.problems.analytic import mor_steady_ad_2d
+
+    case = mor_steady_ad_2d(vels=(0.5, 1.5))
+    fd = build_fixed_data(case["pde"], 6, b_disc_num=4)
+    st = fd.static
+    quad = jax.tree_util.tree_map(jnp.asarray, fd.quad)
+    b = make_fourier_features(jax.random.PRNGKey(3), st.n_inputs, 8, scale=0.6)
+    bt = (2.0 * jnp.pi) * jnp.transpose(b).astype(jnp.float32)
+    params = init_mlp(jax.random.PRNGKey(0), 16, (16, 16))
+    scale, shift = make_input_scaling(st.input_lo, st.input_hi)
+    k, nq, _ = quad.coords.shape
+    d = st.n_space
+    flat = quad.coords.reshape(k * nq, st.n_inputs)
+
+    def ref_r(p):
+        u, du = ff_value_and_jac(b, p, flat, "tanh", scale, shift)
+        gu = du[:, :d].reshape(k, nq, d)
+        return weak_residual(
+            gu, quad.N, quad.dN, quad.w, quad.kappa, quad.vel, quad.src, None
+        )
+
+    r_ref = ref_r(params)
+    r = pallas_fused_residual(
+        params, quad, "tanh", scale, shift, time_dependent=False,
+        tile=25, interpret=True, fourier_bt=bt,
+    )
+    np.testing.assert_allclose(r, r_ref, rtol=1e-5, atol=1e-7)
+
+    cw = jax.random.normal(jax.random.PRNGKey(5), (k,))
+
+    def loss(fn, p):
+        rr = fn(p)
+        return jnp.sum(rr * cw) + jnp.sum(rr * rr)
+
+    g1 = jax.grad(lambda p: loss(ref_r, p))(params)
+    g2 = jax.grad(lambda p: loss(
+        lambda q: pallas_fused_residual(
+            q, quad, "tanh", scale, shift, time_dependent=False,
+            tile=25, interpret=True, fourier_bt=bt,
+        ), p))(params)
+    for a, b2 in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(a, b2, rtol=5e-4, atol=5e-6)

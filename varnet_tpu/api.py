@@ -263,7 +263,6 @@ class VarNet:
         if (
             not self.use_pallas
             or not self.use_fused_residual
-            or self.source_fn is not None
             # Fourier-embedded nets ride the directional kernel (the
             # embedding + its tangent run in-kernel, _embed_dir); the
             # precoeff variant and order-2 tables keep the general path
@@ -544,7 +543,17 @@ class VarNet:
             w_full = [w_full[0], w_full[1], 0.0, w_full[2]]
 
         multiple = int(batch_num) * self.n_shards
+        fused = None if value_and_jac is not None else self._fused_residual_hook(
+            matmul_precision
+        )
         quad_h = pad_quad(self.fixed.quad, multiple)
+        if fused is not None and self.source_fn is not None:
+            # Inverse-source mode on the fused kernel: the trainable source
+            # enters the weak residual LINEARLY, so the kernel integrates
+            # with the fixed source field ZEROED and the loss adds the
+            # -sum_q w N s_phi term XLA-side (train/loss.py).  Zero it here
+            # so both the sharded quad and the prepared layout agree.
+            quad_h = quad_h._replace(src=np.zeros_like(quad_h.src))
         bc_h = pad_points(self.fixed.bc, self.n_shards)
         ic_h = None if self.fixed.ic is None else pad_points(self.fixed.ic, self.n_shards)
         obs_h = None if not has_obs else pad_points(self.obs_data, self.n_shards)
@@ -560,9 +569,6 @@ class VarNet:
         neu_d = self._shard_neu()
 
         loss_kwargs = {}
-        fused = None if value_and_jac is not None else self._fused_residual_hook(
-            matmul_precision
-        )
         if fused is not None:
             loss_kwargs["fused_residual"] = fused
         elif value_and_jac is None and self.use_pallas:

@@ -81,6 +81,17 @@ def make_loss_fn(
             # the trainer) skips the per-step data relayout
             r = fused_residual(net, quad, activation, scale, shift,
                                prepared=prepared)
+            if source_fn is not None:
+                # Inverse-source mode: the trainable source enters the weak
+                # form linearly, so the kernel integrates with quad.src
+                # ZEROED (the trainer zeroes it, api.train) and the -s N w
+                # term is the one remaining XLA-side contraction.
+                flat = quad.coords.reshape(k * nq, n_in)
+                t_flat = flat[:, d] if td else None
+                src = source_fn(
+                    theta["src"], flat[:, :d], t_flat
+                ).reshape(k, nq)
+                r = r - jnp.sum(quad.w * quad.N * src, axis=-1)
         else:
             flat = quad.coords.reshape(k * nq, n_in)
             u, du = value_and_jac(net, flat, activation, scale, shift)
