@@ -55,8 +55,11 @@ step bench_sanity        1800 python -u bench.py
 step bench_precoeff      1800 env BENCH_PRECOEFF=1 python -u bench.py
 step bench_sublane_g5    2400 env BENCH_PRECOEFF=1 BENCH_SUBLANE=1 BENCH_QBLOCK=5 python -u bench.py
 step bench_sublane_g4    1800 env BENCH_PRECOEFF=1 BENCH_SUBLANE=1 BENCH_QBLOCK=4 python -u bench.py
+# Warm-start from the PERSISTED 1.195e-4 theta (the /tmp LM checkpoints
+# of the frozen 1.169e-4 continuation were lost to a machine restart).
 step flagship_push       14400 benchmarks/run_resumable.sh 2400 6 \
-    python -u benchmarks/flagship_push.py --resume --lam0 1e-11
+    python -u benchmarks/flagship_push.py --resume --lam0 1e-11 \
+    --theta benchmarks/results/flagship_theta_1.2e-04.npz
 step order2_flagship_o2  14400 benchmarks/run_resumable.sh 3600 4 \
     python -u benchmarks/order2_floor.py --order 2 --disc 16 --tdisc 12 \
     --folder /tmp/order2_o2
@@ -75,3 +78,19 @@ step bench_ff_fused      2400 env BENCH_FOURIER=128 BENCH_WIDTH=96 python -u ben
 step bench_ff_fallback   2400 env BENCH_FOURIER=128 BENCH_WIDTH=96 BENCH_NO_FUSED=1 python -u bench.py
 
 echo "[tpu_queue] appended steps complete"
+
+# --- appended post-outage (round 3 cont.): 3-D TPU floor numbers ---
+# CLAUDE.md manual follow-up: first TPU rows for the 3-D steady case
+# (CPU floors were 5.7e-3/5.6e-3 at disc 8/12 width 32, 4.44e-3 at
+# disc 8 width 64).  TPU makes the bigger meshes cheap: width 64 at
+# disc 12 and 16, longer Adam + deeper LM.
+step ad3d_tpu_d12        7200 benchmarks/run_resumable.sh 2400 3 \
+    python -u benchmarks/ad3d_floor.py --disc 12 --width 64 \
+    --epochs 12000 --lm-steps 60 --lm-cg 150 --error-disc 32 \
+    --folder /tmp/ad3d_d12
+step ad3d_tpu_d16        10800 benchmarks/run_resumable.sh 3600 3 \
+    python -u benchmarks/ad3d_floor.py --disc 16 --width 64 \
+    --epochs 12000 --lm-steps 60 --lm-cg 150 --error-disc 32 \
+    --folder /tmp/ad3d_d16
+
+echo "[tpu_queue] 3-D steps complete"
