@@ -877,8 +877,15 @@ class VarNet:
         resume: bool = False,
         max_retries: int = 0,
         retry_backoff: float = 30.0,
+        precond: int = 0,
     ) -> TrainResult:
         """Levenberg-Marquardt refinement (matrix-free Gauss-Newton + CG).
+
+        precond > 0 enables Jacobi-preconditioned CG: that many Hutchinson
+        VJP probes estimate diag(J^T J) once per LM iteration (cost
+        ~precond/cg_iters of a step) and CG runs on the diagonally-scaled
+        damped system — fewer CG iterations when curvature scales vary
+        across layers (see train/gauss_newton.py; 8 is a good default).
 
         The final-decade tool: the variational loss is a nonlinear least
         squares, so GN curvature is available through one jvp + one vjp
@@ -955,7 +962,7 @@ class VarNet:
                     st["steps"], weight, cg_iters, save_freq, verbose,
                     error_disc, error_times, st["lam"], target_error,
                     matmul_precision, st["k"], lm_folder, cg_segment,
-                    step_offset=st["offset"],
+                    step_offset=st["offset"], precond=precond,
                 )
 
         def on_fault(_attempt):
@@ -1010,7 +1017,7 @@ class VarNet:
     def _refine_lm_impl(
         self, steps, weight, cg_iters, save_freq, verbose, error_disc,
         error_times, lam0, target_error, matmul_precision, k_chunks,
-        folderpath, cg_segment, step_offset=0,
+        folderpath, cg_segment, step_offset=0, precond=0,
     ) -> TrainResult:
         from jax.flatten_util import ravel_pytree
 
@@ -1124,7 +1131,7 @@ class VarNet:
         lm_step = make_lm_step(
             closure, cg_iters=cg_iters, cg_segment=cg_segment,
             residual_jvp=closure_jvp, mesh=self.mesh, data=data,
-            data_specs=data_specs,
+            data_specs=data_specs, precond=precond,
         )
         r0 = closure(flat0, data)
         state = LMState(

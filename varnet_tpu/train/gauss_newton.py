@@ -153,6 +153,28 @@ class LMState(NamedTuple):
     loss: jax.Array      # current ||r||^2
 
 
+def _diag_probe_est(pullback, n_r, n_probes, dtype, key):
+    """Hutchinson estimate of diag(J^T J) through the existing pullback.
+
+    With Rademacher z, E[(J^T z)_j^2] = sum_i J_ij^2 = diag(J^T J)_j, so
+    ``n_probes`` extra VJP passes (vmapped) give an unbiased diagonal
+    estimate — no materialized jacobian.  The probes are DETERMINISTIC
+    (fixed key): the estimator is unbiased for any fixed realization and
+    a frozen realization keeps LM iterations reproducible.  A relative
+    floor guards against the rare probe-cancellation underestimate
+    (overestimating M there would over-amplify that coordinate)."""
+    z = jax.random.rademacher(key, (n_probes, n_r), dtype=dtype)
+    # lax.map (not vmap): the pullback may close over a custom-VJP Pallas
+    # kernel whose bwd has no batching rule — sequential probe VJPs reuse
+    # the normal kernel invocation.
+    q = jax.lax.map(lambda zz: pullback(zz)[0], z)
+    diag = jnp.mean(q * q, axis=0)
+    return jnp.maximum(diag, 1e-4 * jnp.mean(diag))
+
+
+_PROBE_KEY_SEED = 7
+
+
 def make_lm_step(
     residual_closure: Callable,  # flat_params -> r vector
     cg_iters: int = 50,
@@ -163,6 +185,7 @@ def make_lm_step(
     mesh=None,
     data=None,
     data_specs=None,
+    precond: int = 0,
 ):
     """One Levenberg-Marquardt iteration on RAVELED parameters.
 
@@ -173,6 +196,14 @@ def make_lm_step(
     separate custom-JVP and custom-VJP wrappers (JAX allows one rule per
     function), so LM takes both: J v rides the JVP twin, J^T w rides the
     VJP one.  Defaults to residual_closure (the XLA path supports both).
+
+    precond > 0: Jacobi-preconditioned CG.  diag(J^T J) is estimated by
+    ``precond`` Hutchinson probes (one vmapped VJP batch per LM
+    iteration, amortized over all ``cg_iters`` applications) and CG runs
+    on M^{-1}(J^T J + lam I) with M = diag + lam — the exact diagonal of
+    the damped system.  Helps when parameter curvature scales vary
+    across layers/biases (measured: see BASELINE.md LM rows); the
+    probe cost is ~precond/cg_iters of a step.  0 = plain CG (default).
 
     cg_segment == 0: linearize + CG + accept fused into ONE jitted
     program — fastest, but a long program at large cg_iters can exceed
@@ -196,31 +227,49 @@ def make_lm_step(
     if mesh is not None:
         return _make_lm_step_sharded(
             residual_closure, cg_iters, lam_up, lam_down, cg_segment,
-            residual_jvp, mesh, data, data_specs,
+            residual_jvp, mesh, data, data_specs, precond,
         )
     if residual_jvp is None:
         residual_jvp = residual_closure
+    n_probes = int(precond)
 
     def loss_of(flat):
         r = residual_closure(flat)
         return jnp.dot(r, r)
 
-    def make_cg_body(flat, lam, pullback):
+    def make_cg_body(flat, lam, pullback, minv=None):
         def jtj_v(v):
             jv = jax.jvp(residual_jvp, (flat,), (v,))[1]
             return pullback(jv)[0] + lam * v
 
         def cg_body(_, carry):
-            x, p, res, rs = carry
+            # Preconditioned CG on (J^T J + lam I) with M^{-1} = minv
+            # (elementwise); minv=None is plain CG (z == res, rz == |res|^2
+            # — identical arithmetic to the unpreconditioned recursion).
+            x, p, res, rz = carry
             ap = jtj_v(p)
-            alpha = rs / jnp.maximum(jnp.dot(p, ap), 1e-30)
+            alpha = rz / jnp.maximum(jnp.dot(p, ap), 1e-30)
             x = x + alpha * p
             res = res - alpha * ap
-            rs_new = jnp.dot(res, res)
-            p = res + (rs_new / jnp.maximum(rs, 1e-30)) * p
-            return (x, p, res, rs_new)
+            z = res if minv is None else minv * res
+            rz_new = jnp.dot(res, z)
+            p = z + (rz_new / jnp.maximum(rz, 1e-30)) * p
+            return (x, p, res, rz_new)
 
         return cg_body
+
+    def cg_carry0(b, minv):
+        z0 = b if minv is None else minv * b
+        return (jnp.zeros_like(b), z0, b, jnp.dot(b, z0))
+
+    def make_minv(pullback, n_r, lam, dtype):
+        if not n_probes:
+            return None
+        diag = _diag_probe_est(
+            pullback, n_r, n_probes, dtype,
+            jax.random.PRNGKey(_PROBE_KEY_SEED),
+        )
+        return 1.0 / (diag + lam)
 
     def accept_impl(flat, lam, loss, delta):
         cand = flat + delta
@@ -240,22 +289,22 @@ def make_lm_step(
         def cg_init(flat, lam):
             r, pullback = jax.vjp(residual_closure, flat)
             b = -pullback(r)[0]
-            carry = (jnp.zeros_like(flat), b, b, jnp.dot(b, b))
-            return carry, jnp.dot(r, r)
+            minv = make_minv(pullback, r.shape[0], lam, r.dtype)
+            return cg_carry0(b, minv), jnp.dot(r, r), minv
 
         @jax.jit
-        def cg_run_segment(flat, lam, carry):
+        def cg_run_segment(flat, lam, carry, minv):
             _, pullback = jax.vjp(residual_closure, flat)
-            body = make_cg_body(flat, lam, pullback)
+            body = make_cg_body(flat, lam, pullback, minv)
             return jax.lax.fori_loop(0, seg, body, carry)
 
         accept = jax.jit(accept_impl)
 
         def step(state: LMState) -> LMState:
             flat, lam = state.flat, state.lam
-            carry, loss = cg_init(flat, lam)
+            carry, loss, minv = cg_init(flat, lam)
             for _ in range(-(-int(cg_iters) // seg)):
-                carry = cg_run_segment(flat, lam, carry)
+                carry = cg_run_segment(flat, lam, carry, minv)
             return accept(flat, lam, loss, carry[0])
 
         return step
@@ -265,10 +314,9 @@ def make_lm_step(
         r, pullback = jax.vjp(residual_closure, flat)
         loss = jnp.dot(r, r)
         b = -pullback(r)[0]
-        body = make_cg_body(flat, lam, pullback)
-        delta, *_ = jax.lax.fori_loop(
-            0, cg_iters, body, (jnp.zeros_like(flat), b, b, jnp.dot(b, b))
-        )
+        minv = make_minv(pullback, r.shape[0], lam, r.dtype)
+        body = make_cg_body(flat, lam, pullback, minv)
+        delta, *_ = jax.lax.fori_loop(0, cg_iters, body, cg_carry0(b, minv))
         return accept_impl(flat, lam, loss, delta)
 
     return jax.jit(step)
@@ -276,12 +324,17 @@ def make_lm_step(
 
 def _make_lm_step_sharded(
     res, cg_iters, lam_up, lam_down, cg_segment, res_jvp, mesh, data,
-    data_specs,
+    data_specs, precond=0,
 ):
     """shard_map LM step: per-shard linear algebra, packed psums (see
     make_lm_step docstring).  Collective census per iteration: 1 packed
-    all-reduce at init (b ++ loss), 1 inside the CG while-body (J^T J v),
-    1 at accept (candidate loss) — pinned by test_lm_multichip.py."""
+    all-reduce at init (b ++ [diag probes] ++ loss), 1 inside the CG
+    while-body (J^T J v), 1 at accept (candidate loss) — pinned by
+    test_lm_multichip.py.  The Jacobi diagonal estimate (precond > 0)
+    rides the init psum: per-shard probes z_s are INDEPENDENT Rademacher
+    (key folded by axis index), so the per-shard squares
+    (J_s^T z_s)^2 sum to an unbiased diag(J^T J) — the residual rows are
+    disjoint across shards and cross-shard cross-terms have zero mean."""
     import functools
 
     from jax.sharding import PartitionSpec as P
@@ -290,33 +343,58 @@ def _make_lm_step_sharded(
 
     if res_jvp is None:
         res_jvp = res
+    n_probes = int(precond)
     psum = functools.partial(jax.lax.psum, axis_name=DATA_AXIS)
     rep = P()
     state_spec = LMState(flat=rep, lam=rep, loss=rep)
 
-    def make_cg_body(flat, lam, data, pullback):
+    def make_cg_body(flat, lam, data, pullback, minv=None):
         def jtj_v(v):
             jv = jax.jvp(lambda f: res_jvp(f, data), (flat,), (v,))[1]
             return psum(pullback(jv)[0]) + lam * v
 
         def cg_body(_, carry):
-            x, p, resid, rs = carry
+            # Preconditioned CG; minv=None degenerates to the plain
+            # recursion (z == resid, rz == |resid|^2).
+            x, p, resid, rz = carry
             ap = jtj_v(p)
-            alpha = rs / jnp.maximum(jnp.dot(p, ap), 1e-30)
+            alpha = rz / jnp.maximum(jnp.dot(p, ap), 1e-30)
             x = x + alpha * p
             resid = resid - alpha * ap
-            rs_new = jnp.dot(resid, resid)
-            p = resid + (rs_new / jnp.maximum(rs, 1e-30)) * p
-            return (x, p, resid, rs_new)
+            z = resid if minv is None else minv * resid
+            rz_new = jnp.dot(resid, z)
+            p = z + (rz_new / jnp.maximum(rz, 1e-30)) * p
+            return (x, p, resid, rz_new)
 
         return cg_body
 
-    def init_parts(flat, data):
-        """(b, loss, pullback) with b/loss globally reduced in ONE psum."""
+    def cg_carry0(b, minv):
+        z0 = b if minv is None else minv * b
+        return (jnp.zeros_like(b), z0, b, jnp.dot(b, z0))
+
+    def init_parts(flat, lam, data):
+        """(b, loss, minv, pullback) — b/loss/diag reduced in ONE psum."""
         r, pullback = jax.vjp(lambda f: res(f, data), flat)
         b_part = -pullback(r)[0]
-        packed = psum(jnp.concatenate([b_part, jnp.dot(r, r)[None]]))
-        return packed[:-1], packed[-1], pullback
+        n = b_part.shape[0]
+        parts = [b_part]
+        if n_probes:
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(_PROBE_KEY_SEED),
+                jax.lax.axis_index(DATA_AXIS),
+            )
+            z = jax.random.rademacher(key, (n_probes, r.shape[0]),
+                                      dtype=r.dtype)
+            # lax.map, not vmap — see _diag_probe_est.
+            q = jax.lax.map(lambda zz: pullback(zz)[0], z)
+            parts.append(jnp.mean(q * q, axis=0))
+        packed = psum(jnp.concatenate(parts + [jnp.dot(r, r)[None]]))
+        minv = None
+        if n_probes:
+            diag = packed[n:2 * n]
+            diag = jnp.maximum(diag, 1e-4 * jnp.mean(diag))
+            minv = 1.0 / (diag + lam)
+        return packed[:n], packed[-1], minv, pullback
 
     def accept_impl(flat, lam, loss, delta, data):
         cand = flat + delta
@@ -338,41 +416,42 @@ def _make_lm_step_sharded(
 
     if cg_segment and int(cg_segment) > 0:
         seg = int(cg_segment)
+        minv_spec = rep if n_probes else None
 
-        def cg_init_body(flat, data):
-            b, loss, _ = init_parts(flat, data)
-            return (jnp.zeros_like(flat), b, b, jnp.dot(b, b)), loss
+        def cg_init_body(flat, lam, data):
+            b, loss, minv, _ = init_parts(flat, lam, data)
+            return cg_carry0(b, minv), loss, minv
 
-        def cg_seg_body(flat, lam, carry, data):
+        def cg_seg_body(flat, lam, carry, minv, data):
             _, pullback = jax.vjp(lambda f: res(f, data), flat)
-            body = make_cg_body(flat, lam, data, pullback)
+            body = make_cg_body(flat, lam, data, pullback, minv)
             return jax.lax.fori_loop(0, seg, body, carry)
 
         def accept_body(flat, lam, loss, delta, data):
             return accept_impl(flat, lam, loss, delta, data)
 
-        cg_init = smap(cg_init_body, (rep, data_specs), ((rep,) * 4, rep))
-        cg_seg = smap(cg_seg_body, (rep, rep, (rep,) * 4, data_specs),
+        cg_init = smap(cg_init_body, (rep, rep, data_specs),
+                       ((rep,) * 4, rep, minv_spec))
+        cg_seg = smap(cg_seg_body,
+                      (rep, rep, (rep,) * 4, minv_spec, data_specs),
                       (rep,) * 4)
         accept = smap(accept_body, (rep, rep, rep, rep, data_specs),
                       state_spec)
 
         def step(state: LMState) -> LMState:
             flat, lam = state.flat, state.lam
-            carry, loss = cg_init(flat, data)
+            carry, loss, minv = cg_init(flat, lam, data)
             for _ in range(-(-int(cg_iters) // seg)):
-                carry = cg_seg(flat, lam, carry, data)
+                carry = cg_seg(flat, lam, carry, minv, data)
             return accept(flat, lam, loss, carry[0], data)
 
         return step
 
     def step_body(state, data):
         flat, lam = state.flat, state.lam
-        b, loss, pullback = init_parts(flat, data)
-        body = make_cg_body(flat, lam, data, pullback)
-        delta, *_ = jax.lax.fori_loop(
-            0, cg_iters, body, (jnp.zeros_like(flat), b, b, jnp.dot(b, b))
-        )
+        b, loss, minv, pullback = init_parts(flat, lam, data)
+        body = make_cg_body(flat, lam, data, pullback, minv)
+        delta, *_ = jax.lax.fori_loop(0, cg_iters, body, cg_carry0(b, minv))
         return accept_impl(flat, lam, loss, delta, data)
 
     jitted = smap(step_body, (state_spec, data_specs), state_spec)
