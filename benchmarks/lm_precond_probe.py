@@ -13,9 +13,17 @@ CPU-sized by default (disc 24, width 20); on TPU pass --disc 48
 import argparse
 import json
 import os
+import sys
 import time
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax
+
+if "--tpu" not in sys.argv:
+    # CPU by default: this probe often runs CONCURRENTLY with TPU jobs
+    # and the one tunnel chip must never see two processes (CLAUDE.md).
+    jax.config.update("jax_platforms", "cpu")
 
 from varnet_tpu.api import VarNet
 from varnet_tpu.problems.analytic import transient_ad_2d
@@ -31,6 +39,8 @@ def main():
     ap.add_argument("--cg-iters", type=int, default=30)
     ap.add_argument("--probes", type=int, default=8)
     ap.add_argument("--k-chunks", type=int, default=1)
+    ap.add_argument("--tpu", action="store_true",
+                    help="allow the real TPU (default forces CPU)")
     ap.add_argument("--out", type=str,
                     default="benchmarks/results/lm_precond_probe.json")
     args = ap.parse_args()

@@ -57,6 +57,7 @@ from .train.checkpoint import (
 from .train.loss import make_loss_fn
 from .train.optim import OptimizerConfig, make_optimizer
 from .train.trainer import (
+    EnsembleResult,
     TrainResult,
     _tree_reshape_batches,
     make_eval_fn,
@@ -217,16 +218,26 @@ class VarNet:
         if activation == "sin":
             from .models.mlp import init_siren
 
-            net = init_siren(
-                key, net_in, self.layer_width, n_out=1,
-                omega0=float(omega0), dtype=dtype,
-            )
+            def _init_net(k):
+                return init_siren(
+                    k, net_in, self.layer_width, n_out=1,
+                    omega0=float(omega0), dtype=dtype,
+                )
         else:
-            net = init_mlp(key, net_in, self.layer_width, n_out=1, dtype=dtype)
-        if source_fn is not None:
-            self.theta: Any = {"net": net, "src": source_init}
-        else:
-            self.theta = net
+            def _init_net(k):
+                return init_mlp(k, net_in, self.layer_width, n_out=1,
+                                dtype=dtype)
+
+        def _init_theta(k):
+            net = _init_net(k)
+            if source_fn is not None:
+                return {"net": net, "src": source_init}
+            return net
+
+        # Re-initializer for fresh members (train_ensemble) — same
+        # architecture/embedding, different key.
+        self._init_theta = _init_theta
+        self.theta: Any = _init_theta(key)
         self.opt_state = None  # created lazily in train()/load_model()
         # Training-time PRNG stream, checkpointed per SURVEY.md §5.4 so any
         # stochastic feature (minibatch sampling, noise) resumes reproducibly.
@@ -727,6 +738,212 @@ class VarNet:
         if folderpath is not None:
             with open(os.path.join(folderpath, "train_result.json"), "w") as f:
                 json.dump(result.as_dict(), f, indent=2)
+        return result
+
+    def train_ensemble(
+        self,
+        epoch_num: int,
+        n_members: int = 8,
+        weight: Optional[Sequence[float]] = None,
+        batch_num: int = 1,
+        save_freq: int = 500,
+        verbose: bool = True,
+        error_disc: int = 64,
+        error_times: int = 5,
+        select: str = "error",
+        matmul_precision: Optional[str] = None,
+        normalize_residual: bool = True,
+    ) -> EnsembleResult:
+        """Train ``n_members`` independently-seeded nets SIMULTANEOUSLY.
+
+        TPU-native, beyond-reference capability: the members are stacked
+        on a leading axis and the loss is ``vmap``-ed over it, so one
+        jitted step trains the whole ensemble — batched matmuls instead
+        of E sequential runs.  At reference-scale widths the MXU is
+        badly underutilized (BASELINE.md width table), so extra members
+        cost far less than Ex wall time.  Uses:
+
+          * seed-variance quantification (how robust is a recipe?),
+          * best-of-E selection — the cheap escape from bad basins
+            (e.g. the zero-data attractor, DESIGN.md),
+          * uncertainty bands from member spread at evaluation.
+
+        The ensemble rides the XLA matmul-chain path (the fused Pallas
+        kernels assume one weight set per program; their block-diagonal
+        q-blocking does not extend to vmap batching) — still one packed
+        psum per step over the data mesh axis.
+
+        Adam/RMSProp/SGD updates are elementwise, so the stacked update
+        IS E independent optimizers.  ``grad_clip`` (global-norm) would
+        couple members through the joint norm and is rejected.
+
+        select: 'error' (rel-L2 vs pde.c_ex, default) or 'loss' — the
+        criterion for the winning member.  After the run ``self.theta``
+        holds the winner, ready for ``refine_lm``/``evaluate``; the full
+        stacked pytree is returned for ensemble-statistics use.
+        """
+        if int(n_members) < 2:
+            raise ValueError("train_ensemble needs n_members >= 2")
+        if select not in ("error", "loss"):
+            raise ValueError("select must be 'error' or 'loss'")
+        if self.optimizer_cfg.grad_clip is not None:
+            raise ValueError(
+                "grad_clip couples ensemble members through the joint "
+                "global norm; use grad_clip=None with train_ensemble"
+            )
+        e = int(n_members)
+        td = self.static.time_dependent
+        has_obs = self.obs_data is not None
+        if weight is None:
+            weight = (1.0, 1.0) + ((1.0,) if td else ()) + ((1.0,) if has_obs else ())
+        w_full = list(float(w) for w in weight) + [0.0] * (4 - len(weight))
+        if not td:
+            w_full = [w_full[0], w_full[1], 0.0, w_full[2]]
+
+        multiple = int(batch_num) * self.n_shards
+        quad_h = pad_quad(self.fixed.quad, multiple)
+        bc_h = pad_points(self.fixed.bc, self.n_shards)
+        ic_h = None if self.fixed.ic is None else pad_points(self.fixed.ic, self.n_shards)
+        obs_h = None if not has_obs else pad_points(self.obs_data, self.n_shards)
+        if batch_num > 1:
+            quad_h = _tree_reshape_batches(quad_h, batch_num)
+            quad_d = shard_quad(quad_h, self.mesh, dtype=self.dtype, batched=True)
+        else:
+            quad_d = shard_quad(quad_h, self.mesh, dtype=self.dtype)
+        bc_d = shard_points(bc_h, self.mesh, dtype=self.dtype)
+        ic_d = None if ic_h is None else shard_points(ic_h, self.mesh, dtype=self.dtype)
+        obs_d = None if obs_h is None else shard_points(obs_h, self.mesh, dtype=self.dtype)
+        neu_d = self._shard_neu()
+
+        loss_kwargs = {}
+        if self._value_and_jac_default is not None:
+            loss_kwargs["value_and_jac"] = self._value_and_jac_default
+        if self._apply_override is not None:
+            loss_kwargs["apply_fn"] = self._apply_override
+        base_loss = make_loss_fn(
+            self.static,
+            activation=self.activation,
+            input_scaling=self.input_scaling,
+            source_fn=self.source_fn,
+            has_obs=has_obs,
+            n_obs_real=0 if not has_obs else int(self.obs_data.mask.sum()),
+            normalize_residual=normalize_residual,
+            has_react=self.has_react,
+            flux_value_and_jac=self._value_and_jac_default,
+            **loss_kwargs,
+        )
+
+        def ens_loss(theta_s, quad, bc, ic, obs, weights, prepared=None,
+                     neu=None):
+            totals, _ = jax.vmap(
+                lambda th: base_loss(th, quad, bc, ic, obs, weights, None,
+                                     neu)
+            )(theta_s)
+            # sum over members: gradients stay per-member independent
+            return jnp.sum(totals), {"member_loss": totals}
+
+        keys = jax.random.split(jax.random.PRNGKey(self.seed), e)
+        members = [self._init_theta(k) for k in keys]
+        theta_s = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x, self.dtype) for x in xs]),
+            *members,
+        )
+        theta_s = replicate(theta_s, self.mesh)
+        optimizer = make_optimizer(self.optimizer_cfg)
+        opt_state = replicate(optimizer.init(theta_s), self.mesh)
+        step_fn = make_train_step(
+            ens_loss, optimizer, mesh=self.mesh, batch_num=batch_num,
+            tables_per_node=self.test_order != 1,
+        )
+        weights_arr = jnp.asarray(w_full, dtype=self.dtype)
+
+        def unstack(theta_host):
+            return [
+                jax.tree_util.tree_map(lambda a: a[i], theta_host)
+                for i in range(e)
+            ]
+
+        result = EnsembleResult(n_members=e)
+        n_real_quad = self.static.n_test * self.static.n_quad_per_test
+        t_start = None
+        timed_epochs = 0
+        report_overhead = 0.0
+        with matmul_precision_scope(matmul_precision):
+            for epoch in range(1, int(epoch_num) + 1):
+                theta_s, opt_state, aux = step_fn(
+                    theta_s, opt_state, quad_d, bc_d, ic_d, obs_d,
+                    weights_arr, None, neu_d,
+                )
+                if t_start is None:
+                    jax.block_until_ready(aux["member_loss"])
+                    t_start = time.perf_counter()
+                else:
+                    timed_epochs += 1
+                if epoch % int(save_freq) == 0 or epoch == int(epoch_num):
+                    jax.block_until_ready(aux["member_loss"])
+                    t_rep = time.perf_counter()
+                    losses = [float(v) for v in jax.device_get(aux["member_loss"])]
+                    errs = [
+                        self.compute_error(th, disc=error_disc,
+                                           n_times=error_times)
+                        for th in unstack(jax.device_get(theta_s))
+                    ]
+                    elapsed = time.perf_counter() - t_start
+                    result.epochs.append(epoch)
+                    result.member_losses.append(losses)
+                    result.member_errors.append(
+                        [float("nan") if v is None else float(v) for v in errs]
+                    )
+                    result.wall_times.append(elapsed)
+                    if verbose:
+                        lo = int(np.argmin(losses))
+                        err_s = (
+                            "n/a" if errs[0] is None else
+                            f"best {np.nanmin(result.member_errors[-1]):.3e}"
+                            f" / worst {np.nanmax(result.member_errors[-1]):.3e}"
+                        )
+                        print(
+                            f"[varnet/ens] epoch {epoch:7d}  loss "
+                            f"[{min(losses):.4e} .. {max(losses):.4e}] "
+                            f"(member {lo} lowest)  relL2 {err_s}  "
+                            f"({elapsed:.1f}s)"
+                        )
+                    report_overhead += time.perf_counter() - t_rep
+
+        jax.block_until_ready(theta_s)
+        total_time = (
+            time.perf_counter() - t_start - report_overhead if t_start else 0.0
+        )
+        result.steps_per_sec = (
+            timed_epochs * batch_num / total_time if total_time > 0 else 0.0
+        )
+        result.quad_evals_per_sec = (
+            timed_epochs * e * n_real_quad / total_time if total_time > 0
+            else 0.0
+        )
+
+        final_errs = result.member_errors[-1] if result.member_errors else []
+        use_error = select == "error" and final_errs and not all(
+            np.isnan(v) for v in final_errs
+        )
+        if use_error:
+            best = int(np.nanargmin(final_errs))
+            result.best_error = float(final_errs[best])
+        else:
+            best = int(np.argmin(result.member_losses[-1]))
+            if final_errs and not np.isnan(final_errs[best]):
+                result.best_error = float(final_errs[best])
+        result.best_member = best
+        theta_host = jax.device_get(theta_s)
+        self.theta = unstack(theta_host)[best]
+        self.opt_state = None  # stacked state doesn't transfer to train()
+        self._ensemble_thetas = theta_host
+        if verbose:
+            print(
+                f"[varnet/ens] selected member {best}"
+                + ("" if result.best_error is None
+                   else f" (relL2 {result.best_error:.3e})")
+            )
         return result
 
     def refine_lbfgs(

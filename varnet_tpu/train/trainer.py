@@ -95,18 +95,16 @@ def make_train_step(
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def reduce_and_update(theta, opt_state, grads, aux, reduce_fn):
-        """Apply ``reduce_fn`` ONCE to (flat grads ++ aux scalars), then
-        run the optimizer.  All-reduce count per update: exactly one."""
+        """Apply ``reduce_fn`` ONCE to (flat grads ++ raveled aux), then
+        run the optimizer.  All-reduce count per update: exactly one.
+        aux leaves may be scalars OR small arrays (e.g. per-member losses
+        of an ensemble step) — they ravel into the same packed vector."""
         flat, unravel = ravel_pytree(grads)
-        aux_keys = sorted(aux.keys())
-        packed = jnp.concatenate(
-            [flat] + [jnp.reshape(aux[k], (1,)).astype(flat.dtype) for k in aux_keys]
-        )
+        aux_flat, aux_unravel = ravel_pytree(aux)
+        packed = jnp.concatenate([flat, aux_flat.astype(flat.dtype)])
         packed = reduce_fn(packed)
         grads = unravel(packed[: flat.shape[0]])
-        aux = {
-            k: packed[flat.shape[0] + i] for i, k in enumerate(aux_keys)
-        }
+        aux = aux_unravel(packed[flat.shape[0]:].astype(aux_flat.dtype))
         updates, opt_state = optimizer.update(grads, opt_state, theta)
         theta = jax.tree_util.tree_map(lambda p, u: p + u, theta, updates)
         return theta, opt_state, aux
@@ -157,7 +155,9 @@ def make_train_step(
             (theta, opt_state), auxes = jax.lax.scan(
                 body, (theta, opt_state), per_node
             )
-            aux = jax.tree_util.tree_map(lambda a: a.mean(), auxes)
+            # mean over the BATCH axis only (aux leaves may be arrays,
+            # e.g. per-member ensemble losses)
+            aux = jax.tree_util.tree_map(lambda a: a.mean(axis=0), auxes)
             return theta, opt_state, aux
 
         return epoch_step
@@ -271,3 +271,40 @@ class TrainResult:
 
     def best_error(self) -> Optional[float]:
         return min(self.errors) if self.errors else None
+
+
+@dataclass
+class EnsembleResult:
+    """History of a multi-seed ensemble run (``VarNet.train_ensemble``).
+
+    Beyond-reference, TPU-native capability: E independently-seeded nets
+    train SIMULTANEOUSLY in one jitted step (vmap over the member axis —
+    the reference would need E sequential runs).  At reference-scale
+    widths the MXU is badly underutilized, so the marginal cost of extra
+    members is far below Ex (measured in BASELINE.md).
+    """
+
+    epochs: List[int] = field(default_factory=list)
+    member_losses: List[List[float]] = field(default_factory=list)  # [T][E]
+    member_errors: List[List[float]] = field(default_factory=list)  # [T][E]
+    wall_times: List[float] = field(default_factory=list)
+    best_member: int = 0
+    best_error: Optional[float] = None
+    n_members: int = 0
+    # member-evaluations/s: epochs * E * n_quad / wall (each member
+    # evaluates every quad point every epoch)
+    quad_evals_per_sec: float = 0.0
+    steps_per_sec: float = 0.0
+
+    def as_dict(self) -> Dict[str, Any]:
+        return {
+            "epochs": self.epochs,
+            "member_losses": self.member_losses,
+            "member_errors": self.member_errors,
+            "wall_times": self.wall_times,
+            "best_member": self.best_member,
+            "best_error": self.best_error,
+            "n_members": self.n_members,
+            "quad_evals_per_sec": self.quad_evals_per_sec,
+            "steps_per_sec": self.steps_per_sec,
+        }
