@@ -50,6 +50,16 @@ def test_flagship_r2_theta_beats_round1(flagship_vn):
     assert err < 1.8e-4, f"flagship r2 eval regression: rel-L2 {err:.3e}"
 
 
+def test_flagship_r3_theta_best(flagship_vn):
+    """Round-3 warm-start LM push (benchmarks/flagship_push.py --resume
+    --lam0 1e-11 from the 1.2e-4 theta): rel-L2 1.081e-4, 9.2x under the
+    north star (benchmarks/results/flagship_push.json)."""
+    path = os.path.join(RESULTS, "flagship_theta_1.1e-04.npz")
+    theta = _load_theta(path)
+    err = flagship_vn.compute_error(theta, disc=96, n_times=7)
+    assert err < 1.4e-4, f"flagship r3 eval regression: rel-L2 {err:.3e}"
+
+
 def test_flagship_intermediate_theta_consistent(flagship_vn):
     """The first-LM-phase parameters score at their recorded 8.3e-4."""
     path = os.path.join(RESULTS, "flagship_theta_8.3e-4.npz")
