@@ -94,3 +94,19 @@ step ad3d_tpu_d16        10800 benchmarks/run_resumable.sh 3600 3 \
     --folder /tmp/ad3d_d16
 
 echo "[tpu_queue] 3-D steps complete"
+
+# --- appended (round 3 cont.): ensemble + LM-precond TPU measurements ---
+# Ensemble scaling at the bench shape: the MXU-underutilization claim
+# behind train_ensemble (DESIGN.md 14) — member-evals/s for E in 2/4/8
+# vs the single-net XLA-path bar.
+step ensemble_bench      3600 python -u benchmarks/ensemble_bench.py \
+    --tpu --disc 48 --tdisc 32 --epochs 300 --members 2 4 8
+# Jacobi-PCG A/B at a flagship-like shape (DESIGN.md 13): equal cg_iters
+# with and without the Hutchinson diagonal — decides whether production
+# LM recipes can cut cg_iters.
+step lm_precond_tpu      5400 python -u benchmarks/lm_precond_probe.py \
+    --tpu --disc 48 --tdisc 32 --width 32 --epochs 6000 \
+    --lm-steps 8 --cg-iters 100 --k-chunks 8 \
+    --out benchmarks/results/lm_precond_tpu.json
+
+echo "[tpu_queue] ensemble/precond steps complete"
