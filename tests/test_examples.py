@@ -74,6 +74,21 @@ def test_example_folder_artifacts(tmp_path):
     assert len(vn2.train_result.losses) >= 1
 
 
+def test_example_ensemble_flag():
+    """--ensemble E trains E members in one vmapped step and keeps the
+    winner; --lm-precond polishes it with Jacobi-PCG (both beyond the
+    reference — DESIGN.md decisions 13/14)."""
+    vn = ad1d_steady.main(
+        TINY + ["--disc", "12", "--ensemble", "2", "--lm-steps", "1",
+                "--lm-cg", "5", "--lm-precond", "4"]
+    )
+    assert getattr(vn, "_ensemble_thetas", None) is not None
+    import numpy as np
+
+    u = vn.evaluate(np.linspace(0.1, 0.9, 5)[:, None])
+    assert np.all(np.isfinite(u))
+
+
 def test_contaminant_causal_cli():
     """--causal N drives train_causal with FF through the example CLI
     (the measured escape recipe for the volumetric-source variant)."""

@@ -41,6 +41,13 @@ def make_parser(desc: str, **defaults) -> argparse.ArgumentParser:
                    help="Levenberg-Marquardt polish iterations after Adam "
                         "(the final-decade tool; see BASELINE.md)")
     p.add_argument("--lm-cg", type=int, default=50)
+    p.add_argument("--lm-precond", type=int, default=0,
+                   help="Jacobi-PCG probes inside LM (0 = plain CG; see "
+                        "DESIGN.md decision 13)")
+    p.add_argument("--ensemble", type=int, default=0,
+                   help="train E independently-seeded nets in one vmapped "
+                        "step and keep the best (beyond-reference; "
+                        "DESIGN.md decision 14)")
     p.add_argument("--batch-num", type=int, default=1)
     p.add_argument("--save-freq", type=int, default=defaults.get("save_freq", 2000))
     p.add_argument("--folder", type=str, default=None,
@@ -77,27 +84,50 @@ def run_case(pde, args, weight, t_disc_num=None, **varnet_kwargs) -> VarNet:
         ),
         **varnet_kwargs,
     )
-    res = vn.train(
-        epoch_num=args.epochs,
-        weight=weight,
-        batch_num=args.batch_num,
-        save_freq=args.save_freq,
-        folderpath=args.folder,
-        resume=args.resume,
-        target_error=args.target,
-        matmul_precision=getattr(args, "precision", None),
-    )
-    summary = {
-        "best_rel_l2": res.best_error(),
-        "final_loss": res.losses[-1]["loss"] if res.losses else None,
-        "quad_evals_per_sec": res.quad_evals_per_sec,
-        "steps_per_sec": res.steps_per_sec,
-    }
+    n_ens = getattr(args, "ensemble", 0)
+    if n_ens >= 2:
+        if args.resume:
+            raise SystemExit("--ensemble does not support --resume "
+                             "(members re-initialize per run)")
+        res_e = vn.train_ensemble(
+            epoch_num=args.epochs,
+            n_members=n_ens,
+            weight=weight,
+            batch_num=args.batch_num,
+            save_freq=args.save_freq,
+            matmul_precision=getattr(args, "precision", None),
+        )
+        summary = {
+            "best_rel_l2": res_e.best_error,
+            "best_member": res_e.best_member,
+            "member_rel_l2": res_e.member_errors[-1],
+            "final_loss": min(res_e.member_losses[-1]),
+            "quad_evals_per_sec": res_e.quad_evals_per_sec,
+            "steps_per_sec": res_e.steps_per_sec,
+        }
+    else:
+        res = vn.train(
+            epoch_num=args.epochs,
+            weight=weight,
+            batch_num=args.batch_num,
+            save_freq=args.save_freq,
+            folderpath=args.folder,
+            resume=args.resume,
+            target_error=args.target,
+            matmul_precision=getattr(args, "precision", None),
+        )
+        summary = {
+            "best_rel_l2": res.best_error(),
+            "final_loss": res.losses[-1]["loss"] if res.losses else None,
+            "quad_evals_per_sec": res.quad_evals_per_sec,
+            "steps_per_sec": res.steps_per_sec,
+        }
     if getattr(args, "lm_steps", 0):
         r_lm = vn.refine_lm(
             steps=args.lm_steps, weight=weight, cg_iters=args.lm_cg,
             save_freq=max(args.lm_steps // 10, 1), target_error=args.target,
             matmul_precision=getattr(args, "precision", None) or "highest",
+            precond=getattr(args, "lm_precond", 0),
         )
         summary["lm_best_rel_l2"] = r_lm.best_error()
     print(json.dumps(summary))
