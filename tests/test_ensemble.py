@@ -83,6 +83,26 @@ def test_selection_and_downstream_flows():
     assert np.isfinite(lm.losses[-1]["loss"])
 
 
+def test_evaluate_ensemble_bands():
+    vn, _ = _fresh()
+    vn.train_ensemble(epoch_num=40, n_members=3, weight=(1.0, 10.0),
+                      save_freq=40, verbose=False, error_disc=16)
+    x = np.linspace(0.1, 0.9, 9)[:, None]
+    mean, std, members = vn.evaluate_ensemble(x, return_members=True)
+    assert members.shape == (3, 9)
+    np.testing.assert_allclose(mean, members.mean(axis=0), rtol=1e-6)
+    assert np.all(std >= 0) and np.any(std > 0), "no seed spread"
+    # the winner is one of the members
+    np.testing.assert_allclose(
+        vn.evaluate(x), members[np.argmin(np.abs(members - vn.evaluate(x)).sum(axis=1))],
+        rtol=1e-6,
+    )
+    # no ensemble -> clear error
+    vn2, _ = _fresh()
+    with pytest.raises(ValueError, match="train_ensemble"):
+        vn2.evaluate_ensemble(x)
+
+
 def test_member_losses_differ_across_seeds():
     vn, _ = _fresh()
     r = vn.train_ensemble(epoch_num=30, n_members=3, weight=(1.0, 10.0),

@@ -252,6 +252,7 @@ class VarNet:
             dtype=np.uint64,
         ).astype(np.uint32)
         self.train_result: Optional[TrainResult] = None
+        self._ensemble_thetas = None  # stacked pytree after train_ensemble
         self._apply_override = apply_override
         eval_kwargs = {} if apply_override is None else {"apply_fn": apply_override}
         self._eval_fn = make_eval_fn(
@@ -1435,6 +1436,45 @@ class VarNet:
         """
         with matmul_precision_scope(matmul_precision):
             return self._evaluate_inner(x, t, mu, theta, chunk)
+
+    def evaluate_ensemble(
+        self,
+        x: np.ndarray,
+        t: Optional[np.ndarray] = None,
+        mu: Optional[np.ndarray] = None,
+        thetas: Any = None,
+        chunk: int = 1 << 20,
+        matmul_precision: Optional[str] = "highest",
+        return_members: bool = False,
+    ):
+        """Ensemble mean and spread of u at points (beyond-reference).
+
+        Evaluates every member of the last :meth:`train_ensemble` run
+        (or a stacked ``thetas`` pytree with a leading member axis) and
+        returns ``(mean [P], std [P])`` — the std is the seed-variance
+        band, a cheap epistemic-uncertainty proxy.  Conventions match
+        :meth:`evaluate`.  ``return_members=True`` appends the raw
+        ``[E, P]`` member matrix.
+        """
+        thetas = self._ensemble_thetas if thetas is None else thetas
+        if thetas is None:
+            raise ValueError(
+                "no ensemble available: run train_ensemble first or pass "
+                "a stacked thetas pytree"
+            )
+        e = jax.tree_util.tree_leaves(thetas)[0].shape[0]
+        members = np.stack([
+            self.evaluate(
+                x, t=t, mu=mu, chunk=chunk,
+                matmul_precision=matmul_precision,
+                theta=jax.tree_util.tree_map(lambda a: a[i], thetas),
+            )
+            for i in range(e)
+        ])
+        mean, std = members.mean(axis=0), members.std(axis=0)
+        if return_members:
+            return mean, std, members
+        return mean, std
 
     def evaluate_grad(
         self,
