@@ -103,6 +103,24 @@ def test_evaluate_ensemble_bands():
         vn2.evaluate_ensemble(x)
 
 
+def test_ensemble_persistence_roundtrip(tmp_path):
+    """Stacked member pytrees ride the existing theta npz helpers, so an
+    ensemble persists/reloads with no new IO machinery."""
+    from varnet_tpu.utils.io import load_theta_npz, save_theta_npz
+
+    vn, _ = _fresh()
+    vn.train_ensemble(epoch_num=20, n_members=2, weight=(1.0, 10.0),
+                      save_freq=20, verbose=False, error_disc=16)
+    path = str(tmp_path / "ens.npz")
+    save_theta_npz(path, vn._ensemble_thetas)
+    loaded = load_theta_npz(path)
+    x = np.linspace(0.1, 0.9, 5)[:, None]
+    m1, s1 = vn.evaluate_ensemble(x)
+    m2, s2 = vn.evaluate_ensemble(x, thetas=loaded)
+    np.testing.assert_allclose(m1, m2, rtol=1e-6)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-8)
+
+
 def test_member_losses_differ_across_seeds():
     vn, _ = _fresh()
     r = vn.train_ensemble(epoch_num=30, n_members=3, weight=(1.0, 10.0),
