@@ -110,3 +110,10 @@ step lm_precond_tpu      5400 python -u benchmarks/lm_precond_probe.py \
     --out benchmarks/results/lm_precond_tpu.json
 
 echo "[tpu_queue] ensemble/precond steps complete"
+
+# Final sanity: the driver's exact bench command on the final round-3
+# code (the trainer aux packing was refactored for ensembles after the
+# first sanity run — re-validate before the driver's own run).
+step bench_final         2400 python -u bench.py
+
+echo "[tpu_queue] final sanity complete"
