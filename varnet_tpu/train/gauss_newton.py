@@ -198,12 +198,13 @@ def make_lm_step(
     VJP one.  Defaults to residual_closure (the XLA path supports both).
 
     precond > 0: Jacobi-preconditioned CG.  diag(J^T J) is estimated by
-    ``precond`` Hutchinson probes (one vmapped VJP batch per LM
+    ``precond`` Hutchinson probes (sequential VJPs once per LM
     iteration, amortized over all ``cg_iters`` applications) and CG runs
     on M^{-1}(J^T J + lam I) with M = diag + lam — the exact diagonal of
     the damped system.  Helps when parameter curvature scales vary
-    across layers/biases (measured: see BASELINE.md LM rows); the
-    probe cost is ~precond/cg_iters of a step.  0 = plain CG (default).
+    across layers/biases (A/B harness: benchmarks/lm_precond_probe.py);
+    the probe cost is ~precond/cg_iters of a step.  0 = plain CG
+    (default).
 
     cg_segment == 0: linearize + CG + accept fused into ONE jitted
     program — fastest, but a long program at large cg_iters can exceed
