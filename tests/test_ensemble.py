@@ -177,6 +177,41 @@ def test_ensemble_with_fourier_features():
     assert all(np.isfinite(v) for v in r.member_losses[-1])
 
 
+def test_ensemble_fused_path_matches_xla():
+    """The sequential lax.map fused-kernel ensemble path (the TPU hot
+    path — the vmapped XLA path OOMs at bench meshes) matches the
+    vmapped XLA path member-for-member, forced on CPU via an
+    interpret-mode hook (prepared layout skipped: its G/tile resolution
+    assumes the compiled kernel)."""
+    import functools
+
+    case = steady_ad_2d(kappa=0.1)
+    inits = [None]
+
+    def run(fused: bool):
+        vn = VarNet(case["pde"], layer_width=(10, 10), disc_num=10,
+                    n_devices=8, use_pallas=fused)
+        if inits[0] is None:
+            inits[0] = [vn._init_theta(jax.random.PRNGKey(s)) for s in (3, 4)]
+        it = iter(inits[0])
+        vn._init_theta = lambda k: next(it)
+        if fused:
+            hook = vn._fused_residual_hook(None)
+            assert hook is not None
+            vn._fused_residual_hook = lambda prec: functools.partial(
+                hook, interpret=True
+            )
+            vn._prepare_fused_layout = lambda *a, **kw: None
+        return vn.train_ensemble(epoch_num=30, n_members=2,
+                                 weight=(1.0, 10.0), save_freq=30,
+                                 verbose=False, error_disc=12)
+
+    r_fused = run(True)
+    r_xla = run(False)
+    np.testing.assert_allclose(r_fused.member_losses[-1],
+                               r_xla.member_losses[-1], rtol=5e-4)
+
+
 def test_ensemble_rejects_grad_clip_and_bad_args():
     from varnet_tpu.train.optim import OptimizerConfig
 

@@ -769,10 +769,16 @@ class VarNet:
             (e.g. the zero-data attractor, DESIGN.md),
           * uncertainty bands from member spread at evaluation.
 
-        The ensemble rides the XLA matmul-chain path (the fused Pallas
-        kernels assume one weight set per program; their block-diagonal
-        q-blocking does not extend to vmap batching) — still one packed
-        psum per step over the data mesh axis.
+        Hot path: when the fully-fused weak-residual kernel is eligible
+        (same conditions as ``train``) the members run through it via a
+        sequential ``lax.map`` — the kernel assumes one weight set per
+        program, but at ~40x the XLA path's throughput E sequential fused
+        passes beat one vmapped XLA pass for any practical E, and the
+        kernel never materializes per-point activations in HBM (the
+        vmapped XLA path OOMs at bench-scale meshes: [E, 17.5M, width]
+        buffers).  Otherwise the loss is ``vmap``-ed over the stacked
+        members (batched matmuls — fine at small meshes).  Either way:
+        still one packed psum per step over the data mesh axis.
 
         Adam/RMSProp/SGD updates are elementwise, so the stacked update
         IS E independent optimizers.  ``grad_clip`` (global-norm) would
@@ -802,7 +808,13 @@ class VarNet:
             w_full = [w_full[0], w_full[1], 0.0, w_full[2]]
 
         multiple = int(batch_num) * self.n_shards
+        fused = self._fused_residual_hook(matmul_precision) if batch_num == 1 else None
         quad_h = pad_quad(self.fixed.quad, multiple)
+        if fused is not None and self.source_fn is not None:
+            # Inverse-source mode on the fused kernel (see _train_impl):
+            # the kernel integrates with the fixed source zeroed; the
+            # linear -sum_q w N s_phi term is added XLA-side.
+            quad_h = quad_h._replace(src=np.zeros_like(quad_h.src))
         bc_h = pad_points(self.fixed.bc, self.n_shards)
         ic_h = None if self.fixed.ic is None else pad_points(self.fixed.ic, self.n_shards)
         obs_h = None if not has_obs else pad_points(self.obs_data, self.n_shards)
@@ -817,7 +829,9 @@ class VarNet:
         neu_d = self._shard_neu()
 
         loss_kwargs = {}
-        if self._value_and_jac_default is not None:
+        if fused is not None:
+            loss_kwargs["fused_residual"] = fused
+        elif self._value_and_jac_default is not None:
             loss_kwargs["value_and_jac"] = self._value_and_jac_default
         if self._apply_override is not None:
             loss_kwargs["apply_fn"] = self._apply_override
@@ -836,10 +850,15 @@ class VarNet:
 
         def ens_loss(theta_s, quad, bc, ic, obs, weights, prepared=None,
                      neu=None):
-            totals, _ = jax.vmap(
-                lambda th: base_loss(th, quad, bc, ic, obs, weights, None,
-                                     neu)
-            )(theta_s)
+            member = lambda th: base_loss(th, quad, bc, ic, obs, weights,
+                                          prepared, neu)[0]
+            if fused is not None:
+                # Sequential over members: a Pallas call has no vmap
+                # batching rule, and the fused kernel keeps activations
+                # in VMEM so memory stays per-member.
+                totals = jax.lax.map(member, theta_s)
+            else:
+                totals = jax.vmap(member)(theta_s)
             # sum over members: gradients stay per-member independent
             return jnp.sum(totals), {"member_loss": totals}
 
@@ -856,6 +875,9 @@ class VarNet:
             ens_loss, optimizer, mesh=self.mesh, batch_num=batch_num,
             tables_per_node=self.test_order != 1,
         )
+        prepared_d = None
+        if fused is not None and self.dtype == jnp.float32:
+            prepared_d = self._prepare_fused_layout(quad_h, matmul_precision)
         weights_arr = jnp.asarray(w_full, dtype=self.dtype)
 
         def unstack(theta_host):
@@ -873,7 +895,7 @@ class VarNet:
             for epoch in range(1, int(epoch_num) + 1):
                 theta_s, opt_state, aux = step_fn(
                     theta_s, opt_state, quad_d, bc_d, ic_d, obs_d,
-                    weights_arr, None, neu_d,
+                    weights_arr, prepared_d, neu_d,
                 )
                 if t_start is None:
                     jax.block_until_ready(aux["member_loss"])

@@ -67,6 +67,28 @@ def _auto_tile(requested: int, h_max: int, n_layers: int, n_in: int,
     return int(min(requested, cap))
 
 
+def _auto_tile_jvp(requested: int, h_max: int, n_in: int) -> int:
+    """Tile cap for the parameter-tangent JVP kernels (_jvp_kernel /
+    _jvp_kernel_ff), whose per-program live set is LARGER than the
+    forward/backward kernels': 5 packed panels [h, (1+n)T] (s, ds, zc,
+    dzc, s_new) + 2 tiled slope panels [h, nT] + 7 elementwise temps
+    [h, T] = (7*n_in + 12) units of h*T*4 bytes, before Mosaic's concat
+    copies, pipeline double-buffering, and HIGHEST-precision multi-pass
+    scratch.
+
+    Calibration: Mosaic reports 23.76 MB scoped at (h=64, n_in=3,
+    n_layers=3, tile=1536, HIGHEST) = 60.4 units vs the 33-unit live set
+    -> overhead factor 1.83; 2.0 used below for headroom.  The h=48
+    flagship shape sat within ~5% of the 16 MB limit under the OLD
+    (_auto_tile) cap — this formula backs it off to ~9 MB usage so remat
+    stack under the CG while-loop keeps its margin (see
+    benchmarks/results/ad3d_floor.json round-3 TPU failure)."""
+    units = 2.0 * (7 * n_in + 12)
+    budget = 12 * 1024 * 1024  # 16 MB scoped limit minus remat headroom
+    cap = max(256, int(budget / (4.0 * max(h_max, 1) * units)) // 256 * 256)
+    return int(min(requested, cap))
+
+
 def _act_pair(name: str):
     """(act, act_p(z, a), act_pp(z, a, sp)): first/second derivative
     helpers taking BOTH pre-activation z and output a (tanh/sigmoid use a,
@@ -77,6 +99,7 @@ def _act_pair(name: str):
             (lambda z, a: 1.0 - a * a),
             (lambda z, a, sp: -2.0 * a * sp),
         )
+
     if name == "sigmoid":
         return (
             jax.nn.sigmoid,
@@ -576,7 +599,7 @@ def pallas_ff_value_and_jac_jvp(
 
         return ff_value_and_jac(b_mat, params, x, activation, scale, shift)
     h_max = max(l["w"].shape[1] for l in params)
-    tile = _auto_tile(tile, max(2 * b_mat.shape[1], h_max), n_layers, n_in)
+    tile = _auto_tile_jvp(tile, max(2 * b_mat.shape[1], h_max), n_in)
     f = _fused_fn_jvp_ff(n_in, n_layers, activation, tile, bool(interpret),
                          precision)
 
@@ -622,7 +645,7 @@ def pallas_value_and_jac_jvp(
 
         return mlp_value_and_jac(params, x, activation, scale, shift)
     h_max = max(l["w"].shape[1] for l in params)
-    tile = _auto_tile(tile, h_max, n_layers, n_in)
+    tile = _auto_tile_jvp(tile, h_max, n_in)
     f = _fused_fn_jvp(n_in, n_layers, activation, tile, bool(interpret),
                       precision)
 
