@@ -146,6 +146,28 @@ def test_jvp_kernel_matches_auto(activation):
     np.testing.assert_allclose(dout, dout_ref, rtol=5e-4, atol=5e-5)
 
 
+def test_jvp_tiler_caps_measured_oom_shapes():
+    """Regression pin for the round-3 scoped-VMEM OOM: Mosaic measured
+    23.76 MB at (h=64, n_in=3, tile=1536) — 60.4 units of h*T*4 bytes —
+    against the 16 MB limit.  _auto_tile_jvp must keep its calibrated
+    2x-overhead estimate (66 units at n_in=3) under the 12 MB budget
+    for the shapes that failed AND the flagship shape that sat within
+    ~5% of the limit under the old shared formula."""
+    from varnet_tpu.ops.pallas_mlp import _auto_tile_jvp
+
+    measured_units = 60.4  # Mosaic's actual appetite at n_in=3
+    for h in (64, 48, 96):
+        tile = _auto_tile_jvp(4096, h, 3)
+        assert tile % 256 == 0 and tile >= 256
+        scoped = measured_units * h * tile * 4
+        assert scoped < 16 * 1024 * 1024, (h, tile, scoped)
+    # the exact shapes: 3-D width-64 LM (OOM'd) and the flagship
+    assert _auto_tile_jvp(4096, 64, 3) <= 768
+    assert _auto_tile_jvp(4096, 48, 3) <= 1024
+    # requested tile is still honored when smaller
+    assert _auto_tile_jvp(256, 64, 3) == 256
+
+
 def test_lm_rides_jvp_kernel_pair():
     """End-to-end: make_lm_step with the (VJP, JVP) kernel-closure pair
     reduces the loss exactly like the XLA-only pair on a tiny problem."""
