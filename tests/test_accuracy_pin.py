@@ -141,11 +141,12 @@ def test_inverse_source_theta_beats_targets():
 
 def test_contaminant_causal_theta_pinned():
     """The ORIGINAL kappa=0.01/sigma=0.06 contaminant solution (causal
-    growing-window + multi-scale FF, round 3): re-score the persisted
-    theta against the shipped CN-FDM field.  Measured 3.64% overall
-    (benchmarks/results/contaminant_causal.json); pinned at <5%.  Also
-    re-pins the fourier_b reconstruction chain (seed + n_inputs +
-    multi-scale split) — if that drifts, this fails loudly."""
+    growing-window + multi-scale FF + LM polish, round 3): re-score the
+    persisted theta against the shipped CN-FDM field.  Measured 1.63%
+    overall after the queued LM polish (8 iters cg=100; was 3.64% from
+    Adam alone — benchmarks/results/contaminant_causal.json); pinned at
+    <2.5%.  Also re-pins the fourier_b reconstruction chain (seed +
+    n_inputs + multi-scale split) — if that drifts, this fails loudly."""
     from varnet_tpu.api import VarNet
     from varnet_tpu.problems.analytic import contaminant_transport_2d
     from varnet_tpu.utils.helpers import rel_l2_error
@@ -170,4 +171,4 @@ def test_contaminant_causal_theta_pinned():
         preds.append(vn.evaluate(x, t=np.full(x.shape[0], tval)))
         trues.append(z["u"][s].astype(np.float64))
     overall = rel_l2_error(np.concatenate(preds), np.concatenate(trues))
-    assert overall < 0.05, f"expected ~3.6e-2, got {overall:.3e}"
+    assert overall < 0.025, f"expected ~1.6e-2, got {overall:.3e}"

@@ -168,6 +168,27 @@ def test_jvp_tiler_caps_measured_oom_shapes():
     assert _auto_tile_jvp(256, 64, 3) == 256
 
 
+def test_lm_tiler_caps_wide_nets_only():
+    """Regression pin for the second round-3 scoped-VMEM OOM (queue3
+    ad3d_d16_deep): the custom-VJP backward under the LM CG while-loop
+    measured 19.33 MB at (h=64, n_in=3, n_layers=4, tile=1280) — ~2.1x
+    the static live-set estimate.  _auto_tile_lm must cap that shape
+    under the limit, while LEAVING the TPU-proven narrow LM recipes
+    (h=20 tile 5120, h=48 tile 1536 — both measured good) untouched."""
+    from varnet_tpu.ops.pallas_mlp import _auto_tile_lm
+
+    # the failing shape: measured 19.33 MB at tile 1280 -> 15.1 KB/col
+    tile = _auto_tile_lm(4096, 64, 4, 3)
+    assert tile % 256 == 0 and tile >= 256
+    scoped = (19.33 * 1024 * 1024 / 1280) * tile
+    assert scoped < 16 * 1024 * 1024, (tile, scoped)
+    # proven narrow recipes keep their measured tiles (cap must not bind)
+    assert _auto_tile_lm(5120, 20, 3, 3) == 5120
+    assert _auto_tile_lm(1536, 48, 4, 3) == 1536
+    # requested tile still honored when smaller
+    assert _auto_tile_lm(256, 64, 4, 3) == 256
+
+
 def test_lm_rides_jvp_kernel_pair():
     """End-to-end: make_lm_step with the (VJP, JVP) kernel-closure pair
     reduces the loss exactly like the XLA-only pair on a tiny problem."""

@@ -259,6 +259,13 @@ class VarNet:
             self.static, self.activation, self.input_scaling, **eval_kwargs
         )
 
+    @property
+    def _per_node_tables(self) -> bool:
+        """True when the quad carries per-node N/dN/w tables — the order-2
+        test space OR an adaptively refined (mixed-scale) hat space.  The
+        single predicate every hot-path/sharding gate keys on."""
+        return self.test_order != 1 or self.fixed.quad.tables_per_node
+
     def _shard_neu(self):
         """Padded + sharded Neumann FluxData, or None (one place to
         change flux placement for train/refine_lm/refine_lbfgs)."""
@@ -277,13 +284,14 @@ class VarNet:
             or not self.use_fused_residual
             # Fourier-embedded nets ride the directional kernel (the
             # embedding + its tangent run in-kernel, _embed_dir); the
-            # precoeff variant and order-2 tables keep the general path
+            # precoeff variant and per-node tables keep the general path
             or (self.fourier_b is not None
                 and (not self.fused_directional or self.fused_precoeff
-                     or self.test_order != 1))
-            # shared-[nQ]-table kernels can't express order 2; the
-            # precoeff variant folds the tables into the data and can
-            or (self.test_order != 1 and not self.fused_precoeff)
+                     or self._per_node_tables))
+            # shared-[nQ]-table kernels can't express per-node tables
+            # (order-2 space, adaptively refined hats); the precoeff
+            # variant folds the tables into the data and can
+            or (self._per_node_tables and not self.fused_precoeff)
         ):
             return None
         import functools
@@ -387,8 +395,11 @@ class VarNet:
             jax.device_put(np.stack(lst), sharding) for lst in parts
         )
 
-    def _pallas_value_and_jac(self, matmul_precision):
-        """The fused-kernel evaluation path (plain or Fourier-embedded)."""
+    def _pallas_value_and_jac(self, matmul_precision, tile=None):
+        """The fused-kernel evaluation path (plain or Fourier-embedded).
+        ``tile`` caps the kernel's point tile below its own auto-tiler —
+        the LM path passes the ``_auto_tile_lm`` cap (remat-under-while
+        VMEM headroom)."""
         import functools
 
         from .ops.pallas_mlp import pallas_ff_value_and_jac, pallas_value_and_jac
@@ -398,11 +409,14 @@ class VarNet:
             if matmul_precision in ("highest", "float32")
             else None
         )
+        extra = {} if tile is None else {"tile": int(tile)}
         if self.fourier_b is not None:
             return functools.partial(
-                pallas_ff_value_and_jac, self.fourier_b, precision=prec
+                pallas_ff_value_and_jac, self.fourier_b, precision=prec,
+                **extra,
             )
-        return functools.partial(pallas_value_and_jac, precision=prec)
+        return functools.partial(pallas_value_and_jac, precision=prec,
+                                 **extra)
 
     # ------------------------------------------------------------------ #
     # training
@@ -635,7 +649,7 @@ class VarNet:
 
         step_fn = make_train_step(
             loss_fn, optimizer, mesh=self.mesh, batch_num=batch_num,
-            tables_per_node=self.test_order != 1,
+            tables_per_node=self._per_node_tables,
         )
         weights_arr = jnp.asarray(w_full, dtype=self.dtype)
 
@@ -873,7 +887,7 @@ class VarNet:
         opt_state = replicate(optimizer.init(theta_s), self.mesh)
         step_fn = make_train_step(
             ens_loss, optimizer, mesh=self.mesh, batch_num=batch_num,
-            tables_per_node=self.test_order != 1,
+            tables_per_node=self._per_node_tables,
         )
         prepared_d = None
         if fused is not None and self.dtype == jnp.float32:
@@ -968,6 +982,142 @@ class VarNet:
                    else f" (relL2 {result.best_error:.3e})")
             )
         return result
+
+    # ------------------------------------------------------------------ #
+    # adaptive test-space refinement (beyond-reference; fem/adaptive.py)
+
+    def test_residuals(self, theta=None, chunk: int = 16384,
+                       matmul_precision: Optional[str] = None) -> np.ndarray:
+        """Per-test-function weak-residual densities r_k -> [n_test].
+
+        The same support-volume-normalized residual the (default) training
+        loss squares and sums (train/loss.py ``normalize_residual``), so
+        ``sum(r**2) / n_test == loss_int``.  Evaluated in chunks over the
+        test functions through the XLA value-and-jacobian path (a one-shot
+        diagnostic, not a hot loop).  ``theta`` defaults to the current
+        parameters.  This is both the adaptive-refinement indicator
+        (``refine_tests``) and a public diagnostic surface.
+        """
+        from .models.mlp import make_input_scaling, mlp_value_and_jac
+        from .ops.residual import weak_residual
+
+        theta = self.theta if theta is None else theta
+        d = self.static.n_space
+        td = self.static.time_dependent
+        n_in = self.static.n_inputs
+        has_react = self.has_react
+        source_fn = self.source_fn
+        vj = self._value_and_jac_default or mlp_value_and_jac
+        if self.input_scaling:
+            scale, shift = make_input_scaling(
+                self.static.input_lo, self.static.input_hi
+            )
+        else:
+            scale = shift = None
+        activation = self.activation
+
+        @jax.jit
+        def chunk_fn(theta_c, coords, n_tbl, dn_tbl, w_tbl, kappa, vel,
+                     src, react):
+            net = (theta_c["net"]
+                   if isinstance(theta_c, dict) and "net" in theta_c
+                   else theta_c)
+            c, nq = coords.shape[0], coords.shape[1]
+            flat = coords.reshape(c * nq, n_in)
+            u, du = vj(net, flat, activation, scale, shift)
+            grad_u = du[:, :d].reshape(c, nq, d)
+            u_t = du[:, d].reshape(c, nq) if td else None
+            if source_fn is not None:
+                t_flat = flat[:, d] if td else None
+                src = source_fn(
+                    theta_c["src"], flat[:, :d], t_flat
+                ).reshape(c, nq)
+            u_q = u.reshape(c, nq) if has_react else None
+            r = weak_residual(
+                grad_u, n_tbl, dn_tbl, w_tbl, kappa, vel, src, u_t,
+                u=u_q, react=react if has_react else None,
+            )
+            vol = (jnp.sum(w_tbl, axis=-1) if w_tbl.ndim == 2
+                   else jnp.sum(w_tbl))
+            return r / vol
+
+        quad = self.fixed.quad
+        per_node = quad.tables_per_node
+        k_real = self.static.n_test
+        chunk = max(1, min(int(chunk), k_real))
+        out = np.empty(k_real, dtype=np.float64)
+        with matmul_precision_scope(matmul_precision or "highest"):
+            for lo in range(0, k_real, chunk):
+                hi = min(lo + chunk, k_real)
+                sl = slice(lo, hi)
+                # pad the tail chunk so every call shares one jit cache
+                pad = chunk - (hi - lo)
+
+                def take(a, tbl=False):
+                    a = np.asarray(a)
+                    if tbl and not per_node:
+                        return a
+                    a = a[sl]
+                    if pad:
+                        a = np.concatenate(
+                            [a, np.repeat(a[-1:], pad, axis=0)], axis=0
+                        )
+                    return a
+
+                r = chunk_fn(
+                    theta,
+                    take(quad.coords).astype(np.float32),
+                    take(quad.N, tbl=True), take(quad.dN, tbl=True),
+                    take(quad.w, tbl=True), take(quad.kappa),
+                    take(quad.vel), take(quad.src), take(quad.react),
+                )
+                out[sl] = np.asarray(r)[: hi - lo]
+        return out
+
+    def refine_tests(self, frac: float = 0.1,
+                     threshold: Optional[float] = None, factor: int = 2,
+                     theta=None, verbose: bool = True) -> dict:
+        """Residual-driven adaptive refinement of the hat test space
+        (beyond-reference — fem/adaptive.py).
+
+        Flags the test functions whose |residual density| is in the top
+        ``frac`` quantile (or >= ``threshold`` when given) and enriches
+        the test space with the factor-times-finer hats inside their
+        supports, then subsequent ``train``/``refine_lm``/... calls see
+        the enlarged problem.  Typical staged use::
+
+            vn.train(epoch_num=5000, ...)
+            vn.refine_tests(frac=0.15)      # densify where r is largest
+            vn.train(epoch_num=5000, ...)   # recompiles on the new shape
+
+        The refined quad carries per-node tables, so the plain fused
+        residual kernel is ineligible afterwards (the precoeff fused
+        variant and the value+jacobian kernel still apply — hot-path
+        notes in CLAUDE.md).  Refinement state is recovered from the
+        quadrature coordinates themselves; to reproduce a refined run
+        from a checkpoint, replay the same refine_tests calls.
+        """
+        from .fem.adaptive import refine_fixed
+
+        r = self.test_residuals(theta)
+        a = np.abs(r)
+        if threshold is None:
+            if not 0.0 < float(frac) <= 1.0:
+                raise ValueError("frac must be in (0, 1]")
+            threshold = float(np.quantile(a, 1.0 - float(frac)))
+        flags = a >= threshold
+        self.fixed, info = refine_fixed(
+            self.pde, self.fixed, flags, self.integ_p_num, factor=factor,
+        )
+        self.static = self.fixed.static
+        info["threshold"] = float(threshold)
+        if verbose:
+            print(
+                f"[varnet/adapt] flagged {info['n_flagged']}"
+                f" (|r| >= {threshold:.3e}), added {info['n_added']}"
+                f" finer hats -> n_test {info['n_test']}"
+            )
+        return info
 
     def refine_lbfgs(
         self,
@@ -1296,12 +1446,26 @@ class VarNet:
             import functools
 
             from .ops.pallas_mlp import (
+                DEFAULT_TILE,
+                _auto_tile_lm,
                 pallas_ff_value_and_jac_jvp,
                 pallas_value_and_jac_jvp,
             )
 
+            # Under the CG while-loop the kernels' scoped VMEM sits on
+            # top of the remat stack — cap the tile below the plain
+            # auto-tiler (measured 19.33M/16M OOM at 3-D width 64
+            # otherwise; _auto_tile_lm).
+            net = (self.theta["net"] if isinstance(self.theta, dict)
+                   else self.theta)
+            h_eff = max(l["w"].shape[1] for l in net)
+            if self.fourier_b is not None:
+                h_eff = max(h_eff, 2 * int(self.fourier_b.shape[1]))
+            lm_tile = _auto_tile_lm(
+                DEFAULT_TILE, h_eff, len(net), self.static.n_inputs
+            )
             res_kwargs["value_and_jac"] = self._pallas_value_and_jac(
-                matmul_precision
+                matmul_precision, tile=lm_tile
             )
             prec = (
                 jax.lax.Precision.HIGHEST
@@ -1310,12 +1474,12 @@ class VarNet:
             )
             if self.fourier_b is None:
                 jvp_kwargs["value_and_jac"] = functools.partial(
-                    pallas_value_and_jac_jvp, precision=prec
+                    pallas_value_and_jac_jvp, precision=prec, tile=lm_tile
                 )
             else:
                 jvp_kwargs["value_and_jac"] = functools.partial(
                     pallas_ff_value_and_jac_jvp, self.fourier_b,
-                    precision=prec,
+                    precision=prec, tile=lm_tile,
                 )
         common = dict(
             activation=self.activation,
@@ -1359,7 +1523,7 @@ class VarNet:
         rep = P()
         per_node = P(DATA_AXIS)
         # order-2 test space carries per-node [K, nQ] tables: shard them
-        tbl = per_node if self.test_order != 1 else rep
+        tbl = per_node if self._per_node_tables else rep
         quad_spec = QuadData(
             coords=per_node, N=tbl, dN=tbl, w=tbl,
             kappa=per_node, vel=per_node, src=per_node, react=per_node,

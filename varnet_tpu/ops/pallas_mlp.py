@@ -89,6 +89,26 @@ def _auto_tile_jvp(requested: int, h_max: int, n_in: int) -> int:
     return int(min(requested, cap))
 
 
+def _auto_tile_lm(requested: int, h_max: int, n_layers: int,
+                  n_in: int) -> int:
+    """Tile cap for the value+jac kernel pair when it runs under the LM
+    CG loop (``VarNet.refine_lm``): there the custom-VJP backward
+    executes inside transpose(jvp)/while/checkpoint, and the remat stack
+    plus pipeline double-buffering sit ON TOP of the kernel's scoped
+    VMEM.  The overhead over ``_auto_tile``'s static live-set estimate
+    GROWS WITH WIDTH — measured LM runs at ~9 MB static estimates:
+    h=20/tile 5120 and h=48/tile 1536 fit the 16 MB limit, while
+    h=64/n_in=3/n_layers=4/tile 1280 hit 19.33 MB (~2.1x; 3-D disc-16 LM
+    push, 2026-08-18 /tmp/tpu_queue3).  So the cap only binds for wide
+    nets (h >= 56), where it sizes tiles for a 12 MB budget at a 2.5x
+    factor; the TPU-proven narrow recipes keep their measured tiles."""
+    if h_max < 56:
+        return int(requested)
+    denom = 4 * max(h_max, 1) * ((1 + n_in) * (n_layers + 1) + 2 * n_layers)
+    cap = max(256, int(12 * 1024 * 1024 / (2.5 * denom)) // 256 * 256)
+    return int(min(requested, cap))
+
+
 def _act_pair(name: str):
     """(act, act_p(z, a), act_pp(z, a, sp)): first/second derivative
     helpers taking BOTH pre-activation z and output a (tanh/sigmoid use a,
