@@ -29,7 +29,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def run_arm(case, disc, width, layers, epochs, lm_steps, lm_cg, seed,
             adapt_rounds=0, adapt_frac=0.3, weight=(1.0, 10.0),
-            t_disc=None, lr=2e-3):
+            t_disc=None, lr=2e-3, warmup=None):
     from varnet_tpu.api import VarNet
     from varnet_tpu.train.optim import OptimizerConfig
 
@@ -39,9 +39,17 @@ def run_arm(case, disc, width, layers, epochs, lm_steps, lm_cg, seed,
         t_disc_num=t_disc, optimizer=OptimizerConfig(lr=lr), seed=seed,
     )
     stages = adapt_rounds + 1
-    per = max(1, epochs // stages)
+    if warmup is None or stages == 1:
+        budgets = [max(1, epochs // stages)] * stages
+    else:
+        # warmup-heavy split: the measured failure mode of even splits is
+        # a weak stage-0 basin that later stages can't escape
+        w0 = max(1, int(epochs * float(warmup)))
+        rest = max(1, (epochs - w0) // max(1, stages - 1))
+        budgets = [w0] + [rest] * (stages - 1)
     history = []
     for s in range(stages):
+        per = budgets[s]
         vn.train(epoch_num=per, weight=weight, save_freq=per, verbose=False)
         err = vn.compute_error(vn.theta)
         history.append({"stage": s, "n_test": int(vn.static.n_test),
@@ -82,8 +90,19 @@ def main():
     p.add_argument("--lm-cg", type=int, default=100)
     p.add_argument("--seed", type=int, default=3)
     p.add_argument("--t-disc", type=int, default=None)
+    p.add_argument("--warmup", type=float, default=None,
+                   help="fraction of the epoch budget for the adaptive "
+                        "arm's stage 0 (default: even split)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (in-process, beats the "
+                        "axon sitecustomize)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from varnet_tpu.problems import analytic
 
@@ -102,7 +121,7 @@ def main():
                   t_disc=t_disc)
 
     adaptive = run_arm(case, args.coarse_disc, adapt_rounds=args.rounds,
-                       adapt_frac=args.frac, **common)
+                       adapt_frac=args.frac, warmup=args.warmup, **common)
     print(f"[adaptive] rel-L2 {adaptive['rel_l2']:.3e} "
           f"n_test {adaptive['n_test_final']} "
           f"wall {adaptive['wall_s']:.0f}s")
@@ -126,6 +145,7 @@ def main():
         "case": args.case, "kappa": args.kappa,
         "coarse_disc": args.coarse_disc, "uniform_disc": args.uniform_disc,
         "epochs": args.epochs, "rounds": args.rounds, "frac": args.frac,
+        "warmup": args.warmup,
         "lm": [args.lm_steps, args.lm_cg], "seed": args.seed,
         "adaptive": adaptive, "uniform": uniform,
     }

@@ -172,3 +172,21 @@ def test_contaminant_causal_theta_pinned():
         trues.append(z["u"][s].astype(np.float64))
     overall = rel_l2_error(np.concatenate(preds), np.concatenate(trues))
     assert overall < 0.025, f"expected ~1.6e-2, got {overall:.3e}"
+
+
+def test_ad3d_d16_theta_pinned():
+    """3-D steady AD deep push (round 3, /tmp/tpu_queue4): width-64 LM at
+    disc 16 reached rel-L2 4.48e-4 on TPU (ad3d_floor.json; the run the
+    _auto_tile_lm VMEM cap unblocked).  Re-score the persisted theta —
+    pins 3-D evaluation numerics AND the sub-1e-3 3-D headline."""
+    from varnet_tpu.api import VarNet
+    from varnet_tpu.problems.analytic import steady_ad_3d
+
+    path = os.path.join(RESULTS, "theta_ad3d_d16.npz")
+    if not os.path.exists(path):
+        pytest.skip("no persisted 3-D d16 theta yet")
+    case = steady_ad_3d()
+    vn = VarNet(case["pde"], layer_width=(64, 64, 64), disc_num=4,
+                n_devices=1)
+    err = vn.compute_error(_load_theta(path), disc=32)
+    assert err < 6e-4, f"expected ~4.5e-4, got {err:.3e}"

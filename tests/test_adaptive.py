@@ -120,6 +120,30 @@ def test_refined_training_runs_sharded():
     assert np.isfinite(res.losses[-1]["loss"])
 
 
+def test_train_adaptive_schedule(tmp_path):
+    case = steady_ad_1d(kappa=0.05)
+    vn = VarNet(case["pde"], layer_width=(12, 12), disc_num=10,
+                optimizer=OptimizerConfig(lr=2e-3), n_devices=1)
+    k0 = vn.static.n_test
+    res = vn.train_adaptive(
+        epoch_num=60, rounds=2, frac=0.5, weight=(1.0, 10.0),
+        save_freq=20, folderpath=str(tmp_path), verbose=False,
+    )
+    assert vn.static.n_test > k0
+    # merged history: monotone epoch numbering across the 3 stages
+    assert res.epochs == sorted(res.epochs) and res.epochs[-1] == 60
+    # total_steps excludes each stage's compile step (train() semantics)
+    assert res.total_steps >= 54
+    # refinement info recorded at the stage boundaries
+    refined = [rec for rec in res.losses if "refined" in rec]
+    assert len(refined) == 2
+    # per-stage checkpoint lineages
+    import os
+
+    assert os.path.isdir(tmp_path / "stage0")
+    assert os.path.isdir(tmp_path / "stage2")
+
+
 @pytest.mark.e2e
 def test_adaptive_beats_uniform_continuation():
     # under-resolved boundary layer (width kappa/v = 0.02 vs h = 0.125):

@@ -1119,6 +1119,56 @@ class VarNet:
             )
         return info
 
+    def train_adaptive(
+        self,
+        epoch_num: int,
+        rounds: int = 2,
+        frac: float = 0.2,
+        factor: int = 2,
+        weight: Optional[Sequence[float]] = None,
+        folderpath: Optional[str] = None,
+        verbose: bool = True,
+        **train_kwargs,
+    ) -> TrainResult:
+        """Alternating train / refine_tests schedule (fem/adaptive.py).
+
+        Splits ``epoch_num`` over ``rounds + 1`` training stages with a
+        residual-driven refinement between consecutive stages, and
+        returns the merged history (epochs offset per stage; the
+        per-stage refinement info rides the loss record at the stage
+        boundary).  With ``folderpath``, each stage checkpoints into its
+        own ``stage<K>/`` subfolder — refinement changes the problem
+        shape, so stages are distinct checkpoint lineages.
+        """
+        stages = int(rounds) + 1
+        per = max(1, int(epoch_num) // stages)
+        merged = TrainResult()
+        offset = 0
+        for s in range(stages):
+            fp = (None if folderpath is None
+                  else os.path.join(folderpath, f"stage{s}"))
+            res = self.train(epoch_num=per, weight=weight, folderpath=fp,
+                             verbose=verbose, **train_kwargs)
+            merged.epochs.extend(e + offset for e in res.epochs)
+            merged.losses.extend(res.losses)
+            merged.errors.extend(res.errors)
+            last_wall = merged.wall_times[-1] if merged.wall_times else 0.0
+            merged.wall_times.extend(w + last_wall for w in res.wall_times)
+            merged.total_steps += res.total_steps
+            merged.quad_evals_per_sec = res.quad_evals_per_sec
+            merged.steps_per_sec = res.steps_per_sec
+            offset += per
+            if s < stages - 1:
+                info = self.refine_tests(frac=frac, factor=factor,
+                                         verbose=verbose)
+                if merged.losses:
+                    merged.losses[-1] = dict(
+                        merged.losses[-1],
+                        refined=info["n_added"], n_test=info["n_test"],
+                    )
+        self.train_result = merged
+        return merged
+
     def refine_lbfgs(
         self,
         steps: int = 500,
