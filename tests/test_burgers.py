@@ -1,0 +1,134 @@
+"""Nonlinear advection (viscous Burgers family, beyond-reference —
+``ADPDE(nl_adv=b)`` adds u (b . grad u) to the otherwise-linear AD-PDE,
+SURVEY.md §0's weak form extended with one more first-derivative term):
+keystone residual-of-exact-solution checks, an end-to-end train on the
+steady standing shock, and the LM path through the nonlinear residual."""
+
+import numpy as np
+import pytest
+
+from varnet_tpu.api import VarNet
+from varnet_tpu.fem.assembly import build_fixed_data
+from varnet_tpu.geometry.domain import Domain1D
+from varnet_tpu.problems.adpde import ADPDE
+from varnet_tpu.problems.analytic import (
+    burgers_1d_steady,
+    burgers_1d_transient,
+    burgers_2d_manufactured,
+)
+
+
+def residual_of_function_nl(fixed, value_fn, grad_fn, nl_vec, dt_fn=None):
+    """residual_of_function (tests/test_assembly.py) + the nonlinear
+    advection term u (b . grad u) — pure NumPy, independent of the jax
+    ops path."""
+    q = fixed.quad
+    k, nq, _ = q.coords.shape
+    d = q.dN.shape[1]
+    td = fixed.static.time_dependent
+    flat = q.coords.reshape(k * nq, -1)
+    x, t = flat[:, :d], (flat[:, d] if td else None)
+    u = value_fn(x, t).reshape(k, nq)
+    gu = grad_fn(x, t).reshape(k, nq, d)
+    b = np.atleast_1d(np.asarray(nl_vec, dtype=np.float64))
+    integrand = (np.einsum("kqd,kqd->kq", q.vel, gu) - q.src) * q.N
+    integrand += u * np.einsum("kqd,d->kq", gu, b) * q.N
+    integrand += q.kappa * np.einsum("kqd,qd->kq", gu, q.dN)
+    if td:
+        integrand += dt_fn(x, t).reshape(k, nq) * q.N
+    return np.einsum("kq,q->k", integrand, q.w) * q.mask
+
+
+def test_nl_adv_validation():
+    with pytest.raises(ValueError, match="nl_adv"):
+        ADPDE(Domain1D(0, 1), diff=0.1, vel=0.0, nl_adv=(1.0, 2.0),
+              bcs=[0.0, 1.0])
+    # all-zero b degenerates to the linear PDE (nl_adv -> None)
+    pde = ADPDE(Domain1D(0, 1), diff=0.1, vel=0.0, nl_adv=0.0,
+                bcs=[0.0, 1.0])
+    assert pde.nl_adv is None
+
+
+def test_burgers_steady_residual_converges():
+    """Keystone (SURVEY.md §4): the weak residual of the exact standing
+    shock vanishes under mesh refinement."""
+    case = burgers_1d_steady()
+    maxr = []
+    for disc in (16, 32):
+        fixed = build_fixed_data(case["pde"], disc_num=disc)
+        r = residual_of_function_nl(
+            fixed, case["c_ex"], case["c_ex_grad"], case["pde"].nl_adv)
+        maxr.append(np.max(np.abs(r)) / np.sum(fixed.quad.w))
+    assert maxr[1] < maxr[0] / 2.5, maxr
+    assert maxr[1] < 5e-2, maxr
+
+
+def test_burgers_transient_residual_converges():
+    case = burgers_1d_transient()
+    maxr = []
+    for disc, tdisc in ((12, 8), (24, 16)):
+        fixed = build_fixed_data(case["pde"], disc_num=disc,
+                                 t_disc_num=tdisc)
+        r = residual_of_function_nl(
+            fixed, case["c_ex"], case["c_ex_grad"], case["pde"].nl_adv,
+            case["c_ex_dt"])
+        maxr.append(np.max(np.abs(r)) / np.sum(fixed.quad.w))
+    assert maxr[1] < maxr[0] / 2.5, maxr
+    assert maxr[1] < 5e-2, maxr
+
+
+def test_burgers_2d_manufactured_residual_converges():
+    """Vector-b case: the manufactured source must exactly balance the
+    nonlinear term (catches sign/orientation errors in s)."""
+    case = burgers_2d_manufactured()
+    maxr = []
+    for disc, tdisc in ((8, 6), (16, 12)):
+        fixed = build_fixed_data(case["pde"], disc_num=disc,
+                                 t_disc_num=tdisc, b_disc_num=8)
+        r = residual_of_function_nl(
+            fixed, case["c_ex"], case["c_ex_grad"], case["pde"].nl_adv,
+            case["c_ex_dt"])
+        maxr.append(np.max(np.abs(r)) / np.sum(fixed.quad.w))
+    assert maxr[1] < maxr[0] / 2.5, maxr
+    assert maxr[1] < 5e-2, maxr
+
+
+def test_burgers_steady_trains_to_front():
+    """End-to-end: the nonlinear loss path drives the net to the standing
+    shock (boundary-driven — no zero-data attractor here: u=0 violates
+    the BCs)."""
+    case = burgers_1d_steady()
+    vn = VarNet(case["pde"], layer_width=(20, 20), disc_num=24, seed=1,
+                n_devices=1)
+    vn.train(epoch_num=2500, weight=(1.0, 10.0), save_freq=500,
+             verbose=False, matmul_precision="highest")
+    x = np.linspace(0, 1, 101)[:, None]
+    u = vn.evaluate(x)
+    rel = np.linalg.norm(u - case["c_ex"](x)) / np.linalg.norm(case["c_ex"](x))
+    assert rel < 0.05, rel
+
+
+def test_burgers_lm_path():
+    """refine_lm's residual vector includes the nonlinear term: sum(r^2)
+    must equal the train loss at the same theta, and a few LM iterations
+    must not diverge."""
+    case = burgers_1d_steady()
+    vn = VarNet(case["pde"], layer_width=(16,), disc_num=16, seed=0,
+                n_devices=1)
+    r0 = vn.train(epoch_num=300, weight=(1.0, 10.0), save_freq=100,
+                  verbose=False)
+    r = vn.refine_lm(steps=3, weight=(1.0, 10.0), cg_iters=30,
+                     save_freq=1, verbose=False)
+    assert r.losses[-1]["loss"] <= r0.losses[-1]["loss"] * 1.05
+    # LM actually moved the loss (the nonlinear J v / J^T w closures work)
+    assert r.losses[-1]["loss"] < r0.losses[-1]["loss"]
+
+
+def test_nl_disables_fused_residual_kernel():
+    """The fully-fused residual kernel cannot express u (b . grad u);
+    the hot-path hook must decline nonlinear problems (they ride the
+    value+jac evaluator instead)."""
+    case = burgers_1d_steady()
+    vn = VarNet(case["pde"], layer_width=(16,), disc_num=8, n_devices=1,
+                use_pallas=True)
+    assert vn._fused_residual_hook("highest") is None

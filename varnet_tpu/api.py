@@ -180,6 +180,11 @@ class VarNet:
             pde.react is None
             or (np.isscalar(pde.react) and float(pde.react) == 0.0)
         )
+        # Constant Burgers direction b (validated by ADPDE.__post_init__;
+        # None for linear problems).  Nonlinear problems keep the fused
+        # value+jac kernel hot path but never the fully-fused residual
+        # kernel (_fused_residual_hook gates on it).
+        self.nl_vec = getattr(pde, "nl_adv", None)
         self.fixed: FixedData = build_fixed_data(
             pde,
             disc_num,
@@ -282,6 +287,9 @@ class VarNet:
         if (
             not self.use_pallas
             or not self.use_fused_residual
+            # nonlinear advection (Burgers) needs u*(b.grad u): rides the
+            # value+jac kernel path, not the fully-fused residual kernel
+            or self.nl_vec is not None
             # Fourier-embedded nets ride the directional kernel (the
             # embedding + its tangent run in-kernel, _embed_dir); the
             # precoeff variant and per-node tables keep the general path
@@ -614,6 +622,7 @@ class VarNet:
             n_obs_real=0 if not has_obs else int(self.obs_data.mask.sum()),
             normalize_residual=normalize_residual,
             has_react=self.has_react,
+            nl_vec=self.nl_vec,
             flux_value_and_jac=self._value_and_jac_default,
             **loss_kwargs,
         )
@@ -858,6 +867,7 @@ class VarNet:
             n_obs_real=0 if not has_obs else int(self.obs_data.mask.sum()),
             normalize_residual=normalize_residual,
             has_react=self.has_react,
+            nl_vec=self.nl_vec,
             flux_value_and_jac=self._value_and_jac_default,
             **loss_kwargs,
         )
@@ -1006,6 +1016,9 @@ class VarNet:
         td = self.static.time_dependent
         n_in = self.static.n_inputs
         has_react = self.has_react
+        nl_vec = (None if self.nl_vec is None
+                  else jnp.asarray(self.nl_vec, jnp.float32))
+        need_u = has_react or nl_vec is not None
         source_fn = self.source_fn
         vj = self._value_and_jac_default or mlp_value_and_jac
         if self.input_scaling:
@@ -1032,10 +1045,10 @@ class VarNet:
                 src = source_fn(
                     theta_c["src"], flat[:, :d], t_flat
                 ).reshape(c, nq)
-            u_q = u.reshape(c, nq) if has_react else None
+            u_q = u.reshape(c, nq) if need_u else None
             r = weak_residual(
                 grad_u, n_tbl, dn_tbl, w_tbl, kappa, vel, src, u_t,
-                u=u_q, react=react if has_react else None,
+                u=u_q, react=react if has_react else None, nl_vec=nl_vec,
             )
             vol = (jnp.sum(w_tbl, axis=-1) if w_tbl.ndim == 2
                    else jnp.sum(w_tbl))
@@ -1248,6 +1261,7 @@ class VarNet:
             n_obs_real=0 if not has_obs else int(self.obs_data.mask.sum()),
             normalize_residual=normalize_residual,
             has_react=self.has_react,
+            nl_vec=self.nl_vec,
             flux_value_and_jac=self._value_and_jac_default,
             **loss_kwargs,
         )
@@ -1538,6 +1552,7 @@ class VarNet:
             has_obs=has_obs,
             n_obs_real=0 if not has_obs else int(self.obs_data.mask.sum()),
             has_react=self.has_react,
+            nl_vec=self.nl_vec,
             flux_value_and_jac=self._value_and_jac_default,
         )
         res_fn = make_residual_fn(self.static, **common, **res_kwargs)

@@ -27,15 +27,18 @@ def weak_residual(
     vel: jnp.ndarray,             # [K, nQ, d]
     src: jnp.ndarray,             # [K, nQ]
     u_t: Optional[jnp.ndarray] = None,  # [K, nQ] (time-dependent only)
-    u: Optional[jnp.ndarray] = None,    # [K, nQ] net values (reaction term)
+    u: Optional[jnp.ndarray] = None,    # [K, nQ] net values (reaction/nl)
     react: Optional[jnp.ndarray] = None,  # [K, nQ] reaction coefficient
+    nl_vec: Optional[jnp.ndarray] = None,  # [d] constant Burgers direction
 ) -> jnp.ndarray:
     """Per-test-function weak residual r_k -> [K].
 
     Integration by parts has been applied only to the diffusion term
     (SURVEY.md §0 item 3), so only FIRST derivatives of the network appear.
-    The optional reaction term adds + c u (advection-diffusion-reaction,
-    a beyond-reference extension).
+    The optional reaction term adds + c u (advection-diffusion-reaction),
+    and the optional ``nl_vec`` adds the nonlinear advection term
+    + u (b . grad u) — the viscous-Burgers family (both beyond-reference
+    extensions; both need ``u``).
 
     Test tables come in two layouts, distinguished statically by rank:
     [nQ]-shaped tables shared by every node (order-1 hats on a uniform
@@ -50,6 +53,8 @@ def weak_residual(
         integrand = integrand + u_t * n2
     if react is not None and u is not None:
         integrand = integrand + react * u * n2
+    if nl_vec is not None and u is not None:
+        integrand = integrand + u * jnp.einsum("kqd,d->kq", grad_u, nl_vec) * n2
     if dn.ndim == 3:
         diff = kappa * jnp.einsum("kqd,kqd->kq", grad_u, dn)
     else:

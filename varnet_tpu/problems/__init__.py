@@ -1,6 +1,9 @@
 from .adpde import ADPDE, MORVar, NeumannBC, RobinBC, eval_field
 from .analytic import (
     steady_adr_1d,
+    burgers_1d_steady,
+    burgers_1d_transient,
+    burgers_2d_manufactured,
     contaminant_transport_2d,
     inverse_source_2d,
     steady_ad_1d,

@@ -154,6 +154,14 @@ class ADPDE:
     react:      reaction coefficient c(x, t) adding + c u to the PDE
                 (advection-diffusion-REACTION; 0 = off — beyond-reference
                 extension, trivially supported by the weak form)
+    nl_adv:     CONSTANT vector b (scalar in 1-D) adding the nonlinear
+                advection term u (b . grad u) to the PDE — viscous
+                Burgers family (beyond-reference: the reference is
+                strictly linear).  None = off.  The weak form needs no
+                new derivatives (the term is u * directional-gradient,
+                both already produced by the value+jacobian evaluators);
+                nonlinear problems ride the fused value+jac kernel path
+                rather than the fully-fused residual kernel.
     t_interval: (t0, T) for time-dependent problems, None for steady
     bcs:        per-boundary-segment data, list of length
                 domain.n_boundary_segments; entries are constants or
@@ -176,6 +184,7 @@ class ADPDE:
     vel: Any
     source: Any = 0.0
     react: Any = 0.0
+    nl_adv: Any = None
     t_interval: Optional[Sequence[float]] = None
     bcs: Any = 0.0
     ic: Any = None
@@ -202,6 +211,14 @@ class ADPDE:
                 "is unsupported because the penalty-point set would carry "
                 "no Dirichlet rows)"
             )
+        if self.nl_adv is not None:
+            b = np.atleast_1d(np.asarray(self.nl_adv, dtype=np.float64))
+            if b.shape != (self.domain.dim,):
+                raise ValueError(
+                    f"nl_adv must be a constant length-{self.domain.dim} "
+                    f"vector (scalar ok in 1-D); got shape {b.shape}"
+                )
+            self.nl_adv = None if not b.any() else b
         if self.t_interval is not None:
             t0, t1 = float(self.t_interval[0]), float(self.t_interval[1])
             if not t1 > t0:

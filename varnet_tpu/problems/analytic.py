@@ -619,3 +619,118 @@ def steady_ad_2d_neumann(kappa: float = 0.1, vel=(1.0, 0.5)):
     )
     return {"pde": pde, "c_ex": c_ex, "c_ex_grad": c_ex_grad,
             "c_ex_dt": None}
+
+
+def burgers_1d_steady(nu: float = 0.07, a: float = 1.0):
+    """1-D STEADY viscous Burgers standing shock (beyond-reference:
+    nonlinear advection via ``ADPDE(nl_adv=...)`` — the reference is
+    strictly linear).
+
+        u u_x - nu u_xx = 0  on (0, 1)
+        u(x) = -a tanh(a (x - 1/2) / (2 nu))
+
+    A viscous kink of width ~nu/a centered at x = 1/2 — the sharp-front
+    regime the weak form targets, now with the front set by the solution
+    itself rather than the data.
+    """
+    k = a / (2.0 * nu)
+
+    def c_ex(x, t=None):
+        x1 = np.atleast_2d(x)[:, 0]
+        return -a * np.tanh(k * (x1 - 0.5))
+
+    def c_ex_grad(x, t=None):
+        x1 = np.atleast_2d(x)[:, 0]
+        return (-a * k / np.cosh(k * (x1 - 0.5)) ** 2)[:, None]
+
+    domain = Domain1D(0.0, 1.0)
+    pde = ADPDE(domain, diff=nu, vel=0.0, source=0.0, nl_adv=1.0,
+                bcs=[float(c_ex([[0.0]])[0]), float(c_ex([[1.0]])[0])],
+                c_ex=c_ex)
+    return {"pde": pde, "c_ex": c_ex, "c_ex_grad": c_ex_grad,
+            "c_ex_dt": None}
+
+
+def burgers_1d_transient(nu: float = 0.05, a: float = 0.4, c: float = 0.6,
+                         x0: float = 0.25, t_final: float = 0.8):
+    """1-D transient viscous Burgers traveling front (beyond-reference).
+
+        u_t + u u_x - nu u_xx = 0
+        u(x, t) = c - a tanh(a (x - x0 - c t) / (2 nu))
+
+    The tanh traveling wave: a front of height 2a moving at the mean
+    speed c (check: u_t + u u_x = (u - c) u' = -a tanh(.) u' = nu u'').
+    Dirichlet data on both ends and the IC are taken from the exact
+    solution, so it remains exact on the truncated domain.
+    """
+    k = a / (2.0 * nu)
+
+    def c_ex(x, t):
+        x1 = np.atleast_2d(x)[:, 0]
+        t = np.asarray(t)
+        return c - a * np.tanh(k * (x1 - x0 - c * t))
+
+    def c_ex_grad(x, t):
+        x1 = np.atleast_2d(x)[:, 0]
+        t = np.asarray(t)
+        return (-a * k / np.cosh(k * (x1 - x0 - c * t)) ** 2)[:, None]
+
+    def c_ex_dt(x, t):
+        x1 = np.atleast_2d(x)[:, 0]
+        t = np.asarray(t)
+        return a * k * c / np.cosh(k * (x1 - x0 - c * t)) ** 2
+
+    domain = Domain1D(0.0, 1.0)
+    pde = ADPDE(
+        domain, diff=nu, vel=0.0, source=0.0, nl_adv=1.0,
+        t_interval=(0.0, float(t_final)),
+        bcs=[lambda x, t: c_ex(x, t), lambda x, t: c_ex(x, t)],
+        ic=lambda x: c_ex(x, np.zeros(np.atleast_2d(x).shape[0])),
+        c_ex=c_ex,
+    )
+    return {"pde": pde, "c_ex": c_ex, "c_ex_grad": c_ex_grad,
+            "c_ex_dt": c_ex_dt}
+
+
+def burgers_2d_manufactured(nu: float = 0.1, b=(1.0, 1.0),
+                            t_final: float = 0.5):
+    """2-D transient scalar Burgers-type equation, manufactured solution
+    (beyond-reference; exercises nl_adv with a genuine [d] direction).
+
+        u_t + u (b . grad u) - nu lap u = s   on (0,1)^2
+        u(x, y, t) = exp(-t) sin(pi x) sin(pi y),   s manufactured
+    """
+    b = np.asarray(b, dtype=np.float64)
+
+    def c_ex(x, t):
+        x = np.atleast_2d(x)
+        t = np.asarray(t)
+        return np.sin(np.pi * x[:, 0]) * np.sin(np.pi * x[:, 1]) * np.exp(-t)
+
+    def c_ex_grad(x, t):
+        x = np.atleast_2d(x)
+        t = np.asarray(t)
+        e = np.exp(-t)
+        return np.pi * np.stack(
+            [np.cos(np.pi * x[:, 0]) * np.sin(np.pi * x[:, 1]),
+             np.sin(np.pi * x[:, 0]) * np.cos(np.pi * x[:, 1])], axis=-1
+        ) * np.reshape(e, (-1, 1) if np.ndim(e) else (1, 1))
+
+    def c_ex_dt(x, t):
+        return -c_ex(x, t)
+
+    def source(x, t):
+        u = c_ex(x, t)
+        g = c_ex_grad(x, t)
+        lap = -2.0 * np.pi**2 * u
+        return c_ex_dt(x, t) + u * (g @ b) - nu * lap
+
+    domain = RectangleDomain2D((0.0, 0.0), (1.0, 1.0))
+    pde = ADPDE(
+        domain, diff=nu, vel=np.zeros(2), source=source, nl_adv=b,
+        t_interval=(0.0, float(t_final)), bcs=0.0,
+        ic=lambda x: c_ex(x, np.zeros(np.atleast_2d(x).shape[0])),
+        c_ex=c_ex,
+    )
+    return {"pde": pde, "c_ex": c_ex, "c_ex_grad": c_ex_grad,
+            "c_ex_dt": c_ex_dt}

@@ -39,6 +39,7 @@ def make_residual_fn(
     n_obs_real: int = 1,
     k_chunks: int = 1,
     has_react: bool = False,
+    nl_vec=None,
     flux_value_and_jac: Optional[Callable] = None,
 ):
     """Weighted residual VECTOR r_full(theta) with sum(r^2) == total loss
@@ -57,6 +58,8 @@ def make_residual_fn(
     n_obs = float(max(int(n_obs_real), 1))
     n_neu = float(max(getattr(static, "n_neu", 0), 1))
     n_k = float(max(static.n_test, 1))
+    nl_vec = None if nl_vec is None else jnp.asarray(nl_vec, jnp.float32)
+    need_u = has_react or nl_vec is not None
     if input_scaling:
         scale, shift = make_input_scaling(static.input_lo, static.input_hi)
     else:
@@ -80,8 +83,9 @@ def make_residual_fn(
             src = src_fixed
         r = weak_residual(
             grad_u, n_tbl, dn_tbl, w_tbl, kappa, vel, src, u_t,
-            u=u.reshape(k, nq) if has_react else None,
+            u=u.reshape(k, nq) if need_u else None,
             react=react if has_react else None,
+            nl_vec=nl_vec,
         )
         vol = jnp.sum(w_tbl, axis=-1) if w_tbl.ndim == 2 else jnp.sum(w_tbl)
         return (r / vol) * mask

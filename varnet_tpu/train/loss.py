@@ -36,6 +36,7 @@ def make_loss_fn(
     n_obs_real: int = 1,
     normalize_residual: bool = True,
     has_react: bool = False,
+    nl_vec=None,
     fused_residual: Optional[Callable] = None,
     flux_value_and_jac: Optional[Callable] = None,
 ):
@@ -48,6 +49,10 @@ def make_loss_fn(
         source-identification mode (BASELINE.json config 5).
     has_obs: when True the loss takes an observations PointData and a
         4-vector of weights (w_int, w_bc, w_ic, w_obs).
+    nl_vec: constant [d] Burgers direction b for the nonlinear advection
+        term u (b . grad u), or None (linear PDE).  Nonlinear problems
+        never receive a ``fused_residual`` hook (api gating) — they ride
+        the injected value+jacobian evaluator, which already produces u.
 
     Returns ``loss_fn(theta, quad, bc, ic, obs, weights) -> (total, aux)``;
     ``ic``/``obs`` may be None for steady / non-inverse problems (decided
@@ -62,6 +67,8 @@ def make_loss_fn(
     n_ic = float(max(static.n_ic, 1))
     n_obs = float(max(int(n_obs_real), 1))
     n_neu = float(max(getattr(static, "n_neu", 0), 1))
+    nl_vec = None if nl_vec is None else jnp.asarray(nl_vec, jnp.float32)
+    need_u = has_react or nl_vec is not None
     if input_scaling:
         scale, shift = make_input_scaling(static.input_lo, static.input_hi)
     else:
@@ -102,10 +109,11 @@ def make_loss_fn(
                 src = source_fn(theta["src"], flat[:, :d], t_flat).reshape(k, nq)
             else:
                 src = quad.src
-            u_q = u.reshape(k, nq) if has_react else None
+            u_q = u.reshape(k, nq) if need_u else None
             r = weak_residual(
                 grad_u, quad.N, quad.dN, quad.w, quad.kappa, quad.vel, src, u_t,
                 u=u_q, react=quad.react if has_react else None,
+                nl_vec=nl_vec,
             )
         if normalize_residual:
             # r_k scales with the test-function support volume (= sum of the
