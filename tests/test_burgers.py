@@ -132,3 +132,49 @@ def test_nl_disables_fused_residual_kernel():
     vn = VarNet(case["pde"], layer_width=(16,), disc_num=8, n_devices=1,
                 use_pallas=True)
     assert vn._fused_residual_hook("highest") is None
+
+
+def test_burgers_adaptive_compose():
+    """Composition with adaptive refinement: test_residuals and
+    refine_tests ride the nonlinear residual path, and a short
+    continuation on the enriched space keeps training (WHERE the density
+    peaks is training-stage-dependent — boundary-dominated early,
+    front-dominated late — so only the mechanism is asserted here)."""
+    case = burgers_1d_steady()
+    vn = VarNet(case["pde"], layer_width=(16,), disc_num=16, seed=1,
+                n_devices=1)
+    r0 = vn.train(epoch_num=800, weight=(1.0, 10.0), save_freq=400,
+                  verbose=False)
+    r = vn.test_residuals()
+    assert r.shape == (vn.static.n_test,) and np.all(np.isfinite(r))
+    n0 = vn.static.n_test
+    vn.refine_tests(frac=0.2, verbose=False)
+    assert vn.static.n_test > n0
+    r1 = vn.train(epoch_num=400, weight=(1.0, 10.0), save_freq=200,
+                  verbose=False)
+    assert np.isfinite(r1.losses[-1]["loss"])
+    assert r1.losses[-1]["loss"] < r0.losses[0]["loss"]
+
+
+def test_burgers_causal_compose():
+    """Composition with the causal growing-window curriculum: the
+    traveling front trains window-by-window through the SAME nonlinear
+    loss path."""
+    from varnet_tpu.train.causal import train_causal
+    from varnet_tpu.problems.analytic import burgers_1d_transient
+
+    T = 0.8
+
+    def make_pde(w):  # w = window FRACTION of the full interval
+        return burgers_1d_transient(t_final=T * w)["pde"]
+
+    vn, stages = train_causal(
+        make_pde, windows=(0.5, 1.0), epoch_num=200,
+        weight=(1.0, 10.0, 10.0), t_disc_full=8,
+        varnet_kwargs=dict(layer_width=(12,), disc_num=12, b_disc_num=4,
+                           n_devices=1),
+        verbose=False,
+    )
+    assert [s["t_end"] for s in stages] == [0.5, 1.0]
+    assert stages[-1]["final_loss"] < stages[0]["final_loss"] * 50
+    assert np.isfinite(stages[-1]["final_loss"])
