@@ -22,6 +22,8 @@ RESULTS = Path(__file__).parent / "results"
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steady", action="store_true")
+    ap.add_argument("--two-d", action="store_true",
+                    help="2-D manufactured vector-b case instead of 1-D")
     ap.add_argument("--nu", type=float, default=0.05)
     ap.add_argument("--amp", type=float, default=0.4)
     ap.add_argument("--speed", type=float, default=0.6)
@@ -47,13 +49,18 @@ def main():
     from varnet_tpu.problems.analytic import (
         burgers_1d_steady,
         burgers_1d_transient,
+        burgers_2d_manufactured,
     )
     from varnet_tpu.train.optim import OptimizerConfig
     from varnet_tpu.utils.helpers import enable_compilation_cache
     from varnet_tpu.utils.io import save_theta_npz
 
     enable_compilation_cache()
-    if args.steady:
+    if args.two_d:
+        case = burgers_2d_manufactured(nu=args.nu)
+        w = (1.0, 10.0, 10.0)
+        vn_kw = {"t_disc_num": args.tdisc}
+    elif args.steady:
         case = burgers_1d_steady(nu=args.nu, a=max(args.amp, 1.0))
         w = (1.0, 10.0)
         vn_kw = {}
@@ -69,23 +76,25 @@ def main():
                                   decay_steps=max(args.epochs // 4, 1)),
         **vn_kw,
     )
+    err_disc = 96 if args.two_d else 256
     res = vn.train(epoch_num=args.epochs, weight=w,
                    save_freq=max(args.epochs // 6, 1), verbose=True,
-                   error_disc=256, matmul_precision="highest",
+                   error_disc=err_disc, matmul_precision="highest",
                    folderpath=args.folder, resume=args.resume,
                    max_retries=2)
     r = vn.refine_lm(steps=args.lm_steps, weight=w, cg_iters=args.lm_cg,
                      save_freq=max(args.lm_steps // 8, 1), verbose=True,
-                     error_disc=256, k_chunks=args.k_chunks,
+                     error_disc=err_disc, k_chunks=args.k_chunks,
                      matmul_precision="highest", folderpath=args.folder,
                      resume=args.resume, max_retries=2)
     finite = ([e for e in res.errors if e == e]
               + [e for e in r.errors if e == e])
     best = min(finite, default=float("nan"))
     row = {
-        "case": "steady_shock" if args.steady else "traveling_front",
+        "case": ("manufactured_2d" if args.two_d
+                 else "steady_shock" if args.steady else "traveling_front"),
         "nu": args.nu,
-        "mesh": (f"disc={args.disc}" if args.steady
+        "mesh": (f"disc={args.disc}" if args.steady and not args.two_d
                  else f"disc={args.disc} tdisc={args.tdisc}"),
         "network": f"({args.width},)x{args.layers}",
         "epochs": args.epochs,

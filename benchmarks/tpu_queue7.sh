@@ -31,4 +31,8 @@ step burgers_front 7200 python -u benchmarks/burgers_accuracy.py \
 step burgers_shock 3600 python -u benchmarks/burgers_accuracy.py \
   --steady --nu 0.07 --disc 64 --width 32 --layers 3 --epochs 8000 \
   --lm-steps 30 --lm-cg 200 --folder /tmp/burgers_shock
+step burgers_2d 7200 python -u benchmarks/burgers_accuracy.py \
+  --two-d --nu 0.1 --disc 32 --tdisc 20 --width 32 --layers 3 \
+  --epochs 12000 --lm-steps 40 --lm-cg 200 --k-chunks 2 \
+  --folder /tmp/burgers_2d
 echo "=== queue7 complete $(date -u) ==="
