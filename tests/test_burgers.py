@@ -178,3 +178,49 @@ def test_burgers_causal_compose():
     assert [s["t_end"] for s in stages] == [0.5, 1.0]
     assert stages[-1]["final_loss"] < stages[0]["final_loss"] * 50
     assert np.isfinite(stages[-1]["final_loss"])
+
+
+def test_burgers_mor_compose():
+    """Composition with MOR: one net amortizes the standing-shock family
+    over viscosity (mu = nu enters kappa AND the exact solution; the
+    nonlinear term is mu-independent).  Keystone: the per-sample exact
+    shocks have vanishing weak residual through the paired fixed data."""
+    from varnet_tpu.problems.adpde import MORVar
+
+    a = 1.0
+    nus = np.array([[0.06], [0.1]])
+
+    def u_exact(x1, nu):
+        return -a * np.tanh(a * (x1 - 0.5) / (2.0 * nu))
+
+    pde = ADPDE(
+        Domain1D(0.0, 1.0),
+        diff=lambda x, t, mu: mu[:, 0],
+        vel=0.0, source=0.0, nl_adv=1.0,
+        bcs=[lambda x, t, mu: u_exact(np.atleast_2d(x)[:, 0], mu[:, 0]),
+             lambda x, t, mu: u_exact(np.atleast_2d(x)[:, 0], mu[:, 0])],
+        mor=MORVar(samples=nus),
+    )
+    fixed = build_fixed_data(pde, disc_num=32)
+    q = fixed.quad
+    k, nq, _ = q.coords.shape
+    x1, mu = q.coords[:, :, 0].ravel(), q.coords[:, :, 1].ravel()
+    u = u_exact(x1, mu).reshape(k, nq)
+    gu = (-a**2 / (2 * mu) / np.cosh(a * (x1 - 0.5) / (2 * mu)) ** 2
+          ).reshape(k, nq, 1)
+    integrand = (u * gu[:, :, 0] - q.src) * q.N  # b=1: u u_x
+    integrand += q.kappa * np.einsum("kqd,qd->kq", gu, q.dN)
+    r = np.einsum("kq,q->k", integrand, q.w) * q.mask
+    assert np.max(np.abs(r)) / np.sum(q.w) < 5e-2
+    # kappa was paired from mu per sample block
+    half = k // 2
+    np.testing.assert_allclose(q.kappa[:half], 0.06)
+    np.testing.assert_allclose(q.kappa[half:], 0.1)
+    # and the nonlinear MOR problem trains
+    vn = VarNet(pde, layer_width=(12, 12), disc_num=16, seed=1,
+                n_devices=1)
+    res = vn.train(epoch_num=400, weight=(1.0, 10.0), save_freq=200,
+                   verbose=False)
+    assert res.losses[-1]["loss"] < res.losses[0]["loss"]
+    u5 = vn.evaluate(np.linspace(0, 1, 5)[:, None], mu=np.array([0.08]))
+    assert u5.shape == (5,) and np.all(np.isfinite(u5))
