@@ -23,7 +23,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steady", action="store_true")
     ap.add_argument("--two-d", action="store_true",
-                    help="2-D manufactured vector-b case instead of 1-D")
+                    help="2-D planar traveling front (true analytic "
+                         "nonlinear solution) instead of 1-D")
     ap.add_argument("--nu", type=float, default=0.05)
     ap.add_argument("--amp", type=float, default=0.4)
     ap.add_argument("--speed", type=float, default=0.6)
@@ -49,7 +50,7 @@ def main():
     from varnet_tpu.problems.analytic import (
         burgers_1d_steady,
         burgers_1d_transient,
-        burgers_2d_manufactured,
+        burgers_2d_front,
     )
     from varnet_tpu.train.optim import OptimizerConfig
     from varnet_tpu.utils.helpers import enable_compilation_cache
@@ -57,7 +58,7 @@ def main():
 
     enable_compilation_cache()
     if args.two_d:
-        case = burgers_2d_manufactured(nu=args.nu)
+        case = burgers_2d_front(nu=args.nu)
         w = (1.0, 10.0, 10.0)
         vn_kw = {"t_disc_num": args.tdisc}
     elif args.steady:
@@ -91,7 +92,7 @@ def main():
               + [e for e in r.errors if e == e])
     best = min(finite, default=float("nan"))
     row = {
-        "case": ("manufactured_2d" if args.two_d
+        "case": ("front_2d" if args.two_d
                  else "steady_shock" if args.steady else "traveling_front"),
         "nu": args.nu,
         "mesh": (f"disc={args.disc}" if args.steady and not args.two_d

@@ -224,3 +224,23 @@ def test_burgers_mor_compose():
     assert res.losses[-1]["loss"] < res.losses[0]["loss"]
     u5 = vn.evaluate(np.linspace(0, 1, 5)[:, None], mu=np.array([0.08]))
     assert u5.shape == (5,) and np.all(np.isfinite(u5))
+
+
+def test_burgers_2d_front_residual_converges():
+    """Keystone for the TRUE analytic 2-D nonlinear solution (planar
+    tanh front, no manufactured source): the derivation's constants
+    (s = beta*speed, k = beta*amp/(2 nu)) must balance u_t, u (b.grad u)
+    and the diffusion exactly."""
+    from varnet_tpu.problems.analytic import burgers_2d_front
+
+    case = burgers_2d_front()
+    maxr = []
+    for disc, tdisc in ((10, 6), (20, 12)):
+        fixed = build_fixed_data(case["pde"], disc_num=disc,
+                                 t_disc_num=tdisc, b_disc_num=8)
+        r = residual_of_function_nl(
+            fixed, case["c_ex"], case["c_ex_grad"], case["pde"].nl_adv,
+            case["c_ex_dt"])
+        maxr.append(np.max(np.abs(r)) / np.sum(fixed.quad.w))
+    assert maxr[1] < maxr[0] / 2.5, maxr
+    assert maxr[1] < 5e-2, maxr

@@ -3,6 +3,7 @@ from .analytic import (
     steady_adr_1d,
     burgers_1d_steady,
     burgers_1d_transient,
+    burgers_2d_front,
     burgers_2d_manufactured,
     contaminant_transport_2d,
     inverse_source_2d,

@@ -734,3 +734,49 @@ def burgers_2d_manufactured(nu: float = 0.1, b=(1.0, 1.0),
     )
     return {"pde": pde, "c_ex": c_ex, "c_ex_grad": c_ex_grad,
             "c_ex_dt": c_ex_dt}
+
+
+def burgers_2d_front(nu: float = 0.05, amp: float = 0.4, speed: float = 0.5,
+                     x0: float = 0.4, bvec=(1.0, 1.0), t_final: float = 0.4):
+    """2-D viscous Burgers-type planar traveling front — a TRUE analytic
+    nonlinear solution (no manufactured source; beyond-reference).
+
+    For u_t + u (b . grad u) - nu lap u = 0, the planar-wave ansatz
+    u = f(e.x - s t) with e = b/|b| reduces to the 1-D Burgers ODE with
+    effective advection beta = |b|:  (beta f - s) f' = nu f''.  The tanh
+    kink solves it when s = beta*speed and k = beta*amp/(2 nu):
+
+        u(x, t) = speed - amp tanh(k (e.x - x0 - beta speed t))
+
+    a diagonal front of height 2 amp moving at normal speed beta*speed.
+    """
+    b = np.asarray(bvec, dtype=np.float64)
+    beta = float(np.linalg.norm(b))
+    e = b / beta
+    k = beta * amp / (2.0 * nu)
+
+    def _xi(x, t):
+        x = np.atleast_2d(x)
+        return x @ e - x0 - beta * speed * np.asarray(t)
+
+    def c_ex(x, t):
+        return speed - amp * np.tanh(k * _xi(x, t))
+
+    def c_ex_grad(x, t):
+        sech2 = 1.0 / np.cosh(k * _xi(x, t)) ** 2
+        return (-amp * k * sech2)[..., None] * e
+
+    def c_ex_dt(x, t):
+        sech2 = 1.0 / np.cosh(k * _xi(x, t)) ** 2
+        return amp * k * beta * speed * sech2
+
+    domain = RectangleDomain2D((0.0, 0.0), (1.0, 1.0))
+    pde = ADPDE(
+        domain, diff=nu, vel=np.zeros(2), source=0.0, nl_adv=b,
+        t_interval=(0.0, float(t_final)),
+        bcs=[lambda x, t: c_ex(x, t)] * 4,
+        ic=lambda x: c_ex(x, np.zeros(np.atleast_2d(x).shape[0])),
+        c_ex=c_ex,
+    )
+    return {"pde": pde, "c_ex": c_ex, "c_ex_grad": c_ex_grad,
+            "c_ex_dt": c_ex_dt}
