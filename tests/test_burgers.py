@@ -124,14 +124,18 @@ def test_burgers_lm_path():
     assert r.losses[-1]["loss"] < r0.losses[-1]["loss"]
 
 
-def test_nl_disables_fused_residual_kernel():
-    """The fully-fused residual kernel cannot express u (b . grad u);
-    the hot-path hook must decline nonlinear problems (they ride the
-    value+jac evaluator instead)."""
+def test_nl_forces_jacobian_panel_kernel():
+    """The DIRECTIONAL fused kernel cannot express u (b . grad u) (its
+    single precomputed contraction direction is theta-independent), so
+    nonlinear problems are forced onto the jacobian-panel variant —
+    still fully fused (numerics pinned in tests/test_pallas_residual.py
+    test_fused_residual_nl_matches_reference)."""
     case = burgers_1d_steady()
     vn = VarNet(case["pde"], layer_width=(16,), disc_num=8, n_devices=1,
                 use_pallas=True)
-    assert vn._fused_residual_hook("highest") is None
+    hook = vn._fused_residual_hook("highest")
+    assert hook is not None and hook.keywords["directional"] is False
+    assert hook.keywords["nl_vec"] == (1.0,)
 
 
 def test_burgers_adaptive_compose():

@@ -698,3 +698,142 @@ def test_fused_residual_fourier_mor_matches_reference():
         ), p))(params)
     for a, b2 in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(a, b2, rtol=5e-4, atol=5e-6)
+
+
+@pytest.mark.parametrize("name,case_fn,td,disc,kw,tile", [
+    ("burgers1d", None, False, 16, dict(), 15),
+    ("burgers1dt", None, True, 8, dict(t_disc_num=6), 21),
+    ("burgers2dt", None, True, 6, dict(t_disc_num=4, b_disc_num=4), 25),
+], ids=["burgers1d", "burgers1dt", "burgers2dt"])
+def test_fused_residual_nl_matches_reference(name, case_fn, td, disc, kw,
+                                             tile):
+    """Nonlinear advection in the jacobian-panel fused kernel (forward
+    AND custom-VJP backward) matches the XLA weak_residual path
+    (DESIGN.md decision 16)."""
+    from varnet_tpu.problems.analytic import (
+        burgers_1d_steady, burgers_1d_transient, burgers_2d_front,
+    )
+
+    case = {"burgers1d": burgers_1d_steady,
+            "burgers1dt": burgers_1d_transient,
+            "burgers2dt": burgers_2d_front}[name]()
+    fd = build_fixed_data(case["pde"], disc, **kw)
+    st = fd.static
+    quad = jax.tree_util.tree_map(jnp.asarray, fd.quad)
+    params = init_mlp(jax.random.PRNGKey(0), st.n_inputs, (16, 16))
+    scale, shift = make_input_scaling(st.input_lo, st.input_hi)
+    nl = jnp.asarray(case["pde"].nl_adv, jnp.float32)
+    d = st.n_space
+    k, nq = quad.coords.shape[:2]
+
+    def r_ref_fn(p):
+        flat = quad.coords.reshape(k * nq, st.n_inputs)
+        u, du = mlp_value_and_jac(p, flat, "tanh", scale, shift)
+        gu = du[:, :d].reshape(k, nq, d)
+        ut = du[:, d].reshape(k, nq) if td else None
+        return weak_residual(
+            gu, quad.N, quad.dN, quad.w, quad.kappa, quad.vel, quad.src,
+            ut, u=u.reshape(k, nq), nl_vec=nl,
+        )
+
+    def r_fused_fn(p):
+        return pallas_fused_residual(
+            p, quad, "tanh", scale, shift,
+            time_dependent=td, tile=tile, interpret=True,
+            directional=False, nl_vec=tuple(np.asarray(case["pde"].nl_adv)),
+        )
+
+    np.testing.assert_allclose(r_fused_fn(params), r_ref_fn(params),
+                               rtol=1e-5, atol=1e-8)
+
+    cw = jax.random.normal(jax.random.PRNGKey(5), (k,))
+
+    def loss(fn):
+        def f(p):
+            r = fn(p)
+            return jnp.sum(r * cw) + jnp.sum(r * r)
+        return f
+
+    g1 = jax.grad(loss(r_ref_fn))(params)
+    g2 = jax.grad(loss(r_fused_fn))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-6)
+
+
+def test_fused_residual_nl_requires_jacobian_panel():
+    from varnet_tpu.problems.analytic import burgers_1d_steady
+
+    case = burgers_1d_steady()
+    fd = build_fixed_data(case["pde"], 8)
+    quad = jax.tree_util.tree_map(jnp.asarray, fd.quad)
+    params = init_mlp(jax.random.PRNGKey(0), fd.static.n_inputs, (8,))
+    with pytest.raises(ValueError, match="nl_vec requires"):
+        pallas_fused_residual(
+            params, quad, "tanh", None, None, time_dependent=False,
+            interpret=True, directional=True, nl_vec=(1.0,),
+        )
+
+
+def test_varnet_nl_hot_path_gating():
+    """VarNet forces the jacobian-panel variant for nonlinear problems:
+    the hook is ELIGIBLE (not None) and carries nl_vec + directional
+    False; FF nets fall back to the value+jac path."""
+    from varnet_tpu.api import VarNet
+    from varnet_tpu.problems.analytic import burgers_1d_steady
+
+    case = burgers_1d_steady()
+    vn = VarNet(case["pde"], layer_width=(8,), disc_num=8, n_devices=1,
+                use_pallas=True)
+    assert vn.fused_directional is False
+    hook = vn._fused_residual_hook("highest")
+    assert hook is not None
+    assert hook.keywords["nl_vec"] == (1.0,)
+    assert hook.keywords["directional"] is False
+    vn_ff = VarNet(case["pde"], layer_width=(8,), disc_num=8, n_devices=1,
+                   use_pallas=True, fourier_features=4)
+    assert vn_ff._fused_residual_hook("highest") is None
+
+
+def test_varnet_trains_with_fused_nl_residual():
+    """End-to-end Burgers through the fused jacobian-panel nl kernel in
+    the real train step (interpret mode on CPU)."""
+    import functools
+
+    from varnet_tpu.train.loss import make_loss_fn
+    from varnet_tpu.train.optim import OptimizerConfig, make_optimizer
+    from varnet_tpu.train.trainer import make_train_step
+    from varnet_tpu.fem.assembly import pad_points, pad_quad
+    from varnet_tpu.parallel.mesh import (
+        make_mesh, replicate, shard_points, shard_quad,
+    )
+    from varnet_tpu.problems.analytic import burgers_1d_steady
+
+    case = burgers_1d_steady()
+    fd = build_fixed_data(case["pde"], 15)
+    mesh = make_mesh(1)
+    quad = shard_quad(pad_quad(fd.quad, 1), mesh)
+    bc = shard_points(pad_points(fd.bc, 1), mesh)
+    scale, shift = make_input_scaling(fd.static.input_lo, fd.static.input_hi)
+    fused = functools.partial(
+        pallas_fused_residual, time_dependent=False, has_react=False,
+        tile=14, interpret=True, directional=False, nl_vec=(1.0,),
+    )
+    loss_fn = make_loss_fn(fd.static, fused_residual=fused,
+                           nl_vec=case["pde"].nl_adv)
+    opt = make_optimizer(OptimizerConfig())
+    theta = replicate(init_mlp(jax.random.PRNGKey(0), 1, (8, 8)), mesh)
+    opt_state = replicate(opt.init(theta), mesh)
+    step = make_train_step(loss_fn, opt, mesh=mesh)
+    w = jnp.asarray([1.0, 10.0, 0.0, 0.0])
+    losses = []
+    for _ in range(30):
+        theta, opt_state, aux = step(theta, opt_state, quad, bc, None, None, w)
+        losses.append(float(aux["loss"]))
+    assert losses[-1] < losses[0]
+
+    # and the fused-vs-XLA loss values agree at the same theta
+    loss_xla = make_loss_fn(fd.static, nl_vec=case["pde"].nl_adv)
+    l1, _ = loss_xla(jax.device_get(theta), fd.quad, fd.bc, None, None, w)
+    l2, _ = loss_fn(jax.device_get(theta), fd.quad, fd.bc, None, None, w)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)

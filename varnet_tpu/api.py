@@ -181,10 +181,13 @@ class VarNet:
             or (np.isscalar(pde.react) and float(pde.react) == 0.0)
         )
         # Constant Burgers direction b (validated by ADPDE.__post_init__;
-        # None for linear problems).  Nonlinear problems keep the fused
-        # value+jac kernel hot path but never the fully-fused residual
-        # kernel (_fused_residual_hook gates on it).
+        # None for linear problems).  The nonlinear term u (b . grad u) is
+        # BILINEAR in (u, du), so only the jacobian-panel fused kernel can
+        # express it — force directional off so every layout decision
+        # (hook, prepared layouts) agrees (DESIGN.md decision 16).
         self.nl_vec = getattr(pde, "nl_adv", None)
+        if self.nl_vec is not None and not self.fused_precoeff:
+            self.fused_directional = False
         self.fixed: FixedData = build_fixed_data(
             pde,
             disc_num,
@@ -287,9 +290,11 @@ class VarNet:
         if (
             not self.use_pallas
             or not self.use_fused_residual
-            # nonlinear advection (Burgers) needs u*(b.grad u): rides the
-            # value+jac kernel path, not the fully-fused residual kernel
-            or self.nl_vec is not None
+            # nonlinear advection: jacobian-panel kernel only (the ctor
+            # forced fused_directional=False); FF/precoeff variants
+            # cannot express the bilinear u*(b.grad u) term
+            or (self.nl_vec is not None
+                and (self.fourier_b is not None or self.fused_precoeff))
             # Fourier-embedded nets ride the directional kernel (the
             # embedding + its tangent run in-kernel, _embed_dir); the
             # precoeff variant and per-node tables keep the general path
@@ -326,6 +331,8 @@ class VarNet:
             precoeff=self.fused_precoeff,
             sublane_pad=self.fused_sublane_pad,
             fourier_bt=fourier_bt,
+            nl_vec=None if self.nl_vec is None else tuple(
+                float(v) for v in self.nl_vec),
         )
 
     def _prepare_fused_layout(self, quad_h, matmul_precision=None):

@@ -106,9 +106,15 @@ def _integrand_coeffs(f_ref, tab_ref, scale_ref, q, d, td, has_react,
 
 
 def _fused_fwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
-                      *refs):
+                      nl, *refs):
     """refs: xs [n_in,T], f [n_f,T], tab (SMEM [nQ, 2+d]),
-    scale (SMEM [n_in,1]), Wt/b pairs, out r [1,T]."""
+    scale (SMEM [n_in,1]), Wt/b pairs, out r [1,T].
+
+    nl: optional length-d tuple b — adds the NONLINEAR advection term
+    u (b . grad u) N w to the integrand (viscous Burgers, DESIGN.md
+    decision 16).  Only this jacobian-panel variant supports it: the
+    term is BILINEAR in (u, du), which the directional trick's single
+    precomputed contraction direction cannot express."""
     _mm = _make_mm(precision)
     act, act_p, _ = _act_pair(activation)
     xs_ref, f_ref, tab_ref, scale_ref = refs[:4]
@@ -129,6 +135,12 @@ def _fused_fwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
         contrib = contrib + cdu[j] * du[j]
     if cu is not None:
         contrib = contrib + cu * u
+    if nl is not None:
+        dub = None  # b . grad u in ORIGINAL coords (scale un-does xs scaling)
+        for j in range(d):
+            term = (nl[j] * scale_ref[j, 0]) * du[j]
+            dub = term if dub is None else dub + term
+        contrib = contrib + (tab_ref[q, 1] * tab_ref[q, 0]) * (u * dub)
 
     @pl.when(q == 0)
     def _():
@@ -140,8 +152,13 @@ def _fused_fwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
 
 
 def _fused_bwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
-                      *refs):
-    """refs: xs, f, tab, scale, gr [1,T], Wt/b pairs, outs dWt/db pairs."""
+                      nl, *refs):
+    """refs: xs, f, tab, scale, gr [1,T], Wt/b pairs, outs dWt/db pairs.
+
+    With nl, the integrand is BILINEAR in (u, du), so the output
+    cotangents gain solution-dependent parts (the recomputed u/du are
+    already in VMEM):  d/du += gr w N (b . du),  d/d(du_j) += gr w N u b_j.
+    """
     _mm = _make_mm(precision)
     act, act_p, act_pp = _act_pair(activation)
     xs_ref, f_ref, tab_ref, scale_ref, gr_ref = refs[:5]
@@ -155,7 +172,6 @@ def _fused_bwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
     u, du, s_packed, zs, acts = _packed_forward(
         _mm, act, act_p, n_in, n_layers, w_refs, xs, t
     )
-    del u, du
     cu, cdu, _ = _integrand_coeffs(
         f_ref, tab_ref, scale_ref, q, d, td, has_react,
         n_mor=n_in - d - (1 if td else 0),
@@ -163,6 +179,17 @@ def _fused_bwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
     gr = gr_ref[:]
     g_rows = [gr * cu if cu is not None else jnp.zeros_like(gr)]
     g_rows += [gr * cdu[j] for j in range(n_in)]
+    if nl is not None:
+        c = tab_ref[q, 1] * tab_ref[q, 0]  # w_q * N_q
+        dub = None
+        for j in range(d):
+            term = (nl[j] * scale_ref[j, 0]) * du[j]
+            dub = term if dub is None else dub + term
+        g_rows[0] = g_rows[0] + (gr * c) * dub
+        gcu = (gr * c) * u
+        for j in range(d):
+            g_rows[1 + j] = g_rows[1 + j] + (nl[j] * scale_ref[j, 0]) * gcu
+    del u, du
 
     def accum(ref, val):
         @pl.when((i == 0) & (q == 0))
@@ -571,7 +598,7 @@ def prepare_residual_layout(quad, scale, shift, *, has_react, G, tile):
 @functools.lru_cache(maxsize=32)
 def _fused_residual_fn(n_in, n_layers, d, td, has_react, activation, tile,
                        nq, interpret, precision=None, directional=True,
-                       n_ff=0):
+                       n_ff=0, nl=None):
     n_f = 1 + d + 1 + (1 if has_react else 0)  # kappa, vel, src[, react]
 
     def make_call(kernel, extra_kinds, out_specs, out_shape):
@@ -628,7 +655,10 @@ def _fused_residual_fn(n_in, n_layers, d, td, has_react, activation, tile,
 
     if n_ff and not directional:
         raise ValueError("n_ff > 0 requires directional=True")
-    dir_extra = (n_ff,) if directional else ()
+    if nl is not None and directional:
+        raise ValueError("nl (nonlinear advection) requires the "
+                         "jacobian-panel kernel (directional=False)")
+    dir_extra = (n_ff,) if directional else (nl,)
     fwd_kernel = functools.partial(
         _dir_fwd_kernel if directional else _fused_fwd_kernel,
         n_in, n_layers, d, td, has_react, activation, precision, *dir_extra,
@@ -1373,6 +1403,7 @@ def pallas_fused_residual(
     precoeff: bool = False,
     sublane_pad: bool = False,
     fourier_bt=None,
+    nl_vec=None,
 ):
     """Weak residual r [K] via the fully-fused kernel.
 
@@ -1429,6 +1460,19 @@ def pallas_fused_residual(
     d = quad.dN.shape[-1]
     n_layers = len(params)
     from .pallas_mlp import _auto_tile
+
+    nl = None
+    if nl_vec is not None:
+        # Nonlinear advection u (b . grad u): bilinear in (u, du) — only
+        # the jacobian-panel kernel produces both (DESIGN.md decision 16).
+        if directional or precoeff or fourier_bt is not None:
+            raise ValueError(
+                "nl_vec requires the jacobian-panel kernel "
+                "(directional=False, no precoeff, no fourier_bt)"
+            )
+        nl = tuple(float(v) for v in np.atleast_1d(np.asarray(nl_vec)))
+        if len(nl) != d:
+            raise ValueError(f"nl_vec has {len(nl)} entries; d={d}")
 
     if sublane_pad:
         if not precoeff:
@@ -1551,7 +1595,7 @@ def pallas_fused_residual(
         f = _fused_residual_fn(
             n_in, n_layers, d, bool(time_dependent), bool(has_react),
             activation, tile, nqp, bool(interpret), precision,
-            directional=bool(directional), n_ff=n_ff,
+            directional=bool(directional), n_ff=n_ff, nl=nl,
         )
     if n_ff:
         bt = jnp.asarray(fourier_bt, jnp.float32)

@@ -50,9 +50,10 @@ def make_loss_fn(
     has_obs: when True the loss takes an observations PointData and a
         4-vector of weights (w_int, w_bc, w_ic, w_obs).
     nl_vec: constant [d] Burgers direction b for the nonlinear advection
-        term u (b . grad u), or None (linear PDE).  Nonlinear problems
-        never receive a ``fused_residual`` hook (api gating) — they ride
-        the injected value+jacobian evaluator, which already produces u.
+        term u (b . grad u), or None (linear PDE).  When a
+        ``fused_residual`` hook is given for a nonlinear problem it is
+        the jacobian-panel kernel with the nl term baked in (api gating
+        forces directional=False); this XLA branch is the fallback.
 
     Returns ``loss_fn(theta, quad, bc, ic, obs, weights) -> (total, aux)``;
     ``ic``/``obs`` may be None for steady / non-inverse problems (decided
