@@ -248,3 +248,20 @@ def test_burgers_2d_front_residual_converges():
         maxr.append(np.max(np.abs(r)) / np.sum(fixed.quad.w))
     assert maxr[1] < maxr[0] / 2.5, maxr
     assert maxr[1] < 5e-2, maxr
+
+
+def test_burgers_sharded_matches_single_device():
+    """Nonlinear-path data sharding over the 8-device mesh reproduces the
+    1-device loss (the nl term is pointwise-local, so the single packed
+    psum stays sufficient)."""
+    case = burgers_1d_transient()
+
+    def run(nd):
+        vn = VarNet(case["pde"], layer_width=(12,), disc_num=12,
+                    t_disc_num=6, b_disc_num=4, n_devices=nd, seed=3)
+        r = vn.train(epoch_num=20, weight=(1.0, 10.0, 10.0), save_freq=1,
+                     verbose=False)
+        return [rec["loss"] for rec in r.losses]
+
+    l8, l1 = run(8), run(1)
+    np.testing.assert_allclose(l8[0], l1[0], rtol=1e-5)
