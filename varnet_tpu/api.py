@@ -93,6 +93,14 @@ class VarNet:
       source_fn:    trainable source hook for inverse source identification
                     (BASELINE config 5): ``source_fn(phi, x, t) -> [P]``
       source_init:  initial pytree phi for source_fn
+      diff_fn:      trainable DIFFUSIVITY hook for inverse coefficient
+                    identification (beyond-reference):
+                    ``diff_fn(psi, x, t) -> [P]`` kappa field; theta
+                    gains a ``'kap'`` leaf initialized to diff_init.
+                    Rides the value+jac path (kappa multiplies the
+                    du . dN contraction, which the fused residual
+                    kernel bakes into fixed data)
+      diff_init:    initial pytree psi for diff_fn
       obs_data:     observation PointData for inverse problems
     """
 
@@ -113,6 +121,8 @@ class VarNet:
         input_scaling: bool = True,
         source_fn: Optional[Callable] = None,
         source_init: Any = None,
+        diff_fn: Optional[Callable] = None,
+        diff_init: Any = None,
         obs_data: Optional[PointData] = None,
         use_pallas="auto",
         use_fused_residual: bool = True,
@@ -139,6 +149,7 @@ class VarNet:
         self.optimizer_cfg = optimizer or OptimizerConfig()
         self.input_scaling = bool(input_scaling)
         self.source_fn = source_fn
+        self.diff_fn = diff_fn
         self.obs_data = obs_data
         self.use_fused_residual = bool(use_fused_residual)
         # Directional-tangent residual kernel (2 packed panels) vs the
@@ -166,6 +177,8 @@ class VarNet:
             raise ValueError("fused_sublane_pad=True requires fused_precoeff=True")
         if source_fn is not None and source_init is None:
             raise ValueError("source_fn requires source_init")
+        if diff_fn is not None and diff_init is None:
+            raise ValueError("diff_fn requires diff_init")
 
         self.mesh = make_mesh(n_devices)
         self.n_shards = self.mesh.shape[DATA_AXIS]
@@ -186,6 +199,15 @@ class VarNet:
         # express it — force directional off so every layout decision
         # (hook, prepared layouts) agrees (DESIGN.md decision 16).
         self.nl_vec = getattr(pde, "nl_adv", None)
+        if diff_fn is not None:
+            from .problems.adpde import NeumannBC, RobinBC
+
+            if any(isinstance(g, (NeumannBC, RobinBC)) for g in pde.bcs):
+                raise ValueError(
+                    "diff_fn (trainable kappa) is incompatible with "
+                    "Neumann/Robin BCs: FluxData bakes kappa-scaled "
+                    "normals at assembly time"
+                )
         if self.nl_vec is not None and not self.fused_precoeff:
             self.fused_directional = False
         self.fixed: FixedData = build_fixed_data(
@@ -238,8 +260,13 @@ class VarNet:
 
         def _init_theta(k):
             net = _init_net(k)
-            if source_fn is not None:
-                return {"net": net, "src": source_init}
+            if source_fn is not None or diff_fn is not None:
+                th = {"net": net}
+                if source_fn is not None:
+                    th["src"] = source_init
+                if diff_fn is not None:
+                    th["kap"] = diff_init
+                return th
             return net
 
         # Re-initializer for fresh members (train_ensemble) — same
@@ -290,6 +317,9 @@ class VarNet:
         if (
             not self.use_pallas
             or not self.use_fused_residual
+            # trainable kappa multiplies the fixed-data du coefficients:
+            # value+jac path only (inverse diffusivity identification)
+            or self.diff_fn is not None
             # nonlinear advection: jacobian-panel kernel only (the ctor
             # forced fused_directional=False); FF/precoeff variants
             # cannot express the bilinear u*(b.grad u) term
@@ -630,6 +660,7 @@ class VarNet:
             normalize_residual=normalize_residual,
             has_react=self.has_react,
             nl_vec=self.nl_vec,
+            diff_fn=self.diff_fn,
             flux_value_and_jac=self._value_and_jac_default,
             **loss_kwargs,
         )
@@ -875,6 +906,7 @@ class VarNet:
             normalize_residual=normalize_residual,
             has_react=self.has_react,
             nl_vec=self.nl_vec,
+            diff_fn=self.diff_fn,
             flux_value_and_jac=self._value_and_jac_default,
             **loss_kwargs,
         )
@@ -1027,6 +1059,7 @@ class VarNet:
                   else jnp.asarray(self.nl_vec, jnp.float32))
         need_u = has_react or nl_vec is not None
         source_fn = self.source_fn
+        diff_fn = self.diff_fn
         vj = self._value_and_jac_default or mlp_value_and_jac
         if self.input_scaling:
             scale, shift = make_input_scaling(
@@ -1053,6 +1086,11 @@ class VarNet:
                     theta_c["src"], flat[:, :d], t_flat
                 ).reshape(c, nq)
             u_q = u.reshape(c, nq) if need_u else None
+            if diff_fn is not None:
+                t_flat = flat[:, d] if td else None
+                kappa = diff_fn(
+                    theta_c["kap"], flat[:, :d], t_flat
+                ).reshape(c, nq)
             r = weak_residual(
                 grad_u, n_tbl, dn_tbl, w_tbl, kappa, vel, src, u_t,
                 u=u_q, react=react if has_react else None, nl_vec=nl_vec,
@@ -1269,6 +1307,7 @@ class VarNet:
             normalize_residual=normalize_residual,
             has_react=self.has_react,
             nl_vec=self.nl_vec,
+            diff_fn=self.diff_fn,
             flux_value_and_jac=self._value_and_jac_default,
             **loss_kwargs,
         )
@@ -1560,6 +1599,7 @@ class VarNet:
             n_obs_real=0 if not has_obs else int(self.obs_data.mask.sum()),
             has_react=self.has_react,
             nl_vec=self.nl_vec,
+            diff_fn=self.diff_fn,
             flux_value_and_jac=self._value_and_jac_default,
         )
         res_fn = make_residual_fn(self.static, **common, **res_kwargs)

@@ -35,6 +35,7 @@ def make_residual_fn(
     value_and_jac: Callable = mlp_value_and_jac,
     apply_fn: Callable = mlp_apply,
     source_fn: Optional[Callable] = None,
+    diff_fn: Optional[Callable] = None,
     has_obs: bool = False,
     n_obs_real: int = 1,
     k_chunks: int = 1,
@@ -81,6 +82,9 @@ def make_residual_fn(
             src = source_fn(theta["src"], flat[:, :d], t_flat).reshape(k, nq)
         else:
             src = src_fixed
+        if diff_fn is not None:
+            t_flat = flat[:, d] if td else None
+            kappa = diff_fn(theta["kap"], flat[:, :d], t_flat).reshape(k, nq)
         r = weak_residual(
             grad_u, n_tbl, dn_tbl, w_tbl, kappa, vel, src, u_t,
             u=u.reshape(k, nq) if need_u else None,

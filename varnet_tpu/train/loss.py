@@ -32,6 +32,7 @@ def make_loss_fn(
     value_and_jac: Callable = mlp_value_and_jac,
     apply_fn: Callable = mlp_apply,
     source_fn: Optional[Callable] = None,
+    diff_fn: Optional[Callable] = None,
     has_obs: bool = False,
     n_obs_real: int = 1,
     normalize_residual: bool = True,
@@ -47,6 +48,13 @@ def make_loss_fn(
         trainable pytree must be ``{'net': mlp_params, 'src': phi}`` and the
         precomputed ``quad.src`` is ignored — this is the inverse
         source-identification mode (BASELINE.json config 5).
+    diff_fn: optional trainable diffusivity hook
+        ``diff_fn(psi, x, t) -> [P]`` (inverse COEFFICIENT identification
+        — beyond even the inverse-source stretch config).  The trainable
+        pytree must then carry ``theta['kap'] = psi`` and the precomputed
+        ``quad.kappa`` is ignored.  kappa multiplies the du . dN
+        contraction, so this mode rides the value+jac evaluator (the
+        fused-residual hook declines it — api gating).
     has_obs: when True the loss takes an observations PointData and a
         4-vector of weights (w_int, w_bc, w_ic, w_obs).
     nl_vec: constant [d] Burgers direction b for the nonlinear advection
@@ -111,8 +119,13 @@ def make_loss_fn(
             else:
                 src = quad.src
             u_q = u.reshape(k, nq) if need_u else None
+            if diff_fn is not None:
+                t_flat = flat[:, d] if td else None
+                kap = diff_fn(theta["kap"], flat[:, :d], t_flat).reshape(k, nq)
+            else:
+                kap = quad.kappa
             r = weak_residual(
-                grad_u, quad.N, quad.dN, quad.w, quad.kappa, quad.vel, src, u_t,
+                grad_u, quad.N, quad.dN, quad.w, kap, quad.vel, src, u_t,
                 u=u_q, react=quad.react if has_react else None,
                 nl_vec=nl_vec,
             )
