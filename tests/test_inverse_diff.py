@@ -91,3 +91,35 @@ def test_inverse_diffusivity_recovery():
     k_lm = _recovered(vn)
     assert abs(k_lm - KAPPA_TRUE) / KAPPA_TRUE < 0.05, (k_adam, k_lm)
     assert np.isfinite(r.losses[-1]["loss"])
+
+
+def _vel_scalar(phi, x, t):
+    # raw scalar -> constant [P, 1] velocity (sign-free: v can be any real)
+    return jnp.broadcast_to(phi[0], (x.shape[0], 1))
+
+
+def test_inverse_velocity_recovery():
+    """Inverse FLOW identification (the reference paper's mass-transport
+    setting): joint {net, v} training from a wrong initial velocity
+    recovers the true advection speed — the boundary-layer shape pins
+    Pe = v/kappa, and kappa is fixed here, so v is identifiable."""
+    case, obs = _case()  # true v = 1.0, kappa fixed at KAPPA_TRUE
+    phi0 = np.array([0.5], np.float64)  # 2x-wrong initial speed
+    vn = VarNet(case["pde"], layer_width=(16, 16), disc_num=24, seed=1,
+                vel_fn=_vel_scalar, vel_init=phi0, obs_data=obs,
+                n_devices=1)
+    vn.train(epoch_num=4000, weight=(1.0, 10.0, 10.0), save_freq=1000,
+             verbose=False, matmul_precision="highest")
+    v_adam = float(np.asarray(vn.theta["vel"])[0])
+    assert abs(v_adam - 1.0) < 0.2, v_adam
+    vn.refine_lm(steps=5, weight=(1.0, 10.0, 10.0), cg_iters=50,
+                 save_freq=1, verbose=False, matmul_precision="highest")
+    v_lm = float(np.asarray(vn.theta["vel"])[0])
+    assert abs(v_lm - 1.0) < 0.05, (v_adam, v_lm)
+
+
+def test_vel_fn_requires_init():
+    case, obs = _case()
+    with pytest.raises(ValueError, match="vel_init"):
+        VarNet(case["pde"], layer_width=(8,), disc_num=8,
+               vel_fn=_vel_scalar, obs_data=obs)

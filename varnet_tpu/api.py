@@ -101,6 +101,12 @@ class VarNet:
                     du . dN contraction, which the fused residual
                     kernel bakes into fixed data)
       diff_init:    initial pytree psi for diff_fn
+      vel_fn:       trainable VELOCITY hook for inverse flow
+                    identification (the reference paper's mass-transport
+                    setting): ``vel_fn(phi, x, t) -> [P, d]``; theta
+                    gains a ``'vel'`` leaf initialized to vel_init.
+                    Same value+jac-path gating as diff_fn
+      vel_init:     initial pytree phi for vel_fn
       obs_data:     observation PointData for inverse problems
     """
 
@@ -123,6 +129,8 @@ class VarNet:
         source_init: Any = None,
         diff_fn: Optional[Callable] = None,
         diff_init: Any = None,
+        vel_fn: Optional[Callable] = None,
+        vel_init: Any = None,
         obs_data: Optional[PointData] = None,
         use_pallas="auto",
         use_fused_residual: bool = True,
@@ -150,6 +158,7 @@ class VarNet:
         self.input_scaling = bool(input_scaling)
         self.source_fn = source_fn
         self.diff_fn = diff_fn
+        self.vel_fn = vel_fn
         self.obs_data = obs_data
         self.use_fused_residual = bool(use_fused_residual)
         # Directional-tangent residual kernel (2 packed panels) vs the
@@ -179,6 +188,8 @@ class VarNet:
             raise ValueError("source_fn requires source_init")
         if diff_fn is not None and diff_init is None:
             raise ValueError("diff_fn requires diff_init")
+        if vel_fn is not None and vel_init is None:
+            raise ValueError("vel_fn requires vel_init")
 
         self.mesh = make_mesh(n_devices)
         self.n_shards = self.mesh.shape[DATA_AXIS]
@@ -260,12 +271,15 @@ class VarNet:
 
         def _init_theta(k):
             net = _init_net(k)
-            if source_fn is not None or diff_fn is not None:
+            if (source_fn is not None or diff_fn is not None
+                    or vel_fn is not None):
                 th = {"net": net}
                 if source_fn is not None:
                     th["src"] = source_init
                 if diff_fn is not None:
                     th["kap"] = diff_init
+                if vel_fn is not None:
+                    th["vel"] = vel_init
                 return th
             return net
 
@@ -317,9 +331,10 @@ class VarNet:
         if (
             not self.use_pallas
             or not self.use_fused_residual
-            # trainable kappa multiplies the fixed-data du coefficients:
-            # value+jac path only (inverse diffusivity identification)
+            # trainable kappa/velocity multiply the fixed-data du
+            # coefficients: value+jac path only (inverse identification)
             or self.diff_fn is not None
+            or self.vel_fn is not None
             # nonlinear advection: jacobian-panel kernel only (the ctor
             # forced fused_directional=False); FF/precoeff variants
             # cannot express the bilinear u*(b.grad u) term
@@ -661,6 +676,7 @@ class VarNet:
             has_react=self.has_react,
             nl_vec=self.nl_vec,
             diff_fn=self.diff_fn,
+            vel_fn=self.vel_fn,
             flux_value_and_jac=self._value_and_jac_default,
             **loss_kwargs,
         )
@@ -907,6 +923,7 @@ class VarNet:
             has_react=self.has_react,
             nl_vec=self.nl_vec,
             diff_fn=self.diff_fn,
+            vel_fn=self.vel_fn,
             flux_value_and_jac=self._value_and_jac_default,
             **loss_kwargs,
         )
@@ -1060,6 +1077,7 @@ class VarNet:
         need_u = has_react or nl_vec is not None
         source_fn = self.source_fn
         diff_fn = self.diff_fn
+        vel_fn = self.vel_fn
         vj = self._value_and_jac_default or mlp_value_and_jac
         if self.input_scaling:
             scale, shift = make_input_scaling(
@@ -1091,6 +1109,11 @@ class VarNet:
                 kappa = diff_fn(
                     theta_c["kap"], flat[:, :d], t_flat
                 ).reshape(c, nq)
+            if vel_fn is not None:
+                t_flat = flat[:, d] if td else None
+                vel = vel_fn(
+                    theta_c["vel"], flat[:, :d], t_flat
+                ).reshape(c, nq, d)
             r = weak_residual(
                 grad_u, n_tbl, dn_tbl, w_tbl, kappa, vel, src, u_t,
                 u=u_q, react=react if has_react else None, nl_vec=nl_vec,
@@ -1308,6 +1331,7 @@ class VarNet:
             has_react=self.has_react,
             nl_vec=self.nl_vec,
             diff_fn=self.diff_fn,
+            vel_fn=self.vel_fn,
             flux_value_and_jac=self._value_and_jac_default,
             **loss_kwargs,
         )
@@ -1600,6 +1624,7 @@ class VarNet:
             has_react=self.has_react,
             nl_vec=self.nl_vec,
             diff_fn=self.diff_fn,
+            vel_fn=self.vel_fn,
             flux_value_and_jac=self._value_and_jac_default,
         )
         res_fn = make_residual_fn(self.static, **common, **res_kwargs)

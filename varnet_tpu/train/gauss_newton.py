@@ -36,6 +36,7 @@ def make_residual_fn(
     apply_fn: Callable = mlp_apply,
     source_fn: Optional[Callable] = None,
     diff_fn: Optional[Callable] = None,
+    vel_fn: Optional[Callable] = None,
     has_obs: bool = False,
     n_obs_real: int = 1,
     k_chunks: int = 1,
@@ -85,6 +86,9 @@ def make_residual_fn(
         if diff_fn is not None:
             t_flat = flat[:, d] if td else None
             kappa = diff_fn(theta["kap"], flat[:, :d], t_flat).reshape(k, nq)
+        if vel_fn is not None:
+            t_flat = flat[:, d] if td else None
+            vel = vel_fn(theta["vel"], flat[:, :d], t_flat).reshape(k, nq, d)
         r = weak_residual(
             grad_u, n_tbl, dn_tbl, w_tbl, kappa, vel, src, u_t,
             u=u.reshape(k, nq) if need_u else None,

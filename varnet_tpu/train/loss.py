@@ -33,6 +33,7 @@ def make_loss_fn(
     apply_fn: Callable = mlp_apply,
     source_fn: Optional[Callable] = None,
     diff_fn: Optional[Callable] = None,
+    vel_fn: Optional[Callable] = None,
     has_obs: bool = False,
     n_obs_real: int = 1,
     normalize_residual: bool = True,
@@ -55,6 +56,12 @@ def make_loss_fn(
         ``quad.kappa`` is ignored.  kappa multiplies the du . dN
         contraction, so this mode rides the value+jac evaluator (the
         fused-residual hook declines it — api gating).
+    vel_fn: optional trainable VELOCITY hook
+        ``vel_fn(phi, x, t) -> [P, d]`` (inverse flow identification —
+        the reference paper's mass-transport setting, recovering the
+        advecting field from concentration observations).  The trainable
+        pytree carries ``theta['vel']``; same value+jac-path gating as
+        diff_fn.
     has_obs: when True the loss takes an observations PointData and a
         4-vector of weights (w_int, w_bc, w_ic, w_obs).
     nl_vec: constant [d] Burgers direction b for the nonlinear advection
@@ -124,8 +131,15 @@ def make_loss_fn(
                 kap = diff_fn(theta["kap"], flat[:, :d], t_flat).reshape(k, nq)
             else:
                 kap = quad.kappa
+            if vel_fn is not None:
+                t_flat = flat[:, d] if td else None
+                vel = vel_fn(
+                    theta["vel"], flat[:, :d], t_flat
+                ).reshape(k, nq, d)
+            else:
+                vel = quad.vel
             r = weak_residual(
-                grad_u, quad.N, quad.dN, quad.w, kap, quad.vel, src, u_t,
+                grad_u, quad.N, quad.dN, quad.w, kap, vel, src, u_t,
                 u=u_q, react=quad.react if has_react else None,
                 nl_vec=nl_vec,
             )
