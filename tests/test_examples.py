@@ -9,6 +9,7 @@ import pytest
 from varnet_tpu.examples import (
     ad1d_steady,
     burgers_1d,
+    inverse_coeff,
     lshape_2d,
     ad1d_transient,
     ad2d_steady,
@@ -30,6 +31,9 @@ TINY = ["--epochs", "40", "--save-freq", "20", "--width", "8"]
         (ad1d_transient, ["--disc", "10", "--tdisc", "5"]),
         (burgers_1d, ["--disc", "10", "--tdisc", "5"]),
         (burgers_1d, ["--disc", "12", "--steady"]),
+        (inverse_coeff, ["--disc", "10", "--n-obs", "10"]),
+        (inverse_coeff, ["--disc", "10", "--n-obs", "10", "--recover",
+                         "vel"]),
         (ad2d_steady, ["--disc", "8"]),
         (ad2d_transient, ["--disc", "6", "--tdisc", "4"]),
         (ad3d_steady, ["--disc", "5", "--bdisc", "3"]),
