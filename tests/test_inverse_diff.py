@@ -123,3 +123,15 @@ def test_vel_fn_requires_init():
     with pytest.raises(ValueError, match="vel_init"):
         VarNet(case["pde"], layer_width=(8,), disc_num=8,
                vel_fn=_vel_scalar, obs_data=obs)
+
+
+def test_evaluate_field_surface():
+    case, obs = _case()
+    psi0 = np.array([np.log(np.expm1(0.05))], np.float64)
+    vn = VarNet(case["pde"], layer_width=(8,), disc_num=8, seed=0,
+                diff_fn=_softplus_kappa, diff_init=psi0, obs_data=obs,
+                n_devices=1)
+    k_field = vn.evaluate_field("kappa", np.linspace(0, 1, 7)[:, None])
+    np.testing.assert_allclose(k_field, 0.05, rtol=1e-6)
+    with pytest.raises(ValueError, match="requires"):
+        vn.evaluate_field("vel", np.zeros((3, 1)))

@@ -1760,6 +1760,41 @@ class VarNet:
         with matmul_precision_scope(matmul_precision):
             return self._evaluate_inner(x, t, mu, theta, chunk)
 
+    def evaluate_field(
+        self,
+        which: str,
+        x: np.ndarray,
+        t: Optional[np.ndarray] = None,
+        theta: Any = None,
+    ) -> np.ndarray:
+        """Evaluate a RECOVERED trainable coefficient field at points
+        (inverse problems — DESIGN.md decision 17).
+
+        which: 'source' | 'kappa' | 'vel' — requires the matching
+        source_fn/diff_fn/vel_fn hook.  x: [P, d]; t: scalar or [P]
+        (time-dependent problems).  Returns [P] (source/kappa) or
+        [P, d] (vel).
+        """
+        import jax.numpy as jnp
+
+        fn, leaf = {
+            "source": (self.source_fn, "src"),
+            "kappa": (self.diff_fn, "kap"),
+            "vel": (self.vel_fn, "vel"),
+        }[which]
+        if fn is None:
+            raise ValueError(
+                f"evaluate_field('{which}') requires the corresponding "
+                "trainable hook (source_fn/diff_fn/vel_fn)"
+            )
+        theta = self.theta if theta is None else theta
+        x = np.atleast_2d(np.asarray(x, np.float32))
+        t_arr = None
+        if self.static.time_dependent and t is not None:
+            t_arr = jnp.asarray(np.broadcast_to(
+                np.asarray(t, np.float32), (x.shape[0],)))
+        return np.asarray(fn(theta[leaf], jnp.asarray(x), t_arr))
+
     def evaluate_ensemble(
         self,
         x: np.ndarray,
