@@ -34,7 +34,7 @@ def test_step_has_exactly_one_all_reduce():
     w = jnp.asarray([1.0, 10.0, 0.0, 0.0])
 
     compiled = step.jitted.lower(
-        theta, opt_state, quad, bc, None, None, w, None, None
+        theta, opt_state, quad, bc, None, None, w, None, None, None
     ).compile()
     hlo = compiled.as_text()
     # Count distinct all-reduce ops (async start/done pairs count once).
@@ -70,7 +70,43 @@ def test_step_with_flux_rows_still_one_all_reduce():
     w = jnp.asarray([1.0, 10.0, 0.0, 0.0])
 
     compiled = step.jitted.lower(
-        theta, opt_state, quad, bc, None, None, w, None, neu
+        theta, opt_state, quad, bc, None, None, w, None, neu, None
+    ).compile()
+    hlo = compiled.as_text()
+    import re
+
+    total = len(re.findall(r"= \S* all-reduce\(", hlo)) + len(
+        re.findall(r"= \S* all-reduce-start\(", hlo)
+    )
+    assert total == 1, f"expected exactly 1 all-reduce, found {total}"
+
+
+def test_step_hard_bc_still_one_all_reduce():
+    """Exact-BC mode swaps penalty rows for transform tables; the tables
+    shard with the quad rows and the step keeps the single packed psum
+    (fem/hardbc.py)."""
+    from varnet_tpu.fem.hardbc import HardBC
+    from varnet_tpu.parallel.mesh import shard_hard
+
+    case = steady_ad_1d()
+    fd = build_fixed_data(case["pde"], 24, pad_multiple=8)
+    mesh = make_mesh(8)
+    quad_h = pad_quad(fd.quad, 8)
+    quad = shard_quad(quad_h, mesh)
+    bc = shard_points(pad_points(fd.bc, 8), mesh)
+    hb = HardBC(case["pde"])
+    hard = shard_hard((hb.tables(quad_h.coords), None), mesh)
+    loss_fn = make_loss_fn(fd.static, hard_mode=True)
+    opt = make_optimizer(OptimizerConfig())
+    theta = replicate(
+        init_mlp(jax.random.PRNGKey(0), fd.static.n_inputs, (16, 16)), mesh
+    )
+    opt_state = replicate(opt.init(theta), mesh)
+    step = make_train_step(loss_fn, opt, mesh=mesh, donate=False)
+    w = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+
+    compiled = step.jitted.lower(
+        theta, opt_state, quad, bc, None, None, w, None, None, hard
     ).compile()
     hlo = compiled.as_text()
     import re

@@ -43,6 +43,7 @@ from .parallel.mesh import (
     make_mesh,
     replicate,
     shard_flux,
+    shard_hard,
     shard_points,
     shard_quad,
 )
@@ -108,6 +109,16 @@ class VarNet:
                     Same value+jac-path gating as diff_fn
       vel_init:     initial pytree phi for vel_fn
       obs_data:     observation PointData for inverse problems
+      hard_bc:      EXACT Dirichlet-BC/IC imposition (beyond-reference —
+                    fem/hardbc.py): the trial solution becomes
+                    ``G + tau(t) D(x) net(x, t)`` with an R-function
+                    distance D and a blended boundary-data extension G,
+                    so BC/IC penalty rows (and their weight tuning) drop
+                    out and only the interior weak residual trains.
+                    Requires Dirichlet-only BCs on a supported domain
+                    (interval / box / convex polygon), no MOR; rides the
+                    value+jacobian evaluator (the fully-fused residual
+                    kernel declines), batch_num must stay 1.
     """
 
     def __init__(
@@ -141,6 +152,7 @@ class VarNet:
         fourier_features: Optional[int] = None,
         fourier_scale=0.5,
         omega0: float = 6.0,
+        hard_bc: bool = False,
     ):
         self.pde = pde
         self.layer_width = tuple(int(w) for w in layer_width)
@@ -221,6 +233,14 @@ class VarNet:
                 )
         if self.nl_vec is not None and not self.fused_precoeff:
             self.fused_directional = False
+        # Exact BC/IC imposition: host-side transform builder; its fixed
+        # tables are derived from the (padded) quad coords at train time,
+        # so re-assembly (refine_tests) needs no extra bookkeeping.
+        self.hard = None
+        if hard_bc:
+            from .fem.hardbc import HardBC
+
+            self.hard = HardBC(pde)
         self.fixed: FixedData = build_fixed_data(
             pde,
             disc_num,
@@ -331,6 +351,9 @@ class VarNet:
         if (
             not self.use_pallas
             or not self.use_fused_residual
+            # exact-BC ansatz transforms the network outputs BEFORE the
+            # contraction: value+jac path only (fem/hardbc.py)
+            or self.hard is not None
             # trainable kappa/velocity multiply the fixed-data du
             # coefficients: value+jac path only (inverse identification)
             or self.diff_fn is not None
@@ -644,6 +667,19 @@ class VarNet:
         ic_h = None if self.fixed.ic is None else pad_points(self.fixed.ic, self.n_shards)
         obs_h = None if not has_obs else pad_points(self.obs_data, self.n_shards)
 
+        hard_d = None
+        if self.hard is not None:
+            if batch_num > 1:
+                raise ValueError(
+                    "hard_bc requires batch_num == 1 (the transform "
+                    "tables are built for the unbatched quad layout)"
+                )
+            hard_h = (
+                self.hard.tables(quad_h.coords),
+                None if obs_h is None else self.hard.points(obs_h.coords),
+            )
+            hard_d = shard_hard(hard_h, self.mesh, dtype=self.dtype)
+
         if batch_num > 1:
             quad_h = _tree_reshape_batches(quad_h, batch_num)
             quad_d = shard_quad(quad_h, self.mesh, dtype=self.dtype, batched=True)
@@ -678,6 +714,7 @@ class VarNet:
             diff_fn=self.diff_fn,
             vel_fn=self.vel_fn,
             flux_value_and_jac=self._value_and_jac_default,
+            hard_mode=self.hard is not None,
             **loss_kwargs,
         )
         optimizer = make_optimizer(self.optimizer_cfg)
@@ -732,7 +769,7 @@ class VarNet:
         for epoch in range(start_epoch + 1, start_epoch + int(epoch_num) + 1):
             theta, opt_state, aux = step_fn(
                 theta, opt_state, quad_d, bc_d, ic_d, obs_d, weights_arr,
-                prepared_d, neu_d,
+                prepared_d, neu_d, hard_d,
             )
             if t_start is None:
                 jax.block_until_ready(aux["loss"])
@@ -870,6 +907,12 @@ class VarNet:
             raise ValueError("train_ensemble needs n_members >= 2")
         if select not in ("error", "loss"):
             raise ValueError("select must be 'error' or 'loss'")
+        if self.hard is not None:
+            raise ValueError(
+                "train_ensemble does not support hard_bc yet; train "
+                "members individually (the transform tables thread only "
+                "through train/refine_lm/refine_lbfgs)"
+            )
         if self.optimizer_cfg.grad_clip is not None:
             raise ValueError(
                 "grad_clip couples ensemble members through the joint "
@@ -1087,9 +1130,11 @@ class VarNet:
             scale = shift = None
         activation = self.activation
 
+        hard = self.hard
+
         @jax.jit
         def chunk_fn(theta_c, coords, n_tbl, dn_tbl, w_tbl, kappa, vel,
-                     src, react):
+                     src, react, hq=None):
             net = (theta_c["net"]
                    if isinstance(theta_c, dict) and "net" in theta_c
                    else theta_c)
@@ -1098,6 +1143,13 @@ class VarNet:
             u, du = vj(net, flat, activation, scale, shift)
             grad_u = du[:, :d].reshape(c, nq, d)
             u_t = du[:, d].reshape(c, nq) if td else None
+            if hard is not None:
+                from .fem.hardbc import hard_transform
+
+                u_h, grad_u, u_t = hard_transform(
+                    u.reshape(c, nq), grad_u, u_t, hq
+                )
+                u = u_h.reshape(c * nq)
             if source_fn is not None:
                 t_flat = flat[:, d] if td else None
                 src = source_fn(
@@ -1145,12 +1197,20 @@ class VarNet:
                         )
                     return a
 
+                coords_c = take(quad.coords).astype(np.float32)
+                hq = None
+                if hard is not None:
+                    hq = jax.tree_util.tree_map(
+                        lambda a: np.asarray(a, np.float32),
+                        hard.tables(coords_c),
+                    )
                 r = chunk_fn(
                     theta,
-                    take(quad.coords).astype(np.float32),
+                    coords_c,
                     take(quad.N, tbl=True), take(quad.dN, tbl=True),
                     take(quad.w, tbl=True), take(quad.kappa),
                     take(quad.vel), take(quad.src), take(quad.react),
+                    hq,
                 )
                 out[sl] = np.asarray(r)[: hi - lo]
         return out
@@ -1310,6 +1370,15 @@ class VarNet:
         ic_d = None if ic_h is None else shard_points(ic_h, self.mesh, dtype=self.dtype)
         obs_d = None if obs_h is None else shard_points(obs_h, self.mesh, dtype=self.dtype)
         neu_d = self._shard_neu()
+        hard_d = None
+        if self.hard is not None:
+            hard_d = shard_hard(
+                (
+                    self.hard.tables(quad_h.coords),
+                    None if obs_h is None else self.hard.points(obs_h.coords),
+                ),
+                self.mesh, dtype=self.dtype,
+            )
 
         loss_kwargs = {}
         if self.use_pallas:
@@ -1333,12 +1402,13 @@ class VarNet:
             diff_fn=self.diff_fn,
             vel_fn=self.vel_fn,
             flux_value_and_jac=self._value_and_jac_default,
+            hard_mode=self.hard is not None,
             **loss_kwargs,
         )
 
         def scalar_loss(theta):
             return loss_fn(theta, quad_d, bc_d, ic_d, obs_d, weights_arr,
-                           neu=neu_d)[0]
+                           neu=neu_d, hard=hard_d)[0]
 
         opt = optax.lbfgs(memory_size=memory_size)
         theta = replicate(self.theta, self.mesh)
@@ -1565,6 +1635,15 @@ class VarNet:
         ic_d = None if ic_h is None else shard_points(ic_h, self.mesh, dtype=self.dtype)
         obs_d = None if obs_h is None else shard_points(obs_h, self.mesh, dtype=self.dtype)
         neu_d = self._shard_neu()
+        hard_d = None
+        if self.hard is not None:
+            hard_d = shard_hard(
+                (
+                    self.hard.tables(quad_h.coords),
+                    None if obs_h is None else self.hard.points(obs_h.coords),
+                ),
+                self.mesh, dtype=self.dtype,
+            )
 
         res_kwargs = {"k_chunks": int(k_chunks)}
         if self._value_and_jac_default is not None:
@@ -1626,6 +1705,7 @@ class VarNet:
             diff_fn=self.diff_fn,
             vel_fn=self.vel_fn,
             flux_value_and_jac=self._value_and_jac_default,
+            hard_mode=self.hard is not None,
         )
         res_fn = make_residual_fn(self.static, **common, **res_kwargs)
         res_fn_jvp = (
@@ -1641,16 +1721,16 @@ class VarNet:
         # closures take the sharded data pytree and compute the PER-SHARD
         # residual slice.
         def closure(flat, data):
-            quad, bc, ic, obs, neu = data
+            quad, bc, ic, obs, neu, hard = data
             return res_fn(unravel(flat), quad, bc, ic, obs, weights_arr,
-                          neu=neu)
+                          neu=neu, hard=hard)
 
         closure_jvp = None
         if res_fn_jvp is not res_fn:
             def closure_jvp(flat, data):
-                quad, bc, ic, obs, neu = data
+                quad, bc, ic, obs, neu, hard = data
                 return res_fn_jvp(unravel(flat), quad, bc, ic, obs,
-                                  weights_arr, neu=neu)
+                                  weights_arr, neu=neu, hard=hard)
 
         from jax.sharding import PartitionSpec as P
 
@@ -1666,8 +1746,9 @@ class VarNet:
             kappa=per_node, vel=per_node, src=per_node, react=per_node,
             mask=per_node,
         )
-        data = (quad_d, bc_d, ic_d, obs_d, neu_d)
-        data_specs = (quad_spec, per_node, per_node, per_node, per_node)
+        data = (quad_d, bc_d, ic_d, obs_d, neu_d, hard_d)
+        data_specs = (quad_spec, per_node, per_node, per_node, per_node,
+                      per_node)
 
         lm_step = make_lm_step(
             closure, cg_iters=cg_iters, cg_segment=cg_segment,
@@ -1877,9 +1958,17 @@ class VarNet:
             u, du = fn(self._replicated(net), jnp.asarray(coords, self.dtype))
         u = np.asarray(jax.device_get(u), dtype=np.float64)
         du = np.asarray(jax.device_get(du), dtype=np.float64)
-        out = {"u": u, "grad": du[:, :d]}
+        grad, u_t = du[:, :d], (du[:, d] if self.static.time_dependent else None)
+        if self.hard is not None:
+            from .fem.hardbc import hard_transform
+
+            hq = self.hard.tables(coords)
+            u, grad, u_t = jax.tree_util.tree_map(
+                np.asarray, hard_transform(u, grad, u_t, hq)
+            )
+        out = {"u": u, "grad": grad}
         if self.static.time_dependent:
-            out["u_t"] = du[:, d]
+            out["u_t"] = u_t
         return out
 
     def _replicated(self, theta):
@@ -1901,6 +1990,13 @@ class VarNet:
         self._theta_d_cache = (theta, key, theta_d)
         return theta_d
 
+    def _hard_combine(self, coords: np.ndarray, u: np.ndarray) -> np.ndarray:
+        """Apply the exact-BC ansatz to raw network outputs, host-side f64
+        (the transform fields involve user callables — untraceable; the
+        training path uses precomputed device tables instead)."""
+        A, B = self.hard.value_AB(coords)
+        return A + B * u
+
     def _evaluate_inner(self, x, t, mu, theta, chunk) -> np.ndarray:
         theta = self.theta if theta is None else theta
         coords = self._make_coords(x, t, mu)
@@ -1908,7 +2004,8 @@ class VarNet:
         theta_d = self._replicated(theta)
         if n <= chunk:
             out = self._eval_fn(theta_d, jnp.asarray(coords, self.dtype))
-            return np.asarray(jax.device_get(out), dtype=np.float64)
+            u = np.asarray(jax.device_get(out), dtype=np.float64)
+            return u if self.hard is None else self._hard_combine(coords, u)
         outs = []
         for s in range(0, n, chunk):
             block = coords[s : s + chunk]
@@ -1917,7 +2014,8 @@ class VarNet:
                 block = np.concatenate([block, block[-1:].repeat(chunk - real, 0)])
             o = self._eval_fn(theta_d, jnp.asarray(block, self.dtype))
             outs.append(np.asarray(jax.device_get(o), dtype=np.float64)[:real])
-        return np.concatenate(outs)
+        u = np.concatenate(outs)
+        return u if self.hard is None else self._hard_combine(coords, u)
 
     def _make_coords(self, x, t, mu) -> np.ndarray:
         x = np.atleast_2d(np.asarray(x, dtype=np.float64))
@@ -1968,7 +2066,10 @@ class VarNet:
                 u = self._eval_fn(
                     self._replicated(theta), jnp.asarray(coords, self.dtype)
                 )
-                preds.append(np.asarray(jax.device_get(u)))
+                u = np.asarray(jax.device_get(u), dtype=np.float64)
+                if self.hard is not None:
+                    u = self._hard_combine(coords, u)
+                preds.append(u)
                 mu_b = (
                     None
                     if mu0 is None
@@ -1978,13 +2079,16 @@ class VarNet:
             return rel_l2_error(np.concatenate(preds), np.concatenate(exacts))
         coords = self._make_coords(pts, None, mu0)
         u = self._eval_fn(self._replicated(theta), jnp.asarray(coords, self.dtype))
+        u = np.asarray(jax.device_get(u), dtype=np.float64)
+        if self.hard is not None:
+            u = self._hard_combine(coords, u)
         mu_b = (
             None
             if mu0 is None
             else np.broadcast_to(mu0[None, :], (pts.shape[0], mu0.shape[0]))
         )
         exact = self.pde.eval_exact(pts, None, mu_b)
-        return rel_l2_error(np.asarray(jax.device_get(u)), exact)
+        return rel_l2_error(u, exact)
 
     # ------------------------------------------------------------------ #
     # persistence
@@ -2004,6 +2108,7 @@ class VarNet:
             "n_inputs": self.static.n_inputs,
             "n_test": self.static.n_test,
             "time_dependent": self.static.time_dependent,
+            "hard_bc": self.hard is not None,
             "param_count": param_count(
                 self.theta["net"] if isinstance(self.theta, dict) else self.theta
             ),

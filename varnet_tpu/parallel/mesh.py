@@ -145,6 +145,25 @@ def shard_flux(flux, mesh: Mesh, dtype=None):
     )
 
 
+def shard_hard(hard, mesh: Mesh, dtype=None):
+    """Place hard-BC transform tables (fem/hardbc.py): every array in the
+    ``(HardQuad, HardPts-or-None)`` pytree carries a leading K/N axis and
+    shards on ``data`` (None leaves — steady At/Bt, absent obs — pass
+    through untouched)."""
+    import jax
+    import jax.numpy as jnp
+
+    dsh = data_sharding(mesh)
+
+    def place(a):
+        a = jnp.asarray(a)
+        if dtype is not None:
+            a = a.astype(dtype)
+        return jax.device_put(a, dsh)
+
+    return jax.tree_util.tree_map(place, hard)
+
+
 def replicate(tree, mesh: Mesh):
     """Place a pytree replicated over the mesh, always COPYING: the result
     is donated into the train step, and a device_put that aliased the

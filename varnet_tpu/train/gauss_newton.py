@@ -43,9 +43,15 @@ def make_residual_fn(
     has_react: bool = False,
     nl_vec=None,
     flux_value_and_jac: Optional[Callable] = None,
+    hard_mode: bool = False,
 ):
     """Weighted residual VECTOR r_full(theta) with sum(r^2) == total loss
     (the normalize_residual=True convention of make_loss_fn).
+
+    hard_mode: exact BC/IC imposition (fem/hardbc.py) — residual_fn gains
+    a ``hard = (HardQuad, HardPts-or-None)`` operand; the interior rows
+    use the transformed solution, the (identically-zero) BC/IC rows drop
+    out, and observation rows compare the transformed solution.
 
     k_chunks > 1 maps the interior residual over chunks of the test-
     function axis with rematerialization (jax.checkpoint), bounding the
@@ -71,13 +77,20 @@ def make_residual_fn(
         return theta["net"] if isinstance(theta, dict) and "net" in theta else theta
 
     def interior(theta, coords, kappa, vel, src_fixed, react, mask,
-                 n_tbl, dn_tbl, w_tbl):
+                 n_tbl, dn_tbl, w_tbl, hq=None):
         net = net_params(theta)
         k, nq = coords.shape[0], coords.shape[1]
         flat = coords.reshape(k * nq, n_in)
         u, du = value_and_jac(net, flat, activation, scale, shift)
         grad_u = du[:, :d].reshape(k, nq, d)
         u_t = du[:, d].reshape(k, nq) if td else None
+        if hard_mode:
+            from ..fem.hardbc import hard_transform
+
+            u_h, grad_u, u_t = hard_transform(
+                u.reshape(k, nq), grad_u, u_t, hq
+            )
+            u = u_h.reshape(k * nq)
         if source_fn is not None:
             t_flat = flat[:, d] if td else None
             src = source_fn(theta["src"], flat[:, :d], t_flat).reshape(k, nq)
@@ -99,12 +112,13 @@ def make_residual_fn(
         return (r / vol) * mask
 
     def residual_fn(theta, quad, bc, ic=None, obs=None,
-                    weights=(1.0, 1.0, 1.0, 0.0), neu=None):
+                    weights=(1.0, 1.0, 1.0, 0.0), neu=None, hard=None):
         weights = jnp.asarray(weights)
+        hq = hard[0] if hard_mode else None
         if k_chunks == 1:
             r = interior(
                 theta, quad.coords, quad.kappa, quad.vel, quad.src,
-                quad.react, quad.mask, quad.N, quad.dN, quad.w,
+                quad.react, quad.mask, quad.N, quad.dN, quad.w, hq,
             )
         else:
             k = quad.coords.shape[0]
@@ -116,10 +130,19 @@ def make_residual_fn(
 
             def body(args):
                 coords, kappa, vel, src, react, mask = args[:6]
-                tbls = args[6:] if tables_per_node else (quad.N, quad.dN,
-                                                         quad.w)
+                rest = args[6:]
+                if tables_per_node:
+                    tbls, rest = rest[:3], rest[3:]
+                else:
+                    tbls = (quad.N, quad.dN, quad.w)
+                hq_c = None
+                if hard_mode:
+                    from ..fem.hardbc import HardQuad
+
+                    hq_c = HardQuad(*rest[0])
                 return interior(
                     theta, coords, kappa, vel, src, react, mask, *tbls,
+                    hq=hq_c,
                 )
 
             leaves = (quad.coords, quad.kappa, quad.vel, quad.src,
@@ -129,17 +152,27 @@ def make_residual_fn(
             chunked = tuple(
                 a.reshape((k_chunks, kc) + a.shape[1:]) for a in leaves
             )
+            if hard_mode:
+                chunked = chunked + (jax.tree_util.tree_map(
+                    lambda a: a.reshape((k_chunks, kc) + a.shape[1:]),
+                    tuple(hq),
+                ),)
             r = jax.lax.map(jax.checkpoint(body), chunked).reshape(k)
         parts = [jnp.sqrt(weights[0] / n_k) * r]
 
         net = net_params(theta)
-        u_bc = apply_fn(net, bc.coords, activation, scale, shift)
-        parts.append(jnp.sqrt(weights[1] / n_bc) * (u_bc - bc.values) * bc.mask)
-        if ic is not None:
+        if not hard_mode:
+            u_bc = apply_fn(net, bc.coords, activation, scale, shift)
+            parts.append(
+                jnp.sqrt(weights[1] / n_bc) * (u_bc - bc.values) * bc.mask
+            )
+        if ic is not None and not hard_mode:
             u_ic = apply_fn(net, ic.coords, activation, scale, shift)
             parts.append(jnp.sqrt(weights[2] / n_ic) * (u_ic - ic.values) * ic.mask)
         if has_obs and obs is not None:
             u_obs = apply_fn(net, obs.coords, activation, scale, shift)
+            if hard_mode:
+                u_obs = hard[1].A + hard[1].B * u_obs
             parts.append(
                 jnp.sqrt(weights[3] / n_obs) * (u_obs - obs.values) * obs.mask
             )

@@ -41,6 +41,7 @@ def make_loss_fn(
     nl_vec=None,
     fused_residual: Optional[Callable] = None,
     flux_value_and_jac: Optional[Callable] = None,
+    hard_mode: bool = False,
 ):
     """Build the total-loss function for an assembled problem.
 
@@ -70,10 +71,22 @@ def make_loss_fn(
         the jacobian-panel kernel with the nl term baked in (api gating
         forces directional=False); this XLA branch is the fallback.
 
+    hard_mode: exact BC/IC imposition (fem/hardbc.py).  The loss gains a
+        ``hard = (HardQuad, HardPts-or-None)`` operand of fixed transform
+        tables; the network outputs are re-ansatzed via
+        :func:`~varnet_tpu.fem.hardbc.hard_transform` BEFORE the weak
+        residual, the BC/IC penalty rows drop out (exact by construction
+        — reported as 0.0 in aux for logging stability), and observation
+        rows compare the TRANSFORMED solution.  Incompatible with
+        ``fused_residual`` (the fully-fused kernel bakes the raw-network
+        residual; api gating declines it).
+
     Returns ``loss_fn(theta, quad, bc, ic, obs, weights) -> (total, aux)``;
     ``ic``/``obs`` may be None for steady / non-inverse problems (decided
     statically here, not traced).
     """
+    if hard_mode and fused_residual is not None:
+        raise ValueError("hard_mode is incompatible with fused_residual")
     d = static.n_space
     td = static.time_dependent
     n_in = static.n_inputs
@@ -94,7 +107,7 @@ def make_loss_fn(
         return theta["net"] if isinstance(theta, dict) and "net" in theta else theta
 
     def loss_fn(theta, quad, bc, ic=None, obs=None, weights=(1.0, 1.0, 1.0),
-                prepared=None, neu=None):
+                prepared=None, neu=None, hard=None):
         net = net_params(theta)
         weights = jnp.asarray(weights)
         k, nq = quad.coords.shape[0], quad.coords.shape[1]
@@ -138,6 +151,12 @@ def make_loss_fn(
                 ).reshape(k, nq, d)
             else:
                 vel = quad.vel
+            if hard_mode:
+                from ..fem.hardbc import hard_transform
+
+                u_hq = u.reshape(k, nq)
+                u_hq, grad_u, u_t = hard_transform(u_hq, grad_u, u_t, hard[0])
+                u_q = u_hq if need_u else None
             r = weak_residual(
                 grad_u, quad.N, quad.dN, quad.w, kap, vel, src, u_t,
                 u=u_q, react=quad.react if has_react else None,
@@ -158,8 +177,13 @@ def make_loss_fn(
         else:
             loss_int = masked_sum_sq(r, quad.mask)
 
-        u_bc = apply_fn(net, bc.coords, activation, scale, shift)
-        loss_bc = masked_mse(u_bc, bc.values, bc.mask, n_bc)
+        if hard_mode:
+            # BC/IC are exact by construction; keep the aux keys (0.0) so
+            # logging/printing paths stay uniform across modes.
+            loss_bc = jnp.zeros(())
+        else:
+            u_bc = apply_fn(net, bc.coords, activation, scale, shift)
+            loss_bc = masked_mse(u_bc, bc.values, bc.mask, n_bc)
 
         total = weights[0] * loss_int + weights[1] * loss_bc
         aux = {"loss_int": loss_int, "loss_bc": loss_bc}
@@ -179,12 +203,18 @@ def make_loss_fn(
             total = total + weights[1] * loss_neu
             aux["loss_neu"] = loss_neu
         if ic is not None:
-            u_ic = apply_fn(net, ic.coords, activation, scale, shift)
-            loss_ic = masked_mse(u_ic, ic.values, ic.mask, n_ic)
-            total = total + weights[2] * loss_ic
+            if hard_mode:
+                loss_ic = jnp.zeros(())
+            else:
+                u_ic = apply_fn(net, ic.coords, activation, scale, shift)
+                loss_ic = masked_mse(u_ic, ic.values, ic.mask, n_ic)
+                total = total + weights[2] * loss_ic
             aux["loss_ic"] = loss_ic
         if has_obs:
             u_obs = apply_fn(net, obs.coords, activation, scale, shift)
+            if hard_mode:
+                # observations see the TRANSFORMED solution
+                u_obs = hard[1].A + hard[1].B * u_obs
             loss_obs = masked_mse(u_obs, obs.values, obs.mask, n_obs)
             total = total + weights[3] * loss_obs
             aux["loss_obs"] = loss_obs

@@ -111,16 +111,20 @@ def make_train_step(
 
     def make_epoch_step(reduce_fn):
         def one_update(theta, opt_state, quad, bc, ic, obs, weights,
-                       prepared=None, neu=None):
+                       prepared=None, neu=None, hard=None):
             (_, aux), grads = grad_fn(theta, quad, bc, ic, obs, weights,
-                                      prepared, neu)
+                                      prepared, neu, hard)
             return reduce_and_update(theta, opt_state, grads, aux, reduce_fn)
 
         if batch_num == 1:
             return one_update
 
         def epoch_step(theta, opt_state, quad, bc, ic, obs, weights,
-                       prepared=None, neu=None):
+                       prepared=None, neu=None, hard=None):
+            if hard is not None:
+                # hard-BC transform tables are built for the FULL
+                # (unbatched) quad layout (api gating enforces this)
+                raise ValueError("hard-BC tables require batch_num == 1")
             if prepared is not None:
                 # a prepared layout is built for the FULL (unbatched) quad
                 # and cannot feed the per-batch kernel calls inside scan
@@ -170,9 +174,9 @@ def make_train_step(
         jitted = jax.jit(step, donate_argnums=donate_argnums)
 
         def call(theta, opt_state, quad, bc, ic, obs, weights,
-                 prepared=None, neu=None):
+                 prepared=None, neu=None, hard=None):
             return jitted(theta, opt_state, quad, bc, ic, obs, weights,
-                          prepared, neu)
+                          prepared, neu, hard)
 
         call.jitted = jitted  # for lowering/inspection (HLO tests)
         return call
@@ -184,13 +188,13 @@ def make_train_step(
     step = make_epoch_step(partial(jax.lax.psum, axis_name=DATA_AXIS))
 
     def step_with_prepared(theta, opt_state, quad, bc, ic, obs, weights,
-                           prepared, neu):
+                           prepared, neu, hard):
         # per-shard precomputed kernel layout arrives stacked on a
         # leading shard axis; drop it inside the shard_map body
         if prepared is not None:
             prepared = jax.tree_util.tree_map(lambda a: a[0], prepared)
         return step(theta, opt_state, quad, bc, ic, obs, weights, prepared,
-                    neu)
+                    neu, hard)
 
     rep = P()  # replicated: params, optimizer state, shared tables, weights
     per_node = P(None, DATA_AXIS) if batch_num > 1 else P(DATA_AXIS)
@@ -207,17 +211,19 @@ def make_train_step(
     sharded = jax.shard_map(
         step_with_prepared,
         mesh=mesh,
+        # hard-BC transform tables (last operand) all carry a leading
+        # K/N axis, so the single pt_spec broadcasts over the pytree
         in_specs=(rep, rep, quad_spec, pt_spec, pt_spec, pt_spec, rep,
-                  pt_spec, pt_spec),
+                  pt_spec, pt_spec, pt_spec),
         out_specs=(rep, rep, rep),
         check_vma=False,
     )
     jitted = jax.jit(sharded, donate_argnums=donate_argnums)
 
     def call(theta, opt_state, quad, bc, ic, obs, weights, prepared=None,
-             neu=None):
+             neu=None, hard=None):
         return jitted(theta, opt_state, quad, bc, ic, obs, weights, prepared,
-                      neu)
+                      neu, hard)
 
     call.jitted = jitted  # for lowering/inspection (HLO tests)
     return call
