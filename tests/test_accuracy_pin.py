@@ -190,3 +190,45 @@ def test_ad3d_d16_theta_pinned():
                 n_devices=1)
     err = vn.compute_error(_load_theta(path), disc=32)
     assert err < 6e-4, f"expected ~4.5e-4, got {err:.3e}"
+
+
+BURGERS_PINS = {
+    # case-name -> (factory kwargs key, VarNet kwargs, eval, bound)
+    # Bounds carry ~2x platform noise over the measured TPU numbers
+    # (burgers_accuracy.json, queue7 2026-08-19): traveling front
+    # 4.00e-5, steady shock 4.97e-4, 2-D planar front 1.08e-4.
+    "traveling_front": ((256, 5), 1e-4),
+    "steady_shock": ((256, 5), 8e-4),
+    "front_2d": ((96, 5), 2e-4),
+}
+
+
+@pytest.mark.parametrize("name", list(BURGERS_PINS))
+def test_burgers_theta_pinned(name):
+    """Persisted nonlinear-advection (viscous Burgers) parameters from the
+    TPU accuracy runs re-score under their bounds — no training.  Pins the
+    jacobian-panel nonlinear residual path's EVALUATION numerics the same
+    way the flagship pin covers the linear path."""
+    from varnet_tpu.api import VarNet
+    from varnet_tpu.problems.analytic import (
+        burgers_1d_steady,
+        burgers_1d_transient,
+        burgers_2d_front,
+    )
+
+    path = os.path.join(RESULTS, f"theta_burgers_{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"no persisted theta for {name} yet")
+    (disc, n_times), bound = BURGERS_PINS[name]
+    case = {
+        "traveling_front": lambda: burgers_1d_transient(nu=0.05, a=0.4,
+                                                        c=0.6),
+        "steady_shock": lambda: burgers_1d_steady(nu=0.07, a=1.0),
+        "front_2d": lambda: burgers_2d_front(nu=0.1),
+    }[name]()
+    td = case["pde"].time_dependent
+    vn = VarNet(case["pde"], layer_width=(32,) * 3, disc_num=8,
+                t_disc_num=4 if td else None, n_devices=1)
+    theta = _load_theta(path)
+    err = vn.compute_error(theta, disc=disc, n_times=n_times)
+    assert err < bound, f"{name}: rel-L2 {err:.3e} >= {bound:g}"
