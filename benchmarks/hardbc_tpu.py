@@ -1,0 +1,129 @@
+"""TPU A/B: exact (hard-constraint) BC imposition vs penalty training.
+
+Honest cases only — each has homogeneous or genuinely-boundary data, so
+the data extension G is NOT the solution and the network does all the
+work (on analytic cases whose BCs come from c_ex, e.g. the flagship,
+hard_bc would encode the exact solution into G — data leakage, measured
+and deliberately excluded; see DESIGN.md decision 18).
+
+  2d   : steady_ad_2d — manufactured source, zero Dirichlet (G = 0,
+         ansatz u = D net).
+  3d   : steady_ad_3d — same structure in 3-D (TPU penalty reference:
+         2.24e-3 at disc 12 / width 64, ad3d_floor.json).
+  1dt  : transient_ad_1d — erfc front, time-varying compatible BC data.
+
+Usage: python -u benchmarks/hardbc_tpu.py --case 2d --disc 48 ...
+Writes benchmarks/results/hardbc_tpu.json (append) and persists the hard
+theta when it beats 1e-3.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+RESULTS = Path(__file__).parent / "results"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--case", choices=("2d", "3d", "1dt"), default="2d")
+    ap.add_argument("--disc", type=int, default=48)
+    ap.add_argument("--tdisc", type=int, default=32)
+    ap.add_argument("--width", type=int, default=48)
+    ap.add_argument("--layers", type=int, default=2)
+    ap.add_argument("--epochs", type=int, default=8000)
+    ap.add_argument("--lm-steps", type=int, default=30)
+    ap.add_argument("--lm-cg", type=int, default=200)
+    ap.add_argument("--k-chunks", type=int, default=1)
+    ap.add_argument("--modes", type=str, default="hard,penalty")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--folder", type=str, default="/tmp/hardbc_tpu")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from varnet_tpu.api import VarNet
+    from varnet_tpu.problems.analytic import (
+        steady_ad_2d,
+        steady_ad_3d,
+        transient_ad_1d,
+    )
+    from varnet_tpu.train.optim import OptimizerConfig
+    from varnet_tpu.utils.helpers import enable_compilation_cache
+    from varnet_tpu.utils.io import save_theta_npz
+
+    enable_compilation_cache()
+    factory = {"2d": steady_ad_2d, "3d": steady_ad_3d,
+               "1dt": transient_ad_1d}[args.case]
+    case = factory()
+    td = case["pde"].time_dependent
+    vn_kw = {"t_disc_num": args.tdisc} if td else {}
+    err_disc = {"2d": 96, "3d": 32, "1dt": 256}[args.case]
+
+    rows = []
+    for mode in args.modes.split(","):
+        hard = mode == "hard"
+        w = None if hard else ((1.0, 10.0, 10.0) if td else (1.0, 10.0))
+        t0 = time.perf_counter()
+        vn = VarNet(
+            case["pde"], layer_width=(args.width,) * args.layers,
+            disc_num=args.disc, b_disc_num=max(args.disc, 24), n_devices=1,
+            hard_bc=hard,
+            optimizer=OptimizerConfig(lr=2e-3, decay_rate=0.1,
+                                      decay_steps=max(args.epochs // 4, 1)),
+            **vn_kw,
+        )
+        res = vn.train(epoch_num=args.epochs, weight=w,
+                       save_freq=max(args.epochs // 6, 1), verbose=True,
+                       error_disc=err_disc, error_times=5,
+                       matmul_precision="highest",
+                       folderpath=f"{args.folder}_{args.case}_{mode}",
+                       max_retries=2)
+        r = vn.refine_lm(steps=args.lm_steps, weight=w,
+                         cg_iters=args.lm_cg,
+                         save_freq=max(args.lm_steps // 6, 1), verbose=True,
+                         error_disc=err_disc, error_times=5,
+                         k_chunks=args.k_chunks, matmul_precision="highest",
+                         folderpath=f"{args.folder}_{args.case}_{mode}",
+                         max_retries=2)
+        finite = ([e for e in res.errors if e == e]
+                  + [e for e in r.errors if e == e])
+        best = min(finite, default=float("nan"))
+        row = {
+            "case": args.case,
+            "mode": mode,
+            "mesh": (f"disc={args.disc}" + (f" tdisc={args.tdisc}" if td
+                                            else "")),
+            "network": f"({args.width},)x{args.layers}",
+            "epochs": args.epochs,
+            "lm": f"{args.lm_steps} iters cg={args.lm_cg}",
+            "platform": jax.devices()[0].platform,
+            "best_rel_l2": best,
+            "adam_rel_l2": min((e for e in res.errors if e == e),
+                               default=float("nan")),
+            "wall_s": time.perf_counter() - t0,
+        }
+        rows.append(row)
+        print(json.dumps(row, indent=2), flush=True)
+        if hard and best == best and best < 1e-3:
+            save_theta_npz(RESULTS / f"theta_hardbc_{args.case}.npz",
+                           vn.theta)
+            print(f"[hardbc_tpu] hard theta persisted ({best:.3e})",
+                  flush=True)
+
+    RESULTS.mkdir(exist_ok=True)
+    path = RESULTS / "hardbc_tpu.json"
+    data = json.loads(path.read_text()) if path.exists() else []
+    data.extend(rows)
+    path.write_text(json.dumps(data, indent=2))
+
+
+if __name__ == "__main__":
+    main()
