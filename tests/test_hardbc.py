@@ -101,15 +101,25 @@ def test_gtilde_matches_segment_data():
     )
 
 
+def test_nonconvex_polygon_segment_adf():
+    """L-shape (non-convex): the trimmed segment ADFs vanish on every
+    edge but stay positive at interior points that lie on an edge LINE's
+    extension — the case plane distances get wrong."""
+    lshape = PolygonDomain2D(np.array([
+        [0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [1.0, 2.0],
+        [1.0, 1.0], [0.0, 1.0],
+    ]))
+    hb = HardBC(ADPDE(lshape, diff=0.1, vel=(0.0, 0.0), bcs=0.0))
+    for seg_pts in lshape.boundary_points(9):
+        np.testing.assert_allclose(hb.dist(seg_pts), 0.0, atol=1e-12)
+    # interior points on the extensions of the reentrant edges
+    # (x = 1 below y = 1; y = 1 right of x = 1) must keep D > 0
+    probes = np.array([[1.0, 0.5], [1.5, 1.0], [0.5, 0.5], [1.5, 0.5]])
+    assert (hb.dist(probes) > 1e-4).all(), hb.dist(probes)
+    assert (hb.dist(_interior_samples(lshape)) > 0).all()
+
+
 def test_rejections():
-    with pytest.raises(ValueError, match="CONVEX"):
-        HardBC(ADPDE(
-            PolygonDomain2D(np.array([
-                [0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [1.0, 2.0],
-                [1.0, 1.0], [0.0, 1.0],
-            ])),  # L-shape
-            diff=0.1, vel=(0.0, 0.0), bcs=0.0,
-        ))
     with pytest.raises(ValueError, match="Dirichlet-only"):
         HardBC(ADPDE(
             Domain1D(), diff=0.1, vel=1.0,
@@ -270,3 +280,23 @@ def test_hard_beats_penalty_at_matched_budget():
                        error_disc=64)
         errs[mode] = res.errors[-1]
     assert errs["hard"] < errs["penalty"], errs
+
+
+def test_lshape_hard_bc_trains():
+    """Full pipeline over the trimmed segment ADFs: a source-driven
+    L-shape problem (zero Dirichlet everywhere) trains, the loss
+    decreases, and the boundary stays exactly zero."""
+    lshape = PolygonDomain2D(np.array([
+        [0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [1.0, 2.0],
+        [1.0, 1.0], [0.0, 1.0],
+    ]))
+    pde = ADPDE(lshape, diff=0.2, vel=(0.5, 0.0), source=1.0, bcs=0.0)
+    vn = VarNet(pde, layer_width=(12, 12), disc_num=10, n_devices=1,
+                hard_bc=True, seed=0)
+    res = vn.train(epoch_num=150, save_freq=50, verbose=False)
+    losses = [rec["loss"] for rec in res.losses]
+    assert losses[-1] < losses[0] * 0.5, losses
+    for pts in lshape.boundary_points(7):
+        np.testing.assert_allclose(vn.evaluate(pts), 0.0, atol=5e-6)
+    # the solution is genuinely nonzero inside
+    assert abs(vn.evaluate(np.array([[0.5, 0.5]]))[0]) > 1e-3

@@ -114,10 +114,10 @@ def _r0_fold(phis: np.ndarray) -> np.ndarray:
 class HardBC:
     """Builder of the exact-imposition transform for an assembled ADPDE.
 
-    Supported domains: ``Domain1D``, ``RectangleDomain2D``, CONVEX
-    ``PolygonDomain2D``, ``BoxDomainND``/``BoxDomain3D`` (non-convex
-    polygons are rejected: an edge line's extension would cut through the
-    interior and zero the ADF at interior points).  Supported BCs:
+    Supported domains: ``Domain1D``, ``RectangleDomain2D``,
+    ``PolygonDomain2D`` (convex via signed plane distances; NON-convex via
+    trimmed segment ADFs, so the L-shape works), ``BoxDomainND``/
+    ``BoxDomain3D``.  Supported BCs:
     Dirichlet data per segment (constants or callables defined on the
     whole domain — the blend evaluates them off their segment), plus
     ``None`` (free) segments; Neumann/Robin are rejected (flux conditions
@@ -141,7 +141,6 @@ class HardBC:
         if self.td:
             self.t0, self.t1 = pde.t_interval
         self.n_space = pde.dim
-        anchors, normals = self._segment_planes(pde.domain)
         lo, hi = pde.domain.bounds
         self._diam = float(np.linalg.norm(np.asarray(hi) - np.asarray(lo)))
         self._fd_h = 1e-6 * max(self._diam, 1.0)
@@ -149,8 +148,22 @@ class HardBC:
         self.dir_segs = [i for i, g in enumerate(pde.bcs) if g is not None]
         if not self.dir_segs:  # ADPDE.__post_init__ already guarantees >= 1
             raise ValueError("hard_bc needs at least one Dirichlet segment")
-        self._anchors = np.stack([anchors[i] for i in self.dir_segs])  # [E,d]
-        self._normals = np.stack([normals[i] for i in self.dir_segs])  # [E,d]
+        self._endpoints = None  # non-convex polygon: trimmed segment ADFs
+        anchors, normals = self._segment_planes(pde.domain)
+        if anchors is None:
+            from ..geometry.domain import PolygonDomain2D
+
+            assert isinstance(pde.domain, PolygonDomain2D)
+            v = pde.domain.vertices
+            self._endpoints = np.stack([
+                np.stack([v[i], v[(i + 1) % v.shape[0]]])
+                for i in self.dir_segs
+            ])  # [E, 2, 2]
+        else:
+            self._anchors = np.stack(
+                [anchors[i] for i in self.dir_segs])   # [E, d]
+            self._normals = np.stack(
+                [normals[i] for i in self.dir_segs])   # [E, d]
         # Single-field fast path: every Dirichlet segment shares one data
         # object (the common broadcast-constant case) — skip the blend.
         gs = [pde.bcs[i] for i in self.dir_segs]
@@ -164,9 +177,12 @@ class HardBC:
     # -- geometry ------------------------------------------------------- #
 
     @staticmethod
-    def _segment_planes(domain) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    def _segment_planes(domain):
         """Per-segment (anchor point, outward unit normal) pairs; the
-        inward distance of segment i is -(x - a_i) . n_i."""
+        inward distance of segment i is -(x - a_i) . n_i.  Returns
+        ``(None, None)`` for NON-CONVEX polygons — there an edge line's
+        extension cuts through the interior, so the builder switches to
+        trimmed segment ADFs (:meth:`_phis`)."""
         from ..geometry.domain import (
             BoxDomainND,
             Domain1D,
@@ -189,39 +205,56 @@ class HardBC:
                     normals.append(domain.segment_normal(2 * j + side))
             return anchors, normals
         if isinstance(domain, PolygonDomain2D):
-            if not isinstance(domain, RectangleDomain2D):
-                HardBC._require_convex(domain.vertices)
+            if not isinstance(domain, RectangleDomain2D) and not (
+                HardBC._is_convex(domain.vertices)
+            ):
+                return None, None  # trimmed segment ADFs
             v = domain.vertices
             anchors = [v[i] for i in range(v.shape[0])]
             normals = [domain.segment_normal(i) for i in range(v.shape[0])]
             return anchors, normals
         raise ValueError(
             f"hard_bc: unsupported domain type {type(domain).__name__} "
-            "(Domain1D / RectangleDomain2D / convex PolygonDomain2D / "
-            "BoxDomainND)"
+            "(Domain1D / PolygonDomain2D / BoxDomainND)"
         )
 
     @staticmethod
-    def _require_convex(vertices: np.ndarray) -> None:
+    def _is_convex(vertices: np.ndarray) -> bool:
         v = np.asarray(vertices, dtype=np.float64)
         e = np.roll(v, -1, axis=0) - v
         cross = e[:, 0] * np.roll(e[:, 1], -1) - e[:, 1] * np.roll(e[:, 0], -1)
         scale = np.abs(cross).max() + 1e-300
         signs = cross / scale
-        if (signs > 1e-12).any() and (signs < -1e-12).any():
-            raise ValueError(
-                "hard_bc requires a CONVEX polygon: a non-convex edge "
-                "line's extension passes through the interior and would "
-                "zero the distance function at interior points (use "
-                "penalty BCs, or supply an R-function-trimmed domain)"
-            )
+        return not ((signs > 1e-12).any() and (signs < -1e-12).any())
 
     def _phis(self, x: np.ndarray) -> np.ndarray:
-        """Normalized inward distances to each Dirichlet segment plane,
-        [P, E]; positive inside (convex domains)."""
+        """Normalized distances to each Dirichlet segment, [P, E]:
+        signed plane distances (positive inside) on plane-based domains;
+        trimmed SEGMENT ADFs (Rvachev trimming — zero exactly on the
+        finite edge, positive elsewhere, ~distance near it) on non-convex
+        polygons, where an extended edge line would wrongly zero the ADF
+        at interior points."""
         x = np.atleast_2d(np.asarray(x, dtype=np.float64))
-        rel = x[:, None, :] - self._anchors[None, :, :]       # [P, E, d]
-        return -np.einsum("ped,ed->pe", rel, self._normals) / self._diam
+        if self._endpoints is None:
+            rel = x[:, None, :] - self._anchors[None, :, :]   # [P, E, d]
+            return -np.einsum("ped,ed->pe", rel, self._normals) / self._diam
+        a = self._endpoints[:, 0]                             # [E, 2]
+        b = self._endpoints[:, 1]
+        c = 0.5 * (a + b)
+        e = b - a
+        ln = np.linalg.norm(e, axis=-1)                       # [E]
+        rel = x[:, None, :] - a[None, :, :]                   # [P, E, 2]
+        # unsigned distance to the edge LINE
+        f = np.abs(rel[..., 0] * e[None, :, 1]
+                   - rel[..., 1] * e[None, :, 0]) / ln        # [P, E]
+        # trimming field: positive inside the edge's slab, ~ -distance^2/L
+        # beyond its endpoints
+        d2 = np.sum((x[:, None, :] - c[None, :, :]) ** 2, axis=-1)
+        t = (0.25 * ln**2 - d2) / ln                          # [P, E]
+        # Rvachev-trimmed segment ADF: equals f on the slab midline,
+        # vanishes exactly on the segment only, first-order normalized
+        phi = np.sqrt(f**2 + 0.25 * (np.sqrt(t**2 + f**4) - t) ** 2)
+        return phi / self._diam
 
     def dist(self, x: np.ndarray) -> np.ndarray:
         """ADF D(x): zero exactly on every Dirichlet segment, ~min
