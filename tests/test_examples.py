@@ -29,6 +29,8 @@ TINY = ["--epochs", "40", "--save-freq", "20", "--width", "8"]
     [
         (ad1d_steady, ["--disc", "12"]),
         (ad1d_transient, ["--disc", "10", "--tdisc", "5"]),
+        (ad1d_transient, ["--disc", "10", "--tdisc", "5", "--hard-bc"]),
+        (lshape_2d, ["--disc", "10", "--hard-bc"]),
         (burgers_1d, ["--disc", "10", "--tdisc", "5"]),
         (burgers_1d, ["--disc", "12", "--steady"]),
         (inverse_coeff, ["--disc", "10", "--n-obs", "10"]),

@@ -59,6 +59,10 @@ def make_parser(desc: str, **defaults) -> argparse.ArgumentParser:
     p.add_argument("--test-order", type=int, default=1, choices=(1, 2),
                    help="test-function order: 1 = hats (reference), 2 = "
                         "quadratic Lagrange (O(h^3) floor, beyond-reference)")
+    p.add_argument("--hard-bc", action="store_true",
+                   help="EXACT Dirichlet-BC/IC imposition (u = G + tau D "
+                        "net; BC/IC penalty rows drop out — "
+                        "beyond-reference, DESIGN.md decision 18)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--devices", type=int, default=None)
     return p
@@ -82,6 +86,7 @@ def run_case(pde, args, weight, t_disc_num=None, **varnet_kwargs) -> VarNet:
         optimizer=OptimizerConfig(
             lr=args.lr, decay_rate=decay, decay_steps=decay_every
         ),
+        hard_bc=getattr(args, "hard_bc", False),
         **varnet_kwargs,
     )
     n_ens = getattr(args, "ensemble", 0)
