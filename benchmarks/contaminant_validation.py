@@ -58,6 +58,15 @@ def get_case(args):
 
 
 def _stem(args):
+    base = {"inlet": "contaminant_inlet",
+            "source": "contaminant",
+            "source-ff": "contaminant_src_ff"}[args.variant]
+    # hard-BC runs score against the SAME FDM data (same physics) but
+    # persist their own theta/record under a -hard suffix
+    return base + ("_hard" if getattr(args, "hard_bc", False) else "")
+
+
+def _data_stem(args):
     return {"inlet": "contaminant_inlet",
             "source": "contaminant",
             "source-ff": "contaminant_src_ff"}[args.variant]
@@ -74,7 +83,7 @@ def make_data(args, nx=256, ny=128, nt=400):
                           sample_times=times, verbose=True)
     print(f"[fdm] solved {nx}x{ny}x{nt} in {time.perf_counter() - t0:.1f}s")
     DATA.mkdir(exist_ok=True)
-    stem = _stem(args)
+    stem = _data_stem(args)
     np.savez_compressed(
         DATA / f"{stem}_fdm.npz",
         x=out["x"].astype(np.float32),
@@ -114,6 +123,10 @@ def train(args):
         # Fourier features counter the tanh NTK's spectral bias — the
         # measured escape from the u=0 zero-data attractor (DESIGN.md).
         extra = dict(fourier_features=args.ff, fourier_scale=args.ff_scale)
+    if getattr(args, "hard_bc", False):
+        # exact inlet/walls/IC imposition (fem/hardbc.py) — the outlet
+        # stays free; only the interior residual (+ obs) trains
+        extra["hard_bc"] = True
     vn = VarNet(
         case["pde"], layer_width=(args.width,) * args.layers,
         disc_num=(args.disc, args.disc // 2), b_disc_num=args.disc,
@@ -147,13 +160,15 @@ def score(args, vn=None):
     from varnet_tpu.utils.helpers import rel_l2_error
     from varnet_tpu.utils.io import load_observations_csv
 
-    stem = _stem(args)
+    stem = _data_stem(args)
     z = np.load(DATA / f"{stem}_fdm.npz")
     if vn is None:
         case = get_case(args)
         extra = {}
         if args.variant == "source-ff":
             extra = dict(fourier_features=args.ff, fourier_scale=args.ff_scale)
+        if getattr(args, "hard_bc", False):
+            extra["hard_bc"] = True
         vn = VarNet(case["pde"], layer_width=(args.width,) * args.layers,
                     disc_num=8, t_disc_num=4, **extra)
         vn.theta = load_theta_npz(Path(args.folder) / "theta_final.npz")
@@ -194,7 +209,8 @@ def score(args, vn=None):
     RESULTS.mkdir(exist_ok=True)
     p = RESULTS / "contaminant_validation.json"
     out = json.loads(p.read_text()) if p.exists() else {}
-    out[args.variant] = rec
+    out[args.variant + ("-hard" if getattr(args, "hard_bc", False)
+                        else "")] = rec
     p.write_text(json.dumps(out, indent=2))
     print(json.dumps(rec, indent=2))
 
@@ -210,6 +226,8 @@ def main():
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--variant", choices=["inlet", "source", "source-ff"],
                     default="inlet")
+    ap.add_argument("--hard-bc", action="store_true",
+                    help="exact BC/IC imposition variant (DESIGN.md 18)")
     ap.add_argument("--ff", type=int, default=64)
     ap.add_argument("--ff-scale", type=str, default="0.5",
                     help="FF scale, or comma-list for a multi-scale basis")

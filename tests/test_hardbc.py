@@ -120,15 +120,46 @@ def test_nonconvex_polygon_segment_adf():
 
 
 def test_rejections():
-    with pytest.raises(ValueError, match="Dirichlet-only"):
-        HardBC(ADPDE(
-            Domain1D(), diff=0.1, vel=1.0,
-            bcs=[0.0, NeumannBC(flux=1.0)],
-        ))
     from varnet_tpu.problems.analytic import mor_steady_ad_2d
 
     with pytest.raises(ValueError, match="MOR"):
         HardBC(mor_steady_ad_2d()["pde"])
+
+
+def test_flux_segment_unconstrained():
+    """Neumann/Robin segments carry no distance factor (the flux stays a
+    penalty on the transformed solution): D > 0 on the flux end, 0 on
+    the Dirichlet end."""
+    pde = ADPDE(Domain1D(), diff=0.1, vel=1.0,
+                bcs=[0.0, NeumannBC(flux=1.0)])
+    hb = HardBC(pde)
+    assert hb.dist(np.array([[1.0]]))[0] > 0.1
+    np.testing.assert_allclose(hb.dist(np.array([[0.0]])), 0.0, atol=1e-12)
+
+
+def test_mixed_hard_dirichlet_penalty_neumann_trains():
+    """Mixed problem (config: steady_ad_1d_neumann): the Dirichlet end is
+    exact by ansatz, the Neumann end trains as a penalty on the
+    TRANSFORMED flux, and Adam + LM reach the manufactured solution."""
+    from varnet_tpu.problems.analytic import steady_ad_1d_neumann
+
+    case = steady_ad_1d_neumann()
+    vn = VarNet(case["pde"], layer_width=(16, 16), disc_num=12,
+                n_devices=1, hard_bc=True, seed=0)
+    res = vn.train(epoch_num=800, weight=(1.0, 10.0), save_freq=400,
+                   verbose=False, error_disc=64)
+    assert res.losses[-1]["loss_bc"] == 0.0
+    assert res.losses[-1]["loss_neu"] > 0.0  # flux penalty is live
+    r = vn.refine_lm(steps=10, weight=(1.0, 10.0), cg_iters=60,
+                     save_freq=10, verbose=False, error_disc=64)
+    assert r.errors[-1] < 1e-3, (res.errors, r.errors)
+    np.testing.assert_allclose(vn.evaluate(np.array([[0.0]])), 0.0,
+                               atol=5e-6)
+    # flux at the Neumann end approaches its manufactured value
+    g = vn.evaluate_grad(np.array([[1.0]]))
+    flux = 0.2 * g["grad"][0, 0]
+    np.testing.assert_allclose(flux, 0.2 * np.pi / 3 * np.cos(np.pi / 3),
+                               rtol=2e-2)
 
 
 def test_incompatible_data_warns():
@@ -300,3 +331,17 @@ def test_lshape_hard_bc_trains():
         np.testing.assert_allclose(vn.evaluate(pts), 0.0, atol=5e-6)
     # the solution is genuinely nonzero inside
     assert abs(vn.evaluate(np.array([[0.5, 0.5]]))[0]) > 1e-3
+
+
+def test_ensemble_with_hard_bc():
+    """Hard-BC tables are member-independent: a small vmapped ensemble
+    trains, each member's BC stays exact."""
+    case = steady_ad_2d()
+    vn = VarNet(case["pde"], layer_width=(10,), disc_num=6, n_devices=1,
+                hard_bc=True, seed=0)
+    res = vn.train_ensemble(epoch_num=30, n_members=2, save_freq=30,
+                            verbose=False, error_disc=24)
+    assert res.n_members == 2
+    assert all(np.isfinite(v) for v in res.member_losses[-1])
+    pts = case["pde"].domain.boundary_points(5)[0]
+    np.testing.assert_allclose(vn.evaluate(pts), 0.0, atol=5e-6)

@@ -95,7 +95,7 @@ def test_step_hard_bc_still_one_all_reduce():
     quad = shard_quad(quad_h, mesh)
     bc = shard_points(pad_points(fd.bc, 8), mesh)
     hb = HardBC(case["pde"])
-    hard = shard_hard((hb.tables(quad_h.coords), None), mesh)
+    hard = shard_hard((hb.tables(quad_h.coords), None, None), mesh)
     loss_fn = make_loss_fn(fd.static, hard_mode=True)
     opt = make_optimizer(OptimizerConfig())
     theta = replicate(

@@ -113,12 +113,14 @@ class VarNet:
                     fem/hardbc.py): the trial solution becomes
                     ``G + tau(t) D(x) net(x, t)`` with an R-function
                     distance D and a blended boundary-data extension G,
-                    so BC/IC penalty rows (and their weight tuning) drop
-                    out and only the interior weak residual trains.
-                    Requires Dirichlet-only BCs on a supported domain
-                    (interval / box / convex polygon), no MOR; rides the
-                    value+jacobian evaluator (the fully-fused residual
-                    kernel declines), batch_num must stay 1.
+                    so Dirichlet/IC penalty rows (and their weight
+                    tuning) drop out and only the interior weak residual
+                    (+ any flux penalties, evaluated on the transformed
+                    solution) trains.  Supported domains: interval / box
+                    / polygon (non-convex via trimmed segment ADFs); no
+                    MOR; rides the value+jacobian evaluator (the
+                    fully-fused residual kernel declines), batch_num
+                    must stay 1.
     """
 
     def __init__(
@@ -343,6 +345,26 @@ class VarNet:
         return shard_flux(
             pad_flux(self.fixed.neu, self.n_shards), self.mesh,
             dtype=self.dtype,
+        )
+
+    def _shard_hard(self, quad_h, obs_h):
+        """Sharded hard-BC transform payload for the given PADDED host
+        quad/obs data: (HardQuad at quad coords, HardPts at obs coords or
+        None, HardQuad at flux-penalty coords or None) — or None when
+        hard_bc is off.  One place so train/refine_lm/refine_lbfgs agree."""
+        if self.hard is None:
+            return None
+        neu_tbl = None
+        if self.fixed.neu is not None:
+            neu_h = pad_flux(self.fixed.neu, self.n_shards)
+            neu_tbl = self.hard.tables(neu_h.coords)
+        return shard_hard(
+            (
+                self.hard.tables(quad_h.coords),
+                None if obs_h is None else self.hard.points(obs_h.coords),
+                neu_tbl,
+            ),
+            self.mesh, dtype=self.dtype,
         )
 
     def _fused_residual_hook(self, matmul_precision):
@@ -667,18 +689,12 @@ class VarNet:
         ic_h = None if self.fixed.ic is None else pad_points(self.fixed.ic, self.n_shards)
         obs_h = None if not has_obs else pad_points(self.obs_data, self.n_shards)
 
-        hard_d = None
-        if self.hard is not None:
-            if batch_num > 1:
-                raise ValueError(
-                    "hard_bc requires batch_num == 1 (the transform "
-                    "tables are built for the unbatched quad layout)"
-                )
-            hard_h = (
-                self.hard.tables(quad_h.coords),
-                None if obs_h is None else self.hard.points(obs_h.coords),
+        if self.hard is not None and batch_num > 1:
+            raise ValueError(
+                "hard_bc requires batch_num == 1 (the transform "
+                "tables are built for the unbatched quad layout)"
             )
-            hard_d = shard_hard(hard_h, self.mesh, dtype=self.dtype)
+        hard_d = self._shard_hard(quad_h, obs_h)
 
         if batch_num > 1:
             quad_h = _tree_reshape_batches(quad_h, batch_num)
@@ -907,11 +923,10 @@ class VarNet:
             raise ValueError("train_ensemble needs n_members >= 2")
         if select not in ("error", "loss"):
             raise ValueError("select must be 'error' or 'loss'")
-        if self.hard is not None:
+        if self.hard is not None and batch_num > 1:
             raise ValueError(
-                "train_ensemble does not support hard_bc yet; train "
-                "members individually (the transform tables thread only "
-                "through train/refine_lm/refine_lbfgs)"
+                "hard_bc requires batch_num == 1 (the transform tables "
+                "are built for the unbatched quad layout)"
             )
         if self.optimizer_cfg.grad_clip is not None:
             raise ValueError(
@@ -947,6 +962,7 @@ class VarNet:
         ic_d = None if ic_h is None else shard_points(ic_h, self.mesh, dtype=self.dtype)
         obs_d = None if obs_h is None else shard_points(obs_h, self.mesh, dtype=self.dtype)
         neu_d = self._shard_neu()
+        hard_d = self._shard_hard(quad_h, obs_h)
 
         loss_kwargs = {}
         if fused is not None:
@@ -968,13 +984,16 @@ class VarNet:
             diff_fn=self.diff_fn,
             vel_fn=self.vel_fn,
             flux_value_and_jac=self._value_and_jac_default,
+            hard_mode=self.hard is not None,
             **loss_kwargs,
         )
 
         def ens_loss(theta_s, quad, bc, ic, obs, weights, prepared=None,
-                     neu=None):
+                     neu=None, hard=None):
+            # hard-BC tables are member-independent: vmap/map close over
+            # them as constants
             member = lambda th: base_loss(th, quad, bc, ic, obs, weights,
-                                          prepared, neu)[0]
+                                          prepared, neu, hard)[0]
             if fused is not None:
                 # Sequential over members: a Pallas call has no vmap
                 # batching rule, and the fused kernel keeps activations
@@ -1018,7 +1037,7 @@ class VarNet:
             for epoch in range(1, int(epoch_num) + 1):
                 theta_s, opt_state, aux = step_fn(
                     theta_s, opt_state, quad_d, bc_d, ic_d, obs_d,
-                    weights_arr, prepared_d, neu_d,
+                    weights_arr, prepared_d, neu_d, hard_d,
                 )
                 if t_start is None:
                     jax.block_until_ready(aux["member_loss"])
@@ -1370,15 +1389,7 @@ class VarNet:
         ic_d = None if ic_h is None else shard_points(ic_h, self.mesh, dtype=self.dtype)
         obs_d = None if obs_h is None else shard_points(obs_h, self.mesh, dtype=self.dtype)
         neu_d = self._shard_neu()
-        hard_d = None
-        if self.hard is not None:
-            hard_d = shard_hard(
-                (
-                    self.hard.tables(quad_h.coords),
-                    None if obs_h is None else self.hard.points(obs_h.coords),
-                ),
-                self.mesh, dtype=self.dtype,
-            )
+        hard_d = self._shard_hard(quad_h, obs_h)
 
         loss_kwargs = {}
         if self.use_pallas:
@@ -1635,15 +1646,7 @@ class VarNet:
         ic_d = None if ic_h is None else shard_points(ic_h, self.mesh, dtype=self.dtype)
         obs_d = None if obs_h is None else shard_points(obs_h, self.mesh, dtype=self.dtype)
         neu_d = self._shard_neu()
-        hard_d = None
-        if self.hard is not None:
-            hard_d = shard_hard(
-                (
-                    self.hard.tables(quad_h.coords),
-                    None if obs_h is None else self.hard.points(obs_h.coords),
-                ),
-                self.mesh, dtype=self.dtype,
-            )
+        hard_d = self._shard_hard(quad_h, obs_h)
 
         res_kwargs = {"k_chunks": int(k_chunks)}
         if self._value_and_jac_default is not None:

@@ -120,9 +120,11 @@ class HardBC:
     ``BoxDomain3D``.  Supported BCs:
     Dirichlet data per segment (constants or callables defined on the
     whole domain — the blend evaluates them off their segment), plus
-    ``None`` (free) segments; Neumann/Robin are rejected (flux conditions
-    are penalty-shaped, not ansatz-shaped).  MOR is rejected (the blend
-    would need per-sample tables).
+    ``None`` (free) segments and Neumann/Robin flux segments — the flux
+    conditions are penalty-shaped, not ansatz-shaped, so they stay
+    penalty rows evaluated on the TRANSFORMED solution while the
+    Dirichlet data and IC are exact.  MOR is rejected (the blend would
+    need per-sample tables).
     """
 
     def __init__(self, pde):
@@ -131,11 +133,6 @@ class HardBC:
         if pde.mor is not None:
             raise ValueError("hard_bc does not support MOR (parametric) "
                              "problems")
-        if any(isinstance(g, (NeumannBC, RobinBC)) for g in pde.bcs):
-            raise ValueError(
-                "hard_bc requires Dirichlet-only BCs (Neumann/Robin flux "
-                "conditions stay penalty-enforced; mixing is unsupported)"
-            )
         self.pde = pde
         self.td = pde.time_dependent
         if self.td:
@@ -144,8 +141,13 @@ class HardBC:
         lo, hi = pde.domain.bounds
         self._diam = float(np.linalg.norm(np.asarray(hi) - np.asarray(lo)))
         self._fd_h = 1e-6 * max(self._diam, 1.0)
-        # Dirichlet segments only: free (None) segments carry no phi.
-        self.dir_segs = [i for i, g in enumerate(pde.bcs) if g is not None]
+        # Dirichlet segments only: free (None) and flux (Neumann/Robin)
+        # segments carry no phi — the ansatz leaves them unconstrained
+        # (flux conditions stay penalty rows, on the TRANSFORMED fields).
+        self.dir_segs = [
+            i for i, g in enumerate(pde.bcs)
+            if g is not None and not isinstance(g, (NeumannBC, RobinBC))
+        ]
         if not self.dir_segs:  # ADPDE.__post_init__ already guarantees >= 1
             raise ValueError("hard_bc needs at least one Dirichlet segment")
         self._endpoints = None  # non-convex polygon: trimmed segment ADFs

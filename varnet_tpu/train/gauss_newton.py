@@ -182,7 +182,12 @@ def make_residual_fn(
             # (flux_value_and_jac) even when the interior is fused.
             vj = flux_value_and_jac or mlp_value_and_jac
             u_n, du_n = vj(net, neu.coords, activation, scale, shift)
-            flux = (jnp.einsum("nd,nd->n", du_n[:, :d], neu.dirs)
+            grad_n = du_n[:, :d]
+            if hard_mode:
+                hn = hard[2]  # transformed fields (fem/hardbc.py)
+                grad_n = hn.dA + hn.dB * u_n[:, None] + hn.B[:, None] * grad_n
+                u_n = hn.A + hn.B * u_n
+            flux = (jnp.einsum("nd,nd->n", grad_n, neu.dirs)
                     + neu.alpha * u_n)  # Robin term; alpha=0 for Neumann
             parts.append(
                 jnp.sqrt(weights[1] / n_neu) * (flux - neu.values) * neu.mask

@@ -197,7 +197,14 @@ def make_loss_fn(
             # quad-scale batches.
             vj = flux_value_and_jac or mlp_value_and_jac
             u_n, du_n = vj(net, neu.coords, activation, scale, shift)
-            flux = (jnp.einsum("nd,nd->n", du_n[:, :d], neu.dirs)
+            grad_n = du_n[:, :d]
+            if hard_mode:
+                # flux rows see the TRANSFORMED solution (Dirichlet/IC
+                # are exact; flux stays a penalty — fem/hardbc.py)
+                hn = hard[2]
+                grad_n = hn.dA + hn.dB * u_n[:, None] + hn.B[:, None] * grad_n
+                u_n = hn.A + hn.B * u_n
+            flux = (jnp.einsum("nd,nd->n", grad_n, neu.dirs)
                     + neu.alpha * u_n)  # Robin term; alpha=0 for Neumann
             loss_neu = masked_mse(flux, neu.values, neu.mask, n_neu)
             total = total + weights[1] * loss_neu
