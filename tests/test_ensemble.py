@@ -141,7 +141,7 @@ def test_ensemble_step_single_collective():
     base_loss = make_loss_fn(fd.static)
 
     def ens_loss(theta_s, quad, bc, ic, obs, weights, prepared=None,
-                 neu=None):
+                 neu=None, hard=None):
         totals, _ = jax.vmap(
             lambda th: base_loss(th, quad, bc, ic, obs, weights, None, neu)
         )(theta_s)
@@ -160,7 +160,8 @@ def test_ensemble_step_single_collective():
     quad = shard_quad(pad_quad(fd.quad, 8), mesh)
     bc = shard_points(pad_points(fd.bc, 8), mesh)
     w = jnp.asarray([1.0, 10.0, 0.0, 0.0])
-    args = (theta_s, opt_state, quad, bc, None, None, w, None, None)
+    args = (theta_s, opt_state, quad, bc, None, None, w, None, None,
+            None)
     hlo = step.jitted.lower(*args).compile().as_text()
     n = len(re.findall(r"= \S* all-reduce\(", hlo)) + len(
         re.findall(r"= \S* all-reduce-start\(", hlo)

@@ -345,3 +345,18 @@ def test_ensemble_with_hard_bc():
     assert all(np.isfinite(v) for v in res.member_losses[-1])
     pts = case["pde"].domain.boundary_points(5)[0]
     np.testing.assert_allclose(vn.evaluate(pts), 0.0, atol=5e-6)
+
+
+def test_evaluate_chunked_matches_unchunked():
+    """The chunked evaluation path applies the SAME host-side transform
+    as the single-shot path (padding tails must not leak)."""
+    case = transient_ad_1d()
+    vn = VarNet(case["pde"], layer_width=(10,), disc_num=8, t_disc_num=4,
+                n_devices=1, hard_bc=True, seed=2)
+    vn.theta = [dict(l) for l in vn.theta]
+    vn.theta[-1]["b"] = vn.theta[-1]["b"] + 0.3
+    x = np.linspace(0.0, 1.0, 53)[:, None]
+    t = np.linspace(0.0, 0.5, 53)
+    np.testing.assert_allclose(
+        vn.evaluate(x, t=t, chunk=16), vn.evaluate(x, t=t), rtol=1e-6
+    )
