@@ -91,3 +91,27 @@ def test_train_causal_resume(tmp_path):
     with pytest.raises(ValueError, match="train_kwargs"):
         train_causal(_make_pde, **dict(
             kw, train_kwargs=dict(save_freq=50, resume=True)))
+
+
+def test_train_causal_with_hard_bc():
+    """Curriculum x exact-imposition composition: every stage's VarNet
+    builds its own window transform (tau scales per window, so the warm
+    start is approximate — Adam re-adapts); the final model keeps the
+    BC/IC exact and the field off u = 0."""
+    vn, stages = train_causal(
+        _make_pde, windows=(0.5, 1.0), epoch_num=200,
+        weight=(1.0, 10.0, 10.0), t_disc_full=8,
+        varnet_kwargs=dict(layer_width=(12,), disc_num=12, b_disc_num=4,
+                           n_devices=1, hard_bc=True),
+        verbose=False,
+    )
+    assert all(np.isfinite(s["final_loss"]) for s in stages)
+    x = np.linspace(0.05, 0.95, 20)[:, None]
+    u = vn.evaluate(x, t=np.full(20, 0.25))
+    assert np.abs(u).max() > 1e-3, "collapsed to u = 0"
+    # exactness survives the curriculum
+    ends = np.array([[0.0], [1.0]])
+    np.testing.assert_allclose(vn.evaluate(ends, t=np.full(2, 0.7)), 0.0,
+                               atol=5e-6)
+    np.testing.assert_allclose(vn.evaluate(x, t=np.zeros(20)), 0.0,
+                               atol=5e-6)
