@@ -63,6 +63,8 @@ def _stem(args):
             "source-ff": "contaminant_src_ff"}[args.variant]
     # hard-BC runs score against the SAME FDM data (same physics) but
     # persist their own theta/record under a -hard suffix
+    if getattr(args, "force_ff", False):
+        base += "_ff"
     return base + ("_hard" if getattr(args, "hard_bc", False) else "")
 
 
@@ -119,7 +121,7 @@ def train(args):
     enable_compilation_cache()
     case = get_case(args)
     extra = {}
-    if args.variant == "source-ff":
+    if args.variant == "source-ff" or getattr(args, "force_ff", False):
         # Fourier features counter the tanh NTK's spectral bias — the
         # measured escape from the u=0 zero-data attractor (DESIGN.md).
         extra = dict(fourier_features=args.ff, fourier_scale=args.ff_scale)
@@ -165,7 +167,7 @@ def score(args, vn=None):
     if vn is None:
         case = get_case(args)
         extra = {}
-        if args.variant == "source-ff":
+        if args.variant == "source-ff" or getattr(args, "force_ff", False):
             extra = dict(fourier_features=args.ff, fourier_scale=args.ff_scale)
         if getattr(args, "hard_bc", False):
             extra["hard_bc"] = True
@@ -209,8 +211,12 @@ def score(args, vn=None):
     RESULTS.mkdir(exist_ok=True)
     p = RESULTS / "contaminant_validation.json"
     out = json.loads(p.read_text()) if p.exists() else {}
-    out[args.variant + ("-hard" if getattr(args, "hard_bc", False)
-                        else "")] = rec
+    key = args.variant
+    if getattr(args, "force_ff", False):
+        key += "-ff"
+    if getattr(args, "hard_bc", False):
+        key += "-hard"
+    out[key] = rec
     p.write_text(json.dumps(out, indent=2))
     print(json.dumps(rec, indent=2))
 
@@ -228,6 +234,9 @@ def main():
                     default="inlet")
     ap.add_argument("--hard-bc", action="store_true",
                     help="exact BC/IC imposition variant (DESIGN.md 18)")
+    ap.add_argument("--force-ff", action="store_true",
+                    help="apply the Fourier-feature basis to ANY variant "
+                         "(e.g. the original 'source' config)")
     ap.add_argument("--ff", type=int, default=64)
     ap.add_argument("--ff-scale", type=str, default="0.5",
                     help="FF scale, or comma-list for a multi-scale basis")
