@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=4000)
     ap.add_argument("--lm-steps", type=int, default=40)
     ap.add_argument("--lm-cg", type=int, default=80)
+    ap.add_argument("--k-chunks", type=int, default=1,
+                    help="LM interior-residual chunking (memory guard at "
+                         "large 4-D space-time meshes)")
     ap.add_argument("--error-disc", type=int, default=24)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (in-process, beats the "
@@ -79,6 +82,7 @@ def main():
     r = vn.refine_lm(steps=args.lm_steps, weight=w, cg_iters=args.lm_cg,
                      save_freq=max(args.lm_steps // 8, 1), verbose=True,
                      error_disc=args.error_disc, **err_kw,
+                     k_chunks=args.k_chunks,
                      matmul_precision="highest", folderpath=args.folder,
                      resume=args.resume, max_retries=2)
     finite = ([e for e in res.errors if e == e]

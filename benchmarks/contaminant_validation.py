@@ -63,7 +63,7 @@ def _stem(args):
             "source-ff": "contaminant_src_ff"}[args.variant]
     # hard-BC runs score against the SAME FDM data (same physics) but
     # persist their own theta/record under a -hard suffix
-    if getattr(args, "force_ff", False):
+    if getattr(args, "force_ff", False) and args.variant != "source-ff":
         base += "_ff"
     return base + ("_hard" if getattr(args, "hard_bc", False) else "")
 
@@ -212,7 +212,7 @@ def score(args, vn=None):
     p = RESULTS / "contaminant_validation.json"
     out = json.loads(p.read_text()) if p.exists() else {}
     key = args.variant
-    if getattr(args, "force_ff", False):
+    if getattr(args, "force_ff", False) and args.variant != "source-ff":
         key += "-ff"
     if getattr(args, "hard_bc", False):
         key += "-hard"

@@ -112,10 +112,15 @@ def main():
         }
         rows.append(row)
         print(json.dumps(row, indent=2), flush=True)
-        if hard and best == best and best < 1e-3:
+        final = next((e for e in reversed(r.errors) if e == e),
+                     float("nan"))
+        if hard and final == final and final < 1e-3:
+            # gate on the FINAL error: vn.theta is the final iterate, and
+            # pins re-score persisted thetas (history bests may not
+            # re-score — repo invariant)
             save_theta_npz(RESULTS / f"theta_hardbc_{args.case}.npz",
                            vn.theta)
-            print(f"[hardbc_tpu] hard theta persisted ({best:.3e})",
+            print(f"[hardbc_tpu] hard theta persisted ({final:.3e})",
                   flush=True)
 
     RESULTS.mkdir(exist_ok=True)

@@ -232,3 +232,24 @@ def test_burgers_theta_pinned(name):
     theta = _load_theta(path)
     err = vn.compute_error(theta, disc=disc, n_times=n_times)
     assert err < bound, f"{name}: rel-L2 {err:.3e} >= {bound:g}"
+
+
+def test_hardbc_1dt_theta_pinned():
+    """Persisted hard-BC transient-1D parameters from the TPU A/B run
+    (benchmarks/hardbc_tpu.py, queue9 2026-08-19: best 2.39e-6 during LM,
+    final iterate re-scores 5.3e-7 on CPU-exact eval) stay under 5e-6 —
+    pins the hard-transform EVALUATION path (ansatz u = G + tau*D*net
+    recombined host-side) the same way the flagship pin covers the
+    penalty path."""
+    from varnet_tpu.api import VarNet
+    from varnet_tpu.problems.analytic import transient_ad_1d
+
+    path = os.path.join(RESULTS, "theta_hardbc_1dt.npz")
+    if not os.path.exists(path):
+        pytest.skip("no persisted hard-BC theta yet")
+    case = transient_ad_1d()
+    vn = VarNet(case["pde"], layer_width=(32,) * 3, disc_num=8,
+                t_disc_num=4, n_devices=1, hard_bc=True)
+    theta = _load_theta(path)
+    err = vn.compute_error(theta, disc=256, n_times=5)
+    assert err < 5e-6, f"hardbc 1dt: rel-L2 {err:.3e} >= 5e-6"

@@ -78,6 +78,36 @@ def test_contaminant_inlet_theta_matches_fdm():
     assert err < 0.08, f"contaminant-inlet vs FDM regression: rel-L2 {err:.3f}"
 
 
+def test_contaminant_inlet_hard_theta_matches_fdm():
+    """Pin the hard-BC inlet run (queue10 2026-08-19: overall rel-L2
+    1.08% vs 3.21% penalty — exact imposition 3x better on the same FDM
+    field): the persisted theta re-scores through the CSV/io path with
+    no training."""
+    import os
+
+    from varnet_tpu.api import VarNet
+    from varnet_tpu.problems.analytic import contaminant_inlet_2d
+    from varnet_tpu.utils.io import load_observations_csv
+
+    base = os.path.join(os.path.dirname(__file__), "..", "benchmarks")
+    theta_path = os.path.join(base, "results",
+                              "theta_contaminant_inlet_hard.npz")
+    if not os.path.exists(theta_path):
+        pytest.skip("no persisted hard-BC contaminant-inlet theta yet")
+    theta = load_theta_npz(theta_path)
+    obs = load_observations_csv(os.path.join(base, "data",
+                                             "contaminant_inlet_fdm.csv"))
+    m = obs.coords[:, 2] > 0
+    case = contaminant_inlet_2d()
+    vn = VarNet(case["pde"], layer_width=tuple(
+        layer["b"].shape[0] for layer in theta[:-1]),
+        disc_num=8, t_disc_num=4, n_devices=1, hard_bc=True)
+    vn.theta = theta
+    u = vn.evaluate(obs.coords[m, :2], t=obs.coords[m, 2])
+    err = rel_l2_error(u, obs.values[m])
+    assert err < 0.03, f"inlet-hard vs FDM regression: rel-L2 {err:.3f}"
+
+
 def test_contaminant_source_ff_theta_matches_fdm():
     """Pin the source-driven contaminant cross-validation (Fourier-feature
     variant, kappa=0.03/sigma=0.12 — measured 2.25% overall): the

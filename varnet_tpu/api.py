@@ -337,32 +337,34 @@ class VarNet:
         single predicate every hot-path/sharding gate keys on."""
         return self.test_order != 1 or self.fixed.quad.tables_per_node
 
-    def _shard_neu(self):
-        """Padded + sharded Neumann FluxData, or None (one place to
-        change flux placement for train/refine_lm/refine_lbfgs)."""
+    def _padded_neu(self):
+        """Padded host Neumann FluxData, or None — padded ONCE so the
+        sharded flux rows and the hard-BC flux tables stay row-aligned by
+        construction, not by padding determinism."""
         if self.fixed.neu is None:
             return None
-        return shard_flux(
-            pad_flux(self.fixed.neu, self.n_shards), self.mesh,
-            dtype=self.dtype,
-        )
+        return pad_flux(self.fixed.neu, self.n_shards)
 
-    def _shard_hard(self, quad_h, obs_h):
+    def _shard_neu(self, neu_h):
+        """Sharded Neumann FluxData from the pre-padded host data (one
+        place to change flux placement for train/refine_lm/refine_lbfgs)."""
+        if neu_h is None:
+            return None
+        return shard_flux(neu_h, self.mesh, dtype=self.dtype)
+
+    def _shard_hard(self, quad_h, obs_h, neu_h):
         """Sharded hard-BC transform payload for the given PADDED host
-        quad/obs data: (HardQuad at quad coords, HardPts at obs coords or
-        None, HardQuad at flux-penalty coords or None) — or None when
-        hard_bc is off.  One place so train/refine_lm/refine_lbfgs agree."""
+        quad/obs/flux data: (HardQuad at quad coords, HardPts at obs
+        coords or None, HardQuad at flux-penalty coords or None) — or
+        None when hard_bc is off.  One place so train/refine_lm/
+        refine_lbfgs agree."""
         if self.hard is None:
             return None
-        neu_tbl = None
-        if self.fixed.neu is not None:
-            neu_h = pad_flux(self.fixed.neu, self.n_shards)
-            neu_tbl = self.hard.tables(neu_h.coords)
         return shard_hard(
             (
                 self.hard.tables(quad_h.coords),
                 None if obs_h is None else self.hard.points(obs_h.coords),
-                neu_tbl,
+                None if neu_h is None else self.hard.tables(neu_h.coords),
             ),
             self.mesh, dtype=self.dtype,
         )
@@ -694,7 +696,8 @@ class VarNet:
                 "hard_bc requires batch_num == 1 (the transform "
                 "tables are built for the unbatched quad layout)"
             )
-        hard_d = self._shard_hard(quad_h, obs_h)
+        neu_h = self._padded_neu()
+        hard_d = self._shard_hard(quad_h, obs_h, neu_h)
 
         if batch_num > 1:
             quad_h = _tree_reshape_batches(quad_h, batch_num)
@@ -704,7 +707,7 @@ class VarNet:
         bc_d = shard_points(bc_h, self.mesh, dtype=self.dtype)
         ic_d = None if ic_h is None else shard_points(ic_h, self.mesh, dtype=self.dtype)
         obs_d = None if obs_h is None else shard_points(obs_h, self.mesh, dtype=self.dtype)
-        neu_d = self._shard_neu()
+        neu_d = self._shard_neu(neu_h)
 
         loss_kwargs = {}
         if fused is not None:
@@ -961,8 +964,9 @@ class VarNet:
         bc_d = shard_points(bc_h, self.mesh, dtype=self.dtype)
         ic_d = None if ic_h is None else shard_points(ic_h, self.mesh, dtype=self.dtype)
         obs_d = None if obs_h is None else shard_points(obs_h, self.mesh, dtype=self.dtype)
-        neu_d = self._shard_neu()
-        hard_d = self._shard_hard(quad_h, obs_h)
+        neu_h = self._padded_neu()
+        neu_d = self._shard_neu(neu_h)
+        hard_d = self._shard_hard(quad_h, obs_h, neu_h)
 
         loss_kwargs = {}
         if fused is not None:
@@ -1388,8 +1392,9 @@ class VarNet:
         bc_d = shard_points(bc_h, self.mesh, dtype=self.dtype)
         ic_d = None if ic_h is None else shard_points(ic_h, self.mesh, dtype=self.dtype)
         obs_d = None if obs_h is None else shard_points(obs_h, self.mesh, dtype=self.dtype)
-        neu_d = self._shard_neu()
-        hard_d = self._shard_hard(quad_h, obs_h)
+        neu_h = self._padded_neu()
+        neu_d = self._shard_neu(neu_h)
+        hard_d = self._shard_hard(quad_h, obs_h, neu_h)
 
         loss_kwargs = {}
         if self.use_pallas:
@@ -1645,8 +1650,9 @@ class VarNet:
         bc_d = shard_points(bc_h, self.mesh, dtype=self.dtype)
         ic_d = None if ic_h is None else shard_points(ic_h, self.mesh, dtype=self.dtype)
         obs_d = None if obs_h is None else shard_points(obs_h, self.mesh, dtype=self.dtype)
-        neu_d = self._shard_neu()
-        hard_d = self._shard_hard(quad_h, obs_h)
+        neu_h = self._padded_neu()
+        neu_d = self._shard_neu(neu_h)
+        hard_d = self._shard_hard(quad_h, obs_h, neu_h)
 
         res_kwargs = {"k_chunks": int(k_chunks)}
         if self._value_and_jac_default is not None:

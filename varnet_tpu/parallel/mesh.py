@@ -147,9 +147,10 @@ def shard_flux(flux, mesh: Mesh, dtype=None):
 
 def shard_hard(hard, mesh: Mesh, dtype=None):
     """Place hard-BC transform tables (fem/hardbc.py): every array in the
-    ``(HardQuad, HardPts-or-None)`` pytree carries a leading K/N axis and
-    shards on ``data`` (None leaves — steady At/Bt, absent obs — pass
-    through untouched)."""
+    ``(HardQuad, HardPts-or-None, HardQuad-or-None)`` pytree (quad / obs /
+    flux-penalty tables) carries a leading K/N axis and shards on ``data``
+    (None leaves — steady At/Bt, absent obs/flux — pass through
+    untouched)."""
     import jax
     import jax.numpy as jnp
 

@@ -49,9 +49,10 @@ def make_residual_fn(
     (the normalize_residual=True convention of make_loss_fn).
 
     hard_mode: exact BC/IC imposition (fem/hardbc.py) — residual_fn gains
-    a ``hard = (HardQuad, HardPts-or-None)`` operand; the interior rows
+    a ``hard = (HardQuad at quad coords, HardPts at obs coords or None,
+    HardQuad at flux-penalty coords or None)`` operand; the interior rows
     use the transformed solution, the (identically-zero) BC/IC rows drop
-    out, and observation rows compare the transformed solution.
+    out, and observation/flux rows compare the transformed solution.
 
     k_chunks > 1 maps the interior residual over chunks of the test-
     function axis with rematerialization (jax.checkpoint), bounding the

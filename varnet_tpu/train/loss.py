@@ -72,8 +72,9 @@ def make_loss_fn(
         forces directional=False); this XLA branch is the fallback.
 
     hard_mode: exact BC/IC imposition (fem/hardbc.py).  The loss gains a
-        ``hard = (HardQuad, HardPts-or-None)`` operand of fixed transform
-        tables; the network outputs are re-ansatzed via
+        ``hard = (HardQuad at quad coords, HardPts at obs coords or None,
+        HardQuad at flux-penalty coords or None)`` operand of fixed
+        transform tables; the network outputs are re-ansatzed via
         :func:`~varnet_tpu.fem.hardbc.hard_transform` BEFORE the weak
         residual, the BC/IC penalty rows drop out (exact by construction
         — reported as 0.0 in aux for logging stability), and observation
