@@ -119,11 +119,54 @@ def test_nonconvex_polygon_segment_adf():
     assert (hb.dist(_interior_samples(lshape)) > 0).all()
 
 
-def test_rejections():
+def test_mor_exactness_mu_dependent_data():
+    """MOR composition with mu-DEPENDENT boundary data: for a random
+    (untrained) network the ansatz reproduces g(x, mu) exactly on every
+    segment for EVERY training sample (the G tables tile per sample via
+    the paired coords)."""
     from varnet_tpu.problems.analytic import mor_steady_ad_2d
 
-    with pytest.raises(ValueError, match="MOR"):
-        HardBC(mor_steady_ad_2d()["pde"])
+    case = mor_steady_ad_2d()
+    pde = case["pde"]
+    vn = VarNet(pde, layer_width=(10,), disc_num=6, n_devices=1,
+                hard_bc=True, seed=4)
+    vn.theta = [dict(l) for l in vn.theta]
+    vn.theta[-1]["b"] = vn.theta[-1]["b"] + 0.6
+    for row in pde.mor.samples:
+        for seg, pts in enumerate(pde.domain.boundary_points(7)):
+            mu = np.broadcast_to(row[None, :], (pts.shape[0], row.shape[0]))
+            u = vn.evaluate(pts, mu=row)
+            g = pde.eval_bc(seg, pts, None, mu)
+            np.testing.assert_allclose(u, g, atol=5e-6)
+
+
+def test_mor_hard_bc_trains():
+    """Hard BC x MOR end-to-end on the HOMOGENEOUS parametric family
+    (no data leakage — g = 0): BC rows report exactly 0, training + LM
+    reach a per-sample rel-L2 well under the untrained scale, and the
+    boundary stays exact for every mu."""
+    from varnet_tpu.problems.analytic import mor_steady_ad_2d_hom
+    from varnet_tpu.utils.helpers import rel_l2_error
+
+    case = mor_steady_ad_2d_hom(vels=(0.5, 1.5))
+    pde = case["pde"]
+    vn = VarNet(pde, layer_width=(16, 16), disc_num=10, n_devices=1,
+                hard_bc=True, seed=0)
+    res = vn.train(epoch_num=500, save_freq=250, verbose=False,
+                   error_disc=24)
+    assert res.losses[-1]["loss_bc"] == 0.0
+    r = vn.refine_lm(steps=6, cg_iters=40, save_freq=6, verbose=False,
+                     error_disc=24)
+    pts, mask = pde.domain.grid_in_domain((25, 25))
+    pts = pts[mask]
+    for row in pde.mor.samples:
+        mu = np.broadcast_to(row[None, :], (pts.shape[0], row.shape[0]))
+        err = rel_l2_error(vn.evaluate(pts, mu=row),
+                           case["c_ex"](pts, None, mu))
+        assert err < 5e-2, (float(row[0]), err, r.errors)
+        bpts = pde.domain.boundary_points(6)[0]
+        np.testing.assert_allclose(vn.evaluate(bpts, mu=row), 0.0,
+                                   atol=5e-6)
 
 
 def test_flux_segment_unconstrained():

@@ -123,17 +123,19 @@ class HardBC:
     ``None`` (free) segments and Neumann/Robin flux segments — the flux
     conditions are penalty-shaped, not ansatz-shaped, so they stay
     penalty rows evaluated on the TRANSFORMED solution while the
-    Dirichlet data and IC are exact.  MOR is rejected (the blend would
-    need per-sample tables).
+    Dirichlet data and IC are exact.  MOR (parametric) problems compose:
+    the ADF ``D`` is geometry-only (mu-free), and mu-dependent boundary/
+    initial data flow through ``G`` — the quad coords arrive already
+    cartesian-paired with the mu samples (fem/assembly.py), so the
+    tables tile per sample by construction and the BC/IC stay exact for
+    EVERY mu.
     """
 
     def __init__(self, pde):
         from ..problems.adpde import NeumannBC, RobinBC
 
-        if pde.mor is not None:
-            raise ValueError("hard_bc does not support MOR (parametric) "
-                             "problems")
         self.pde = pde
+        self.n_mor = 0 if pde.mor is None else pde.mor.n_params
         self.td = pde.time_dependent
         if self.td:
             self.t0, self.t1 = pde.t_interval
@@ -265,12 +267,13 @@ class HardBC:
 
     # -- boundary-data extension ---------------------------------------- #
 
-    def gtilde(self, x: np.ndarray, t: Optional[np.ndarray]) -> np.ndarray:
+    def gtilde(self, x: np.ndarray, t: Optional[np.ndarray],
+               mu: Optional[np.ndarray] = None) -> np.ndarray:
         """Inverse-distance blend of the per-segment Dirichlet fields:
         equals g_e exactly on segment e; smooth inside."""
         x = np.atleast_2d(np.asarray(x, dtype=np.float64))
         if self._single_g:
-            return self.pde.eval_bc(self.dir_segs[0], x, t)
+            return self.pde.eval_bc(self.dir_segs[0], x, t, mu)
         # First-power inverse-distance weights: on an interval the blend
         # degenerates to LINEAR interpolation of the endpoint data — the
         # tamest extension the network has to correct.  (epsilon keeps
@@ -283,29 +286,36 @@ class HardBC:
         w = w / w.sum(axis=1, keepdims=True)
         out = np.zeros(x.shape[0], dtype=np.float64)
         for col, seg in enumerate(self.dir_segs):
-            out += w[:, col] * self.pde.eval_bc(seg, x, t)
+            out += w[:, col] * self.pde.eval_bc(seg, x, t, mu)
         return out
 
-    def _G(self, x: np.ndarray, t: Optional[np.ndarray]) -> np.ndarray:
+    def _G(self, x: np.ndarray, t: Optional[np.ndarray],
+           mu: Optional[np.ndarray] = None) -> np.ndarray:
         if not self.td:
-            return self.gtilde(x, None)
+            return self.gtilde(x, None, mu)
         t = np.asarray(t, dtype=np.float64)
         t0 = np.full_like(t, self.t0)
-        return self.gtilde(x, t) - self.gtilde(x, t0) + self.pde.eval_ic(x)
+        return (self.gtilde(x, t, mu) - self.gtilde(x, t0, mu)
+                + self.pde.eval_ic(x, mu))
 
     def _warn_if_incompatible(self) -> None:
         """BC/IC compatibility: on the Dirichlet boundary, G(x, t) equals
         g(x, t) only when u0 = g(., t0) there."""
         worst = 0.0
         scale = 1e-30
+        mu_rows = ([None] if self.n_mor == 0 else list(self.pde.mor.samples))
         for seg in self.dir_segs:
             pts = self.pde.domain.boundary_points(4)[seg]
             t0 = np.full(pts.shape[0], self.t0)
-            g0 = self.pde.eval_bc(seg, pts, t0)
-            u0 = self.pde.eval_ic(pts)
-            worst = max(worst, float(np.abs(g0 - u0).max()))
-            scale = max(scale, float(np.abs(g0).max()),
-                        float(np.abs(u0).max()), 1.0)
+            for row in mu_rows:
+                mu = (None if row is None else
+                      np.broadcast_to(row[None, :],
+                                      (pts.shape[0], self.n_mor)))
+                g0 = self.pde.eval_bc(seg, pts, t0, mu)
+                u0 = self.pde.eval_ic(pts, mu)
+                worst = max(worst, float(np.abs(g0 - u0).max()))
+                scale = max(scale, float(np.abs(g0).max()),
+                            float(np.abs(u0).max()), 1.0)
         if worst > 1e-6 * scale:
             warnings.warn(
                 f"hard_bc: initial and boundary data are incompatible "
@@ -318,18 +328,22 @@ class HardBC:
     # -- tables ---------------------------------------------------------- #
 
     def _split(self, coords: np.ndarray):
-        """[..., n_in] -> (x [P, d], t [P] or None, lead shape)."""
+        """[..., n_in] -> (x [P, d], t [P] or None, mu [P, P_mor] or
+        None, lead shape).  MOR coords carry mu appended after (x, t) —
+        exactly the network-input layout of fem/assembly.py."""
         coords = np.asarray(coords, dtype=np.float64)
         lead = coords.shape[:-1]
         flat = coords.reshape(-1, coords.shape[-1])
         x = flat[:, : self.n_space]
         t = flat[:, self.n_space] if self.td else None
-        return x, t, lead
+        off = self.n_space + (1 if self.td else 0)
+        mu = flat[:, off : off + self.n_mor] if self.n_mor else None
+        return x, t, mu, lead
 
     def value_AB(self, coords: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """(A, B) value tables at arbitrary points (evaluation path)."""
-        x, t, lead = self._split(coords)
-        A = self._G(x, t)
+        x, t, mu, lead = self._split(coords)
+        A = self._G(x, t, mu)
         B = self.dist(x)
         if self.td:
             B = B * (t - self.t0) / (self.t1 - self.t0)
@@ -343,10 +357,10 @@ class HardBC:
         boundary), so probes never leave the domain's data fields'
         natural extension.
         """
-        x, t, lead = self._split(coords)
+        x, t, mu, lead = self._split(coords)
         d, h = self.n_space, self._fd_h
         D = self.dist(x)
-        G = self._G(x, t)
+        G = self._G(x, t, mu)
         dD = np.empty((x.shape[0], d))
         dG = np.empty((x.shape[0], d))
         for j in range(d):
@@ -355,11 +369,11 @@ class HardBC:
             xm = x.copy()
             xm[:, j] -= h
             dD[:, j] = (self.dist(xp) - self.dist(xm)) / (2 * h)
-            dG[:, j] = (self._G(xp, t) - self._G(xm, t)) / (2 * h)
+            dG[:, j] = (self._G(xp, t, mu) - self._G(xm, t, mu)) / (2 * h)
         if self.td:
             tau = (t - self.t0) / (self.t1 - self.t0)
             ht = 1e-6 * (self.t1 - self.t0)
-            Gt = (self._G(x, t + ht) - self._G(x, t - ht)) / (2 * ht)
+            Gt = (self._G(x, t + ht, mu) - self._G(x, t - ht, mu)) / (2 * ht)
             return HardQuad(
                 A=G.reshape(lead),
                 B=(tau * D).reshape(lead),

@@ -366,6 +366,62 @@ def mor_steady_ad_2d(kappa: float = 0.25, vels=(0.5, 1.0, 1.5, 2.0)):
     return {"pde": pde, "c_ex": c_ex, "c_ex_grad": c_ex_grad, "c_ex_dt": None}
 
 
+def mor_steady_ad_2d_hom(kappa: float = 0.25, vels=(0.5, 1.0, 1.5, 2.0)):
+    """Parametric 2-D family with HOMOGENEOUS Dirichlet data — the honest
+    target for hard-BC x MOR composition (DESIGN.md decision 18): g = 0
+    carries no solution information, so the exact-imposition ansatz
+    cannot leak c_ex (unlike :func:`mor_steady_ad_2d`, whose boundary
+    data IS the solution restricted to the boundary).
+
+        u*_mu(x, y) = sin(pi x) sin(pi y) (1 + mu x),   v = (mu, 0),
+        s = mu du*/dx - kappa lap(u*)   (manufactured).
+    """
+    pi = np.pi
+
+    def _mu1(x, mu):
+        n = np.atleast_2d(x).shape[0]
+        return mu[:, 0] if mu is not None else np.full(n, vels[0])
+
+    def _parts(x, mu1):
+        sx, cx = np.sin(pi * x[:, 0]), np.cos(pi * x[:, 0])
+        sy = np.sin(pi * x[:, 1])
+        cy = np.cos(pi * x[:, 1])
+        return sx, cx, sy, cy, 1.0 + mu1 * x[:, 0]
+
+    def c_ex(x, t=None, mu=None):
+        x = np.atleast_2d(x)
+        sx, _, sy, _, f = _parts(x, _mu1(x, mu))
+        return sx * sy * f
+
+    def c_ex_grad(x, t=None, mu=None):
+        x = np.atleast_2d(x)
+        mu1 = _mu1(x, mu)
+        sx, cx, sy, cy, f = _parts(x, mu1)
+        ux = (pi * cx * f + mu1 * sx) * sy
+        uy = pi * sx * f * cy
+        return np.stack([ux, uy], axis=-1)
+
+    def source(x, t=None, mu=None):
+        x = np.atleast_2d(x)
+        mu1 = _mu1(x, mu)
+        sx, cx, sy, _, f = _parts(x, mu1)
+        ux = (pi * cx * f + mu1 * sx) * sy
+        lap = (-2.0 * pi**2 * sx * f + 2.0 * pi * mu1 * cx) * sy
+        return mu1 * ux - kappa * lap
+
+    def vel(x, t=None, mu=None):
+        n = np.atleast_2d(x).shape[0]
+        v = mu[:, 0] if mu is not None else np.full(n, vels[0])
+        return np.stack([v, np.zeros(n)], axis=-1)
+
+    domain = RectangleDomain2D((0.0, 0.0), (1.0, 1.0))
+    pde = ADPDE(
+        domain, diff=kappa, vel=vel, source=source, bcs=0.0, c_ex=c_ex,
+        mor=MORVar(samples=np.array([[v] for v in vels])),
+    )
+    return {"pde": pde, "c_ex": c_ex, "c_ex_grad": c_ex_grad, "c_ex_dt": None}
+
+
 def lshape_manufactured_2d(kappa: float = 0.05, vel=(1.0, 0.5)):
     """Steady AD on the non-convex L-shape with a MANUFACTURED solution
     (VERDICT r1 weak #4: the round-1 L-shape example had no acceptance
