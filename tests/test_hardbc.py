@@ -403,3 +403,23 @@ def test_evaluate_chunked_matches_unchunked():
     np.testing.assert_allclose(
         vn.evaluate(x, t=t, chunk=16), vn.evaluate(x, t=t), rtol=1e-6
     )
+
+
+def test_adaptive_refinement_with_hard_bc():
+    """refine_tests composes with hard_bc: the residual diagnostic sees
+    the TRANSFORMED solution, the refined quad rebuilds the transform
+    tables at the new coords (they are derived from self.fixed on every
+    train call), and the enlarged problem keeps the boundary exact."""
+    case = steady_ad_2d()
+    vn = VarNet(case["pde"], layer_width=(12, 12), disc_num=8,
+                n_devices=1, hard_bc=True, seed=0)
+    vn.train(epoch_num=120, save_freq=60, verbose=False)
+    k0 = vn.fixed.quad.coords.shape[0]
+    info = vn.refine_tests(frac=0.2, verbose=False)
+    assert info["n_added"] > 0
+    assert vn.fixed.quad.coords.shape[0] > k0
+    res = vn.train(epoch_num=120, save_freq=60, verbose=False)
+    assert np.isfinite(res.losses[-1]["loss"])
+    assert res.losses[-1]["loss_bc"] == 0.0
+    for pts in case["pde"].domain.boundary_points(5):
+        np.testing.assert_allclose(vn.evaluate(pts), 0.0, atol=5e-6)
