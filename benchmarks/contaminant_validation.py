@@ -142,6 +142,7 @@ def train(args):
     vn.train(
         epoch_num=args.epochs, weight=(1.0, 10.0, 10.0),
         save_freq=max(args.epochs // 5, 1), folderpath=args.folder,
+        resume=getattr(args, "resume", False),
         matmul_precision="highest",
     )
     if args.lm_steps:
@@ -149,6 +150,7 @@ def train(args):
                      cg_iters=args.lm_cg, cg_segment=40, k_chunks=16,
                      save_freq=max(args.lm_steps // 5, 1),
                      folderpath=args.folder + "_lm",
+                     resume=getattr(args, "resume", False),
                      matmul_precision="highest")
     flat = theta_npz_dict(vn.theta)
     np.savez(Path(args.folder) / "theta_final.npz", **flat)
@@ -240,6 +242,9 @@ def main():
     ap.add_argument("--ff", type=int, default=64)
     ap.add_argument("--ff-scale", type=str, default="0.5",
                     help="FF scale, or comma-list for a multi-scale basis")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume Adam from --folder and LM from --folder_lm\n"
+                         "(hang/timeout recovery: re-run the same command +--resume)")
     ap.add_argument("--folder", type=str, default="/tmp/contaminant_val")
     ap.add_argument("--width", type=int, default=48)
     ap.add_argument("--layers", type=int, default=3)
