@@ -117,10 +117,11 @@ class VarNet:
                     tuning) drop out and only the interior weak residual
                     (+ any flux penalties, evaluated on the transformed
                     solution) trains.  Supported domains: interval / box
-                    / polygon (non-convex via trimmed segment ADFs); no
-                    MOR; rides the value+jacobian evaluator (the
-                    fully-fused residual kernel declines), batch_num
-                    must stay 1.
+                    / polygon (non-convex via trimmed segment ADFs);
+                    composes with MOR (per-mu tables) and batch_num > 1
+                    (tables scan with the quad mini-batches); rides the
+                    value+jacobian evaluator (the fully-fused residual
+                    kernel declines).
     """
 
     def __init__(
@@ -352,21 +353,32 @@ class VarNet:
             return None
         return shard_flux(neu_h, self.mesh, dtype=self.dtype)
 
-    def _shard_hard(self, quad_h, obs_h, neu_h):
+    def _shard_hard(self, quad_h, obs_h, neu_h, batch_num: int = 1):
         """Sharded hard-BC transform payload for the given PADDED host
         quad/obs/flux data: (HardQuad at quad coords, HardPts at obs
         coords or None, HardQuad at flux-penalty coords or None) — or
         None when hard_bc is off.  One place so train/refine_lm/
-        refine_lbfgs agree."""
+        refine_lbfgs agree.
+
+        ``batch_num > 1``: the quad tables are built at the UNBATCHED
+        padded coords, then reshaped to the same [B, Kb, ...] mini-batch
+        layout as the quad itself (the trainer scans them together);
+        obs/flux tables stay full-batch like their penalty rows."""
         if self.hard is None:
             return None
+        hq = self.hard.tables(quad_h.coords)
+        if batch_num > 1:
+            kb = hq.A.shape[0] // batch_num
+            hq = jax.tree_util.tree_map(
+                lambda a: a.reshape((batch_num, kb) + a.shape[1:]), hq
+            )
         return shard_hard(
             (
-                self.hard.tables(quad_h.coords),
+                hq,
                 None if obs_h is None else self.hard.points(obs_h.coords),
                 None if neu_h is None else self.hard.tables(neu_h.coords),
             ),
-            self.mesh, dtype=self.dtype,
+            self.mesh, dtype=self.dtype, batched=batch_num > 1,
         )
 
     def _fused_residual_hook(self, matmul_precision):
@@ -691,13 +703,8 @@ class VarNet:
         ic_h = None if self.fixed.ic is None else pad_points(self.fixed.ic, self.n_shards)
         obs_h = None if not has_obs else pad_points(self.obs_data, self.n_shards)
 
-        if self.hard is not None and batch_num > 1:
-            raise ValueError(
-                "hard_bc requires batch_num == 1 (the transform "
-                "tables are built for the unbatched quad layout)"
-            )
         neu_h = self._padded_neu()
-        hard_d = self._shard_hard(quad_h, obs_h, neu_h)
+        hard_d = self._shard_hard(quad_h, obs_h, neu_h, batch_num=batch_num)
 
         if batch_num > 1:
             quad_h = _tree_reshape_batches(quad_h, batch_num)
@@ -769,6 +776,7 @@ class VarNet:
         step_fn = make_train_step(
             loss_fn, optimizer, mesh=self.mesh, batch_num=batch_num,
             tables_per_node=self._per_node_tables,
+            hard_present=hard_d is not None,
         )
         weights_arr = jnp.asarray(w_full, dtype=self.dtype)
 
@@ -926,11 +934,6 @@ class VarNet:
             raise ValueError("train_ensemble needs n_members >= 2")
         if select not in ("error", "loss"):
             raise ValueError("select must be 'error' or 'loss'")
-        if self.hard is not None and batch_num > 1:
-            raise ValueError(
-                "hard_bc requires batch_num == 1 (the transform tables "
-                "are built for the unbatched quad layout)"
-            )
         if self.optimizer_cfg.grad_clip is not None:
             raise ValueError(
                 "grad_clip couples ensemble members through the joint "
@@ -956,6 +959,10 @@ class VarNet:
         bc_h = pad_points(self.fixed.bc, self.n_shards)
         ic_h = None if self.fixed.ic is None else pad_points(self.fixed.ic, self.n_shards)
         obs_h = None if not has_obs else pad_points(self.obs_data, self.n_shards)
+        neu_h = self._padded_neu()
+        # hard tables are built at the UNBATCHED padded coords, then
+        # reshaped to the mini-batch layout inside _shard_hard
+        hard_d = self._shard_hard(quad_h, obs_h, neu_h, batch_num=batch_num)
         if batch_num > 1:
             quad_h = _tree_reshape_batches(quad_h, batch_num)
             quad_d = shard_quad(quad_h, self.mesh, dtype=self.dtype, batched=True)
@@ -964,9 +971,7 @@ class VarNet:
         bc_d = shard_points(bc_h, self.mesh, dtype=self.dtype)
         ic_d = None if ic_h is None else shard_points(ic_h, self.mesh, dtype=self.dtype)
         obs_d = None if obs_h is None else shard_points(obs_h, self.mesh, dtype=self.dtype)
-        neu_h = self._padded_neu()
         neu_d = self._shard_neu(neu_h)
-        hard_d = self._shard_hard(quad_h, obs_h, neu_h)
 
         loss_kwargs = {}
         if fused is not None:
@@ -1020,6 +1025,7 @@ class VarNet:
         step_fn = make_train_step(
             ens_loss, optimizer, mesh=self.mesh, batch_num=batch_num,
             tables_per_node=self._per_node_tables,
+            hard_present=hard_d is not None,
         )
         prepared_d = None
         if fused is not None and self.dtype == jnp.float32:

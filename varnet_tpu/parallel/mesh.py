@@ -145,24 +145,36 @@ def shard_flux(flux, mesh: Mesh, dtype=None):
     )
 
 
-def shard_hard(hard, mesh: Mesh, dtype=None):
+def shard_hard(hard, mesh: Mesh, dtype=None, batched: bool = False):
     """Place hard-BC transform tables (fem/hardbc.py): every array in the
     ``(HardQuad, HardPts-or-None, HardQuad-or-None)`` pytree (quad / obs /
     flux-penalty tables) carries a leading K/N axis and shards on ``data``
     (None leaves — steady At/Bt, absent obs/flux — pass through
-    untouched)."""
+    untouched).  ``batched=True`` when the QUAD tables were reshaped to
+    the mini-batch layout [B, Kb, ...] (axis 1 shards, mirroring
+    shard_quad); the obs/flux tables stay full-batch like their penalty
+    rows."""
     import jax
     import jax.numpy as jnp
 
+    hq, hpts, hflux = hard
     dsh = data_sharding(mesh)
+    qsh = batched_quad_sharding(mesh) if batched else dsh
 
-    def place(a):
-        a = jnp.asarray(a)
-        if dtype is not None:
-            a = a.astype(dtype)
-        return jax.device_put(a, dsh)
+    def place(sh):
+        def f(a):
+            a = jnp.asarray(a)
+            if dtype is not None:
+                a = a.astype(dtype)
+            return jax.device_put(a, sh)
 
-    return jax.tree_util.tree_map(place, hard)
+        return f
+
+    return (
+        jax.tree_util.tree_map(place(qsh), hq),
+        jax.tree_util.tree_map(place(dsh), hpts),
+        jax.tree_util.tree_map(place(dsh), hflux),
+    )
 
 
 def replicate(tree, mesh: Mesh):

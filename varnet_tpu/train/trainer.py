@@ -69,6 +69,7 @@ def make_train_step(
     batch_num: int = 1,
     donate: bool = True,
     tables_per_node: bool = False,
+    hard_present: bool = False,
 ):
     """Build the jitted per-epoch update.
 
@@ -121,10 +122,6 @@ def make_train_step(
 
         def epoch_step(theta, opt_state, quad, bc, ic, obs, weights,
                        prepared=None, neu=None, hard=None):
-            if hard is not None:
-                # hard-BC transform tables are built for the FULL
-                # (unbatched) quad layout (api gating enforces this)
-                raise ValueError("hard-BC tables require batch_num == 1")
             if prepared is not None:
                 # a prepared layout is built for the FULL (unbatched) quad
                 # and cannot feed the per-batch kernel calls inside scan
@@ -132,27 +129,44 @@ def make_train_step(
                     "prepared kernel layouts require batch_num == 1"
                 )
             # Scan ONLY the per-node [B, Kb, ...] arrays; the shared [nQ]
-            # shared [nQ] quadrature tables are closed over, not scanned;
-            # per-node [K, nQ] tables (order-2 test space) scan with the
-            # other node arrays.
+            # quadrature tables are closed over, not scanned; per-node
+            # [K, nQ] tables (order-2 test space) scan with the other
+            # node arrays; hard-BC quad tables (reshaped to [B, Kb, ...]
+            # by api._shard_hard) scan too, while the obs/flux hard
+            # tables stay full-batch like their penalty rows.
             tables_per_node = quad.tables_per_node  # batched: [B, Kb, nQ]
             per_node = (quad.coords, quad.kappa, quad.vel, quad.src,
                         quad.react, quad.mask)
             if tables_per_node:
                 per_node = per_node + (quad.N, quad.dN, quad.w)
+            n_fixed = len(per_node)
+            hq = hpts = hflux = None
+            hq_slots = ()
+            if hard is not None:
+                hq, hpts, hflux = hard
+                # static None-mask of the HardQuad fields (At/Bt absent on
+                # steady problems): scan the arrays, rebuild with Nones
+                hq_slots = tuple(a is not None for a in hq)
+                per_node = per_node + tuple(a for a in hq if a is not None)
 
             def body(carry, batch):
                 theta, opt_state = carry
                 coords, kappa, vel, src, react, mask = batch[:6]
-                tbls = batch[6:] if tables_per_node else (quad.N, quad.dN,
-                                                          quad.w)
+                tbls = batch[6:9] if tables_per_node else (quad.N, quad.dN,
+                                                           quad.w)
                 quad_b = QuadData(
                     coords=coords, N=tbls[0], dN=tbls[1], w=tbls[2],
                     kappa=kappa, vel=vel, src=src, react=react, mask=mask,
                 )
+                hard_b = None
+                if hq is not None:
+                    it = iter(batch[n_fixed:])
+                    hq_b = type(hq)(*(next(it) if present else None
+                                      for present in hq_slots))
+                    hard_b = (hq_b, hpts, hflux)
                 theta, opt_state, aux = one_update(
                     theta, opt_state, quad_b, bc, ic, obs, weights,
-                    neu=neu,
+                    neu=neu, hard=hard_b,
                 )
                 return (theta, opt_state), aux
 
@@ -207,14 +221,18 @@ def make_train_step(
     # bc/ic/obs use a single leaf spec: it broadcasts over the PointData
     # fields AND over a None argument (steady problems have ic=None).
     pt_spec = P(DATA_AXIS)
+    # hard-BC transform tables (last operand) all carry a leading K/N
+    # axis, so the single pt_spec broadcasts over the pytree — except in
+    # mini-batch mode, where the QUAD tables are [B, Kb, ...] (axis 1
+    # shards) while the obs/flux tables stay full-batch
+    hard_spec = ((P(None, DATA_AXIS), pt_spec, pt_spec)
+                 if (batch_num > 1 and hard_present) else pt_spec)
 
     sharded = jax.shard_map(
         step_with_prepared,
         mesh=mesh,
-        # hard-BC transform tables (last operand) all carry a leading
-        # K/N axis, so the single pt_spec broadcasts over the pytree
         in_specs=(rep, rep, quad_spec, pt_spec, pt_spec, pt_spec, rep,
-                  pt_spec, pt_spec, pt_spec),
+                  pt_spec, pt_spec, hard_spec),
         out_specs=(rep, rep, rep),
         check_vma=False,
     )
