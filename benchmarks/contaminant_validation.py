@@ -243,8 +243,9 @@ def main():
     ap.add_argument("--ff-scale", type=str, default="0.5",
                     help="FF scale, or comma-list for a multi-scale basis")
     ap.add_argument("--resume", action="store_true",
-                    help="resume Adam from --folder and LM from --folder_lm\n"
-                         "(hang/timeout recovery: re-run the same command +--resume)")
+                    help="resume Adam from --folder and LM from its _lm "
+                         "sibling (hang/timeout recovery: re-run the same "
+                         "command +--resume)")
     ap.add_argument("--folder", type=str, default="/tmp/contaminant_val")
     ap.add_argument("--width", type=int, default=48)
     ap.add_argument("--layers", type=int, default=3)

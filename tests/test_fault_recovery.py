@@ -178,3 +178,25 @@ def test_train_retry_resumes_mid_run(monkeypatch, tmp_path):
     # the retry asks only for the REMAINING epochs: 10 done pre-fault,
     # so the resumed run stops at the originally-requested total of 20
     assert r.epochs[-1] == 20
+
+
+def test_train_resume_on_empty_folder_starts_fresh(tmp_path):
+    """resume=True on a folder with NO checkpoints yet (the previous
+    attempt died before its first save_freq save) starts fresh instead of
+    raising FileNotFoundError — the documented hang-recovery loop
+    (run_resumable.sh re-runs the same command +--resume) must make
+    progress on every attempt."""
+    from varnet_tpu.api import VarNet
+    from varnet_tpu.problems.analytic import steady_ad_1d
+
+    case = steady_ad_1d(kappa=0.2)
+    vn = VarNet(case["pde"], layer_width=(8,), disc_num=8, n_devices=1,
+                seed=0)
+    folder = str(tmp_path / "fresh")
+    res = vn.train(epoch_num=6, save_freq=3, verbose=False,
+                   folderpath=folder, resume=True)
+    assert res.epochs[-1] == 6
+    # and a SECOND resume now picks up the persisted state
+    res2 = vn.train(epoch_num=3, save_freq=3, verbose=False,
+                    folderpath=folder, resume=True)
+    assert res2.epochs[-1] == 9

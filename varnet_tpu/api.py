@@ -760,17 +760,31 @@ class VarNet:
         opt_state = optimizer.init(theta)
         start_epoch = 0
         if resume and folderpath is not None:
-            state, step = load_checkpoint(
-                folderpath, {"theta": theta, "opt_state": opt_state}
-            )
-            theta = replicate(state["theta"], self.mesh)
-            opt_state = replicate(state["opt_state"], self.mesh)
-            start_epoch = step
-            meta = load_meta(folderpath, step)
-            if meta is not None and "prng_key" in meta:
-                self.prng_key = np.asarray(meta["prng_key"], dtype=np.uint32)
-            if verbose:
-                print(f"[varnet] resumed from epoch {step} in {folderpath}")
+            try:
+                state, step = load_checkpoint(
+                    folderpath, {"theta": theta, "opt_state": opt_state}
+                )
+            except FileNotFoundError:
+                # nothing persisted yet (the previous attempt died before
+                # its first save_freq checkpoint): start fresh — the
+                # hang-recovery loop re-runs the same command +resume and
+                # must make progress, not crash (mirrors refine_lm's
+                # tolerant _restore_theta)
+                state, step = None, 0
+                if verbose:
+                    print(f"[varnet] resume: no checkpoints in "
+                          f"{folderpath} yet, starting fresh")
+            if state is not None:
+                theta = replicate(state["theta"], self.mesh)
+                opt_state = replicate(state["opt_state"], self.mesh)
+                start_epoch = step
+                meta = load_meta(folderpath, step)
+                if meta is not None and "prng_key" in meta:
+                    self.prng_key = np.asarray(meta["prng_key"],
+                                               dtype=np.uint32)
+                if verbose:
+                    print(f"[varnet] resumed from epoch {step} in "
+                          f"{folderpath}")
         opt_state = replicate(opt_state, self.mesh)
 
         step_fn = make_train_step(
