@@ -136,6 +136,38 @@ def test_contaminant_source_ff_theta_matches_fdm():
     assert err < 0.06, f"source-ff vs FDM regression: rel-L2 {err:.3f}"
 
 
+def test_contaminant_original_ff_hard_theta_matches_fdm():
+    """Pin the ORIGINAL-parameter (kappa=0.01/sigma=0.06) source-driven
+    contaminant solved NON-causally: hard BC/IC (exact imposition kills
+    the u=0 attractor's BC-loss basin) + multi-scale FF-128 (0.5, 2.0)
+    width-96 net, measured 2.27% overall vs the CN-FDM field
+    (queue11/12 2026-08-19, contaminant_validation.json 'source-ff-hard').
+    Second independent escape alongside the causal curriculum (1.63%)."""
+    import os
+
+    from varnet_tpu.api import VarNet
+    from varnet_tpu.problems.analytic import contaminant_transport_2d
+    from varnet_tpu.utils.io import load_observations_csv
+
+    base = os.path.join(os.path.dirname(__file__), "..", "benchmarks")
+    theta_path = os.path.join(base, "results",
+                              "theta_contaminant_ff_hard.npz")
+    if not os.path.exists(theta_path):
+        pytest.skip("no persisted source ff+hard theta yet")
+    theta = load_theta_npz(theta_path)
+    obs = load_observations_csv(os.path.join(base, "data",
+                                             "contaminant_fdm.csv"))
+    m = obs.coords[:, 2] > 0
+    case = contaminant_transport_2d()  # original kappa=0.01, sigma=0.06
+    vn = VarNet(case["pde"], layer_width=(96, 96, 96), disc_num=8,
+                t_disc_num=4, n_devices=1, hard_bc=True,
+                fourier_features=128, fourier_scale="0.5,2.0")
+    vn.theta = theta
+    u = vn.evaluate(obs.coords[m, :2], t=obs.coords[m, 2])
+    err = rel_l2_error(u, obs.values[m])
+    assert err < 0.035, f"source ff+hard vs FDM regression: rel-L2 {err:.3f}"
+
+
 def test_fdm_free_outflow_runs_and_bounded():
     """The contaminant config (free right edge -> one-sided stencils) runs,
     conserves sign, and stays bounded."""
