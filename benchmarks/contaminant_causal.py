@@ -66,6 +66,12 @@ def main():
     ap.add_argument("--w-bcic", type=float, default=10.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--folder", type=str, default="/tmp/contaminant_causal")
+    ap.add_argument("--hard-bc", action="store_true",
+                    help="exact Dirichlet BC/IC imposition inside each "
+                         "window (fem/hardbc.py; composition with the "
+                         "causal curriculum is library-tested) — persists "
+                         "under a _hard suffix so the penalty-run pins "
+                         "stay untouched")
     ap.add_argument("--resume", action="store_true",
                     help="continue a dead run from its per-stage "
                          "checkpoints (completed windows are skipped)")
@@ -79,6 +85,9 @@ def main():
         scales = [float(s) for s in str(args.ff_scale).split(",")]
         extra = dict(fourier_features=args.ff,
                      fourier_scale=scales[0] if len(scales) == 1 else scales)
+    if args.hard_bc:
+        extra["hard_bc"] = True
+    stem = "contaminant_causal_hard" if args.hard_bc else "contaminant_causal"
 
     t0 = time.perf_counter()
 
@@ -129,11 +138,11 @@ def main():
         rec["phase"] = phase
         rec["wall_s"] = time.perf_counter() - t0
         RESULTS.mkdir(exist_ok=True)
-        (RESULTS / "contaminant_causal.json").write_text(
+        (RESULTS / f"{stem}.json").write_text(
             json.dumps(rec, indent=2))
         if rec["overall_rel_l2"] < 0.5:  # clearly escaped u=0
             net = vn.theta["net"] if isinstance(vn.theta, dict) else vn.theta
-            save_theta_npz(RESULTS / "theta_contaminant_causal.npz", net)
+            save_theta_npz(RESULTS / f"theta_{stem}.npz", net)
         print(json.dumps(rec, indent=2), flush=True)
 
     # score + persist the Adam result BEFORE LM (the LM phase is the
