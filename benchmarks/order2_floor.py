@@ -46,6 +46,11 @@ def main():
     ap.add_argument("--integ", type=int, default=3,
                     help="Gauss points per dim per element/piece")
     ap.add_argument("--folder", type=str, default="/tmp/order2_floor")
+    ap.add_argument("--precoeff", action="store_true",
+                    help="ride the precomputed-coefficient fused residual "
+                         "kernel for the Adam phase (the only fused path "
+                         "that supports per-node order-2 tables; LM always "
+                         "uses the value+jac kernel pair)")
     ap.add_argument("--resume", action="store_true",
                     help="continue from the newest checkpoints in --folder "
                          "(run_resumable.sh adds this on attempts 2+)")
@@ -58,7 +63,7 @@ def main():
         case["pde"], layer_width=(args.width,) * args.layers,
         disc_num=args.disc, b_disc_num=max(args.disc, 24),
         t_disc_num=args.tdisc, test_order=args.order,
-        integ_p_num=args.integ,
+        integ_p_num=args.integ, fused_precoeff=args.precoeff,
         optimizer=OptimizerConfig(lr=args.lr, decay_rate=0.1,
                                   decay_steps=max(args.epochs // 4, 1)),
     )
@@ -86,6 +91,8 @@ def main():
         "lm": f"{args.lm_steps} iters cg={args.lm_cg}",
         "best_rel_l2": best,
         "adam_rel_l2": min(e for e in res.errors if e == e),
+        "adam_quad_evals_per_sec": res.quad_evals_per_sec,
+        "precoeff": args.precoeff,
         "wall_s": time.perf_counter() - t0,
     }
     RESULTS.mkdir(exist_ok=True)
