@@ -461,3 +461,79 @@ def test_batched_hard_bc_trains_and_stays_exact():
     assert res.losses[-1]["loss_bc"] == 0.0
     for pts in case["pde"].domain.boundary_points(5):
         np.testing.assert_allclose(vn.evaluate(pts), 0.0, atol=5e-6)
+
+
+def test_order2_hard_bc_trains_and_stays_exact():
+    """Composition: quadratic (order-2) test space x hard imposition.
+    The per-node [K, nQ] tables and the hard transform tables are
+    independent axes of the same quad layout; training must converge
+    with the BC rows gone and the boundary exact."""
+    case = steady_ad_1d(kappa=0.2)
+    vn = VarNet(case["pde"], layer_width=(12, 12), disc_num=12,
+                test_order=2, n_devices=1, hard_bc=True, seed=0)
+    res = vn.train(epoch_num=800, save_freq=400, verbose=False,
+                   error_disc=64)
+    assert res.losses[-1]["loss_bc"] == 0.0
+    assert res.errors[-1] < 5e-2, res.errors
+    lo, hi = case["pde"].domain.bounds
+    u = vn.evaluate(np.array([[lo], [hi]], np.float64))
+    g = [case["c_ex"](np.array([[lo]]))[0], case["c_ex"](np.array([[hi]]))[0]]
+    np.testing.assert_allclose(u, g, atol=5e-6)
+
+
+def test_burgers_hard_bc_trains_to_front():
+    """Composition: nonlinear advection x hard imposition.  The bilinear
+    u (b.grad u) term must see the TRANSFORMED solution u = G + tau D net
+    (a raw-net nonlinear term would converge to the wrong front shape —
+    the rel-L2 bound catches that), with the boundary exact."""
+    from varnet_tpu.problems.analytic import burgers_1d_steady
+
+    case = burgers_1d_steady()
+    vn = VarNet(case["pde"], layer_width=(20, 20), disc_num=24, seed=1,
+                n_devices=1, hard_bc=True)
+    res = vn.train(epoch_num=1500, weight=(1.0, 10.0), save_freq=500,
+                   verbose=False, matmul_precision="highest")
+    assert res.losses[-1]["loss_bc"] == 0.0
+    # the standing-shock front position is exponentially weakly
+    # determined (DESIGN.md 16) — Adam wanders, LM pins it (measured
+    # here: Adam ~0.11, +LM 7e-3)
+    vn.refine_lm(steps=8, weight=(1.0, 10.0), cg_iters=60, save_freq=8,
+                 verbose=False, matmul_precision="highest")
+    x = np.linspace(0, 1, 101)[:, None]
+    u = vn.evaluate(x)
+    rel = np.linalg.norm(u - case["c_ex"](x)) / np.linalg.norm(case["c_ex"](x))
+    assert rel < 0.05, rel
+    lo, hi = case["pde"].domain.bounds
+    ub = vn.evaluate(np.array([[lo], [hi]], np.float64))
+    gb = [case["c_ex"](np.array([[lo]]))[0], case["c_ex"](np.array([[hi]]))[0]]
+    np.testing.assert_allclose(ub, gb, atol=5e-6)
+
+
+def test_inverse_diffusivity_hard_bc_recovers():
+    """Composition: trainable diffusivity x hard imposition.  The obs
+    rows see the transformed field, the BC rows are gone, and the
+    joint {net, kappa} optimization still identifies the coefficient
+    from interior observations."""
+    import jax.numpy as jnp
+
+    from varnet_tpu.fem.assembly import PointData
+
+    kappa_true = 0.08
+
+    def softplus_kappa(psi, x, t):
+        return jnp.full((x.shape[0],), jnp.logaddexp(psi[0], 0.0))
+
+    case = steady_ad_1d(kappa=kappa_true)
+    xs = np.linspace(0.05, 0.95, 25)[:, None]
+    obs = PointData(coords=xs.astype(np.float32),
+                    values=case["c_ex"](xs).astype(np.float32),
+                    mask=np.ones(len(xs), np.float32))
+    psi0 = np.array([np.log(np.expm1(0.03))], np.float64)  # kappa0 = 0.03
+    vn = VarNet(case["pde"], layer_width=(16, 16), disc_num=24, seed=1,
+                diff_fn=softplus_kappa, diff_init=psi0, obs_data=obs,
+                n_devices=1, hard_bc=True)
+    res = vn.train(epoch_num=3000, weight=(1.0, 10.0, 10.0), save_freq=1000,
+                   verbose=False, matmul_precision="highest")
+    assert res.losses[-1]["loss_bc"] == 0.0
+    k = float(np.logaddexp(np.asarray(vn.theta["kap"])[0], 0.0))
+    assert abs(k - kappa_true) / kappa_true < 0.25, k
