@@ -75,12 +75,24 @@ def test_example_folder_artifacts(tmp_path):
         lines = [line for line in f if line.strip()]
     assert lines, "empty train log"
 
-    # Resume: picks up at the last checkpointed epoch, trains further.
+    # Resume toward a LARGER total budget: picks up at the last
+    # checkpointed epoch (40) and trains the remainder.
     vn2 = ad1d_steady.main(
-        TINY + ["--disc", "12", "--folder", folder, "--resume"]
+        ["--epochs", "60", "--save-freq", "20", "--width", "8",
+         "--disc", "12", "--folder", folder, "--resume"]
     )
     assert vn2.train_result is not None
     assert len(vn2.train_result.losses) >= 1
+    assert vn2.train_result.epochs[-1] == 60
+
+    # Resume with the budget already met: a no-op (global epoch
+    # semantics — hang-recovery re-runs must not re-train).
+    vn3 = ad1d_steady.main(
+        ["--epochs", "60", "--save-freq", "20", "--width", "8",
+         "--disc", "12", "--folder", folder, "--resume"]
+    )
+    assert vn3.train_result is not None
+    assert vn3.train_result.losses == []
 
 
 def test_example_ensemble_flag():

@@ -196,7 +196,8 @@ def test_train_resume_on_empty_folder_starts_fresh(tmp_path):
     res = vn.train(epoch_num=6, save_freq=3, verbose=False,
                    folderpath=folder, resume=True)
     assert res.epochs[-1] == 6
-    # and a SECOND resume now picks up the persisted state
-    res2 = vn.train(epoch_num=3, save_freq=3, verbose=False,
+    # and a SECOND resume picks up the persisted state and completes the
+    # (now larger) TOTAL budget — global epoch semantics
+    res2 = vn.train(epoch_num=9, save_freq=3, verbose=False,
                     folderpath=folder, resume=True)
     assert res2.epochs[-1] == 9

@@ -129,12 +129,26 @@ def test_checkpoint_roundtrip():
             jax.tree_util.tree_leaves(vn2.theta),
         ):
             np.testing.assert_allclose(a, b)
-        # resume training continues from the checkpointed epoch
+        # resume training continues from the checkpointed epoch toward
+        # the TOTAL budget (global epoch semantics, like refine_lm)
         res = vn2.train(
-            epoch_num=25, weight=(1.0, 1.0), save_freq=25,
+            epoch_num=75, weight=(1.0, 1.0), save_freq=25,
             folderpath=tmp, resume=True, verbose=False,
         )
         assert res.epochs[-1] == 75
+        # budget already met: the resume is a no-op (hang-recovery loops
+        # re-run the same command and must not re-train another budget)
+        res2 = vn2.train(
+            epoch_num=75, weight=(1.0, 1.0), save_freq=25,
+            folderpath=tmp, resume=True, verbose=False,
+        )
+        assert res2.epochs == []
+        theta75 = jax.device_get(vn2.theta)
+        step75 = vn2.load_model(tmp)
+        assert step75 == 75  # the no-op left the newest checkpoint alone
+        for a, b in zip(jax.tree_util.tree_leaves(theta75),
+                        jax.tree_util.tree_leaves(vn2.theta)):
+            np.testing.assert_allclose(a, b)
         # config mismatch raises
         vn3 = VarNet(case["pde"], layer_width=(8, 4), disc_num=12, n_devices=1)
         with pytest.raises(ValueError, match="mismatch"):

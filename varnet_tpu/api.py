@@ -567,7 +567,11 @@ class VarNet:
         batch_num:   interior mini-batches per epoch (scan inside the jit)
         save_freq:   report/checkpoint period (epochs)
         folderpath:  case directory for checkpoints + JSONL training log
-        resume:      restore the latest checkpoint from folderpath first
+        resume:      restore the latest checkpoint from folderpath first;
+                     epoch_num then counts TOTAL epochs (global step
+                     semantics like refine_lm) — a checkpoint at step >=
+                     epoch_num makes this call a no-op, so hang-recovery
+                     loops can safely re-run the same command
         error_disc:  eval-grid resolution for rel-L2 error vs pde.c_ex
         target_error: optional early-stop threshold on rel-L2 error
         value_and_jac: override the network value+jacobian path (e.g. the
@@ -596,14 +600,24 @@ class VarNet:
             steps = list_checkpoint_steps(folderpath) if folderpath else []
             return steps[-1] if steps else 0
 
-        # Global-epoch accounting for the retry path: checkpoints this
-        # call writes land in (start, target].  ``pre`` distinguishes
-        # them from stale checkpoints already in the folder (a fresh
-        # resume=False run never resumes from those — it restarts).
+        # Global-epoch accounting: checkpoints this call writes land in
+        # (start, target].  ``pre`` distinguishes them from stale
+        # checkpoints already in the folder (a fresh resume=False run
+        # never resumes from those — it restarts).  With resume=True,
+        # ``epoch_num`` is the TOTAL budget (matching refine_lm's global
+        # step semantics): a checkpoint at step >= epoch_num means the
+        # phase already completed and this call no-ops — hang-recovery
+        # re-runs the same command with --resume, and the old additive
+        # interpretation re-trained a full extra budget per attempt
+        # (measured in anger on the 3-Dt d16 recovery: Adam treadmilled
+        # past 33k epochs of a 24k budget and LM never started).
         pre = _newest()
         start = pre if resume else 0
-        target = start + int(epoch_num)
-        st = {"epochs": int(epoch_num), "resume": resume}
+        target = max(int(epoch_num), start) if resume else start + int(epoch_num)
+        st = {"epochs": target - start, "resume": resume}
+        if resume and verbose and target == start:
+            print(f"[varnet] resume: {start} epochs already complete "
+                  f"(budget {int(epoch_num)}), skipping training")
 
         def attempt_fn():
             with matmul_precision_scope(matmul_precision):

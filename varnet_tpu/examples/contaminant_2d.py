@@ -89,7 +89,8 @@ def _run_causal(args, kap, extra):
             matmul_precision=args.precision or "highest",
             folderpath=args.folder,
         )
-        summary["lm_final_loss"] = r_lm.losses[-1]["loss"]
+        if r_lm.losses:  # empty when a resumed LM budget was already met
+            summary["lm_final_loss"] = r_lm.losses[-1]["loss"]
     print(json.dumps(summary))
     if args.plot and args.folder:
         vn.sim_res(args.folder)

@@ -129,7 +129,9 @@ def train_causal(
                 print(f"[varnet/causal] window [0,{w}]: resumed complete "
                       f"({step} epochs), skipping", flush=True)
             continue
-        res = vn.train(epoch_num=epoch_num - done, weight=weight,
+        # epoch_num is the per-window TOTAL budget: train(resume=True)
+        # uses global epoch semantics and runs only the remainder
+        res = vn.train(epoch_num=epoch_num, weight=weight,
                        resume=bool(done), **tkw)
         theta = vn.theta
         rec = {"t_end": w, "final_loss": res.losses[-1]["loss"],
