@@ -95,9 +95,13 @@ def main():
         "epochs": args.epochs,
         "lm": f"{args.lm_steps} iters cg={args.lm_cg}",
         "platform": jax.devices()[0].platform,
-        "best_rel_l2": min(finite, default=float("nan")),
+        # None (JSON null) when a phase recorded no finite error — e.g. a
+        # resumed run whose Adam budget was already complete.  float("nan")
+        # here once produced a bare `NaN` literal that broke json.loads on
+        # the next append.
+        "best_rel_l2": min(finite, default=None),
         "adam_rel_l2": min((e for e in res.errors if e == e),
-                           default=float("nan")),
+                           default=None),
         "wall_s": time.perf_counter() - t0,
     }
     RESULTS.mkdir(exist_ok=True)

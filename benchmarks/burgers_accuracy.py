@@ -90,7 +90,9 @@ def main():
                      resume=args.resume, max_retries=2)
     finite = ([e for e in res.errors if e == e]
               + [e for e in r.errors if e == e])
-    best = min(finite, default=float("nan"))
+    # None (JSON null), not float("nan"): NaN serializes as an invalid
+    # bare literal that breaks the next json.loads of the results file.
+    best = min(finite, default=None)
     row = {
         "case": ("front_2d" if args.two_d
                  else "steady_shock" if args.steady else "traveling_front"),
@@ -103,7 +105,7 @@ def main():
         "platform": jax.devices()[0].platform,
         "best_rel_l2": best,
         "adam_rel_l2": min((e for e in res.errors if e == e),
-                           default=float("nan")),
+                           default=None),
         "wall_s": time.perf_counter() - t0,
     }
     RESULTS.mkdir(exist_ok=True)
@@ -112,7 +114,7 @@ def main():
     rows.append(row)
     path.write_text(json.dumps(rows, indent=2))
     print(json.dumps(row, indent=2), flush=True)
-    if best == best and best < 1e-3:
+    if best is not None and best < 1e-3:
         save_theta_npz(RESULTS / f"theta_burgers_{row['case']}.npz",
                        vn.theta)
         print(f"[burgers_accuracy] theta persisted ({best:.3e})", flush=True)

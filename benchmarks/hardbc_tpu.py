@@ -95,7 +95,9 @@ def main():
                          max_retries=2)
         finite = ([e for e in res.errors if e == e]
                   + [e for e in r.errors if e == e])
-        best = min(finite, default=float("nan"))
+        # None (JSON null), not float("nan"): NaN serializes as an invalid
+        # bare literal that breaks the next json.loads of the results file.
+        best = min(finite, default=None)
         row = {
             "case": args.case,
             "mode": mode,
@@ -107,7 +109,7 @@ def main():
             "platform": jax.devices()[0].platform,
             "best_rel_l2": best,
             "adam_rel_l2": min((e for e in res.errors if e == e),
-                               default=float("nan")),
+                               default=None),
             "wall_s": time.perf_counter() - t0,
         }
         rows.append(row)
