@@ -11,6 +11,10 @@ and deliberately excluded; see DESIGN.md decision 18).
   3d   : steady_ad_3d — same structure in 3-D (TPU penalty reference:
          2.24e-3 at disc 12 / width 64, ad3d_floor.json).
   1dt  : transient_ad_1d — erfc front, time-varying compatible BC data.
+  3dt  : transient_ad_3d — 4-D space-time test classes, zero Dirichlet
+         (G reduces to the IC extension u0(x); the net learns the full
+         4-D correction).  Penalty reference: 4.64e-3 at disc 16/tdisc 10
+         width 64 after deep LM (ad3d_floor.json).
 
 Usage: python -u benchmarks/hardbc_tpu.py --case 2d --disc 48 ...
 Writes benchmarks/results/hardbc_tpu.json (append) and persists the hard
@@ -30,7 +34,8 @@ RESULTS = Path(__file__).parent / "results"
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--case", choices=("2d", "3d", "1dt"), default="2d")
+    ap.add_argument("--case", choices=("2d", "3d", "1dt", "3dt"),
+                    default="2d")
     ap.add_argument("--disc", type=int, default=48)
     ap.add_argument("--tdisc", type=int, default=32)
     ap.add_argument("--width", type=int, default=48)
@@ -41,6 +46,9 @@ def main():
     ap.add_argument("--k-chunks", type=int, default=1)
     ap.add_argument("--modes", type=str, default="hard,penalty")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume Adam/LM from the per-mode case folder "
+                         "(hang/timeout recovery under run_resumable.sh)")
     ap.add_argument("--folder", type=str, default="/tmp/hardbc_tpu")
     args = ap.parse_args()
 
@@ -54,6 +62,7 @@ def main():
         steady_ad_2d,
         steady_ad_3d,
         transient_ad_1d,
+        transient_ad_3d,
     )
     from varnet_tpu.train.optim import OptimizerConfig
     from varnet_tpu.utils.helpers import enable_compilation_cache
@@ -61,11 +70,14 @@ def main():
 
     enable_compilation_cache()
     factory = {"2d": steady_ad_2d, "3d": steady_ad_3d,
-               "1dt": transient_ad_1d}[args.case]
+               "1dt": transient_ad_1d, "3dt": transient_ad_3d}[args.case]
     case = factory()
     td = case["pde"].time_dependent
     vn_kw = {"t_disc_num": args.tdisc} if td else {}
-    err_disc = {"2d": 96, "3d": 32, "1dt": 256}[args.case]
+    # 3dt: zero Dirichlet everywhere (no leakage); the IC is problem data
+    # (same honesty convention as 1dt).  Penalty reference at d16/t10 w64:
+    # 4.64e-3 (ad3d_floor.json, deep LM).
+    err_disc = {"2d": 96, "3d": 32, "1dt": 256, "3dt": 24}[args.case]
 
     rows = []
     for mode in args.modes.split(","):
@@ -85,14 +97,14 @@ def main():
                        error_disc=err_disc, error_times=5,
                        matmul_precision="highest",
                        folderpath=f"{args.folder}_{args.case}_{mode}",
-                       max_retries=2)
+                       resume=args.resume, max_retries=2)
         r = vn.refine_lm(steps=args.lm_steps, weight=w,
                          cg_iters=args.lm_cg,
                          save_freq=max(args.lm_steps // 6, 1), verbose=True,
                          error_disc=err_disc, error_times=5,
                          k_chunks=args.k_chunks, matmul_precision="highest",
                          folderpath=f"{args.folder}_{args.case}_{mode}",
-                         max_retries=2)
+                         resume=args.resume, max_retries=2)
         finite = ([e for e in res.errors if e == e]
                   + [e for e in r.errors if e == e])
         # None (JSON null), not float("nan"): NaN serializes as an invalid

@@ -27,6 +27,7 @@ from varnet_tpu.problems.analytic import (
     steady_ad_1d,
     steady_ad_2d,
     transient_ad_1d,
+    transient_ad_3d,
 )
 
 
@@ -537,3 +538,40 @@ def test_inverse_diffusivity_hard_bc_recovers():
     assert res.losses[-1]["loss_bc"] == 0.0
     k = float(np.logaddexp(np.asarray(vn.theta["kap"])[0], 0.0))
     assert abs(k - kappa_true) / kappa_true < 0.25, k
+
+
+def test_exactness_random_theta_transient_3d():
+    """Hard BC on the 3-D TRANSIENT case (4-D space-time test classes):
+    a random network reproduces the zero Dirichlet data at every time and
+    the sin-product IC at t = 0 exactly — the composition the hardbc_tpu
+    `3dt` benchmark case rides."""
+    case = transient_ad_3d()
+    vn = VarNet(case["pde"], layer_width=(8,), disc_num=4, t_disc_num=3,
+                n_devices=1, hard_bc=True, seed=7)
+    vn.theta = [dict(l) for l in vn.theta]
+    vn.theta[-1]["b"] = vn.theta[-1]["b"] + 0.6
+    dom = case["pde"].domain
+    for pts in dom.boundary_points(4):
+        for tv in (0.0, 0.21, 0.5):
+            u = vn.evaluate(pts, t=np.full(pts.shape[0], tv))
+            np.testing.assert_allclose(u, 0.0, atol=5e-6)
+    rng = np.random.default_rng(0)
+    xs = rng.random((64, 3))
+    u0 = vn.evaluate(xs, t=np.zeros(64))
+    np.testing.assert_allclose(u0, case["pde"].eval_ic(xs), atol=5e-6)
+
+
+def test_train_transient_3d_hard_bc():
+    """Hard-constrained training runs end-to-end (Adam + one LM step) on
+    the 3-D transient case: BC and IC loss rows both report exactly 0.0
+    and the error improves from the random init."""
+    case = transient_ad_3d()
+    vn = VarNet(case["pde"], layer_width=(10,), disc_num=4, t_disc_num=3,
+                n_devices=1, hard_bc=True, seed=0)
+    res = vn.train(epoch_num=120, save_freq=60, verbose=False,
+                   error_disc=8, error_times=3)
+    assert res.losses[-1]["loss_bc"] == 0.0
+    assert res.losses[-1]["loss_ic"] == 0.0
+    r = vn.refine_lm(steps=2, cg_iters=20, save_freq=2, verbose=False,
+                     error_disc=8, error_times=3)
+    assert min(res.errors + r.errors) < res.errors[0]
