@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--lm-steps", type=int, default=40)
     ap.add_argument("--lm-cg", type=int, default=200)
     ap.add_argument("--k-chunks", type=int, default=1)
+    ap.add_argument("--hard-bc", action="store_true",
+                    help="exact Dirichlet BC/IC imposition (composes with "
+                         "nl_adv, DESIGN.md 16+18); persists under a _hard "
+                         "theta stem so penalty pins stay untouched")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--folder", type=str, default="/tmp/burgers_acc")
     ap.add_argument("--resume", action="store_true")
@@ -70,9 +74,12 @@ def main():
         w = (1.0, 10.0, 10.0)
         vn_kw = {"t_disc_num": args.tdisc}
     t0 = time.perf_counter()
+    if args.hard_bc:
+        w = None  # BC/IC rows are exact by ansatz; unit interior weight
     vn = VarNet(
         case["pde"], layer_width=(args.width,) * args.layers,
         disc_num=args.disc, b_disc_num=max(args.disc, 24), n_devices=1,
+        hard_bc=args.hard_bc,
         optimizer=OptimizerConfig(lr=2e-3, decay_rate=0.1,
                                   decay_steps=max(args.epochs // 4, 1)),
         **vn_kw,
@@ -96,6 +103,7 @@ def main():
     row = {
         "case": ("front_2d" if args.two_d
                  else "steady_shock" if args.steady else "traveling_front"),
+        "mode": "hard" if args.hard_bc else "penalty",
         "nu": args.nu,
         "mesh": (f"disc={args.disc}" if args.steady and not args.two_d
                  else f"disc={args.disc} tdisc={args.tdisc}"),
@@ -115,8 +123,8 @@ def main():
     path.write_text(json.dumps(rows, indent=2))
     print(json.dumps(row, indent=2), flush=True)
     if best is not None and best < 1e-3:
-        save_theta_npz(RESULTS / f"theta_burgers_{row['case']}.npz",
-                       vn.theta)
+        stem = row["case"] + ("_hard" if args.hard_bc else "")
+        save_theta_npz(RESULTS / f"theta_burgers_{stem}.npz", vn.theta)
         print(f"[burgers_accuracy] theta persisted ({best:.3e})", flush=True)
 
 
