@@ -22,6 +22,7 @@ from .geometry.domain import (
     BoxDomainND,
     Domain1D,
     PolygonDomain2D,
+    PrismDomain3D,
     RectangleDomain2D,
 )
 from .models.mlp import init_mlp, mlp_apply, mlp_value_and_jac
@@ -43,6 +44,7 @@ __all__ = [
     "BoxDomain3D",
     "BoxDomainND",
     "PolygonDomain2D",
+    "PrismDomain3D",
     "RectangleDomain2D",
     "MasterElement",
     "HatQuadrature",

@@ -102,6 +102,30 @@ def hard_transform(u, grad_u, u_t, hq):
     return u_new, grad_new, ut_new
 
 
+def _trimmed_segment_adf(x2: np.ndarray, endpoints: np.ndarray) -> np.ndarray:
+    """Rvachev-trimmed 2-D segment ADFs, [P, E] (unnormalized): zero
+    exactly on each finite edge, positive elsewhere, ~distance near it.
+    ``x2`` [P, 2], ``endpoints`` [E, 2, 2].  Shared by the non-convex
+    polygon path and the prism wall path (where it is evaluated on the
+    xy footprint: the edge's zero set extrudes to exactly the wall)."""
+    a = endpoints[:, 0]                                   # [E, 2]
+    b = endpoints[:, 1]
+    c = 0.5 * (a + b)
+    e = b - a
+    ln = np.linalg.norm(e, axis=-1)                       # [E]
+    rel = x2[:, None, :] - a[None, :, :]                  # [P, E, 2]
+    # unsigned distance to the edge LINE
+    f = np.abs(rel[..., 0] * e[None, :, 1]
+               - rel[..., 1] * e[None, :, 0]) / ln        # [P, E]
+    # trimming field: positive inside the edge's slab, ~ -distance^2/L
+    # beyond its endpoints
+    d2 = np.sum((x2[:, None, :] - c[None, :, :]) ** 2, axis=-1)
+    t = (0.25 * ln**2 - d2) / ln                          # [P, E]
+    # trimmed ADF: equals f on the slab midline, vanishes exactly on the
+    # segment only, first-order normalized
+    return np.sqrt(f**2 + 0.25 * (np.sqrt(t**2 + f**4) - t) ** 2)
+
+
 def _r0_fold(phis: np.ndarray) -> np.ndarray:
     """Rvachev R0 conjunction over the last axis: zero iff any phi is."""
     d = phis[..., 0]
@@ -117,7 +141,10 @@ class HardBC:
     Supported domains: ``Domain1D``, ``RectangleDomain2D``,
     ``PolygonDomain2D`` (convex via signed plane distances; NON-convex via
     trimmed segment ADFs, so the L-shape works), ``BoxDomainND``/
-    ``BoxDomain3D``.  Supported BCs:
+    ``BoxDomain3D``, and ``PrismDomain3D`` (wall ADFs = the polygon's
+    trimmed segment ADFs on the xy footprint — an edge's 2-D zero set
+    extrudes to exactly its wall — composed with cap plane distances, so
+    non-convex 3-D cross-sections work too).  Supported BCs:
     Dirichlet data per segment (constants or callables defined on the
     whole domain — the blend evaluates them off their segment), plus
     ``None`` (free) segments and Neumann/Robin flux segments — the flux
@@ -152,22 +179,41 @@ class HardBC:
         ]
         if not self.dir_segs:  # ADPDE.__post_init__ already guarantees >= 1
             raise ValueError("hard_bc needs at least one Dirichlet segment")
-        self._endpoints = None  # non-convex polygon: trimmed segment ADFs
-        anchors, normals = self._segment_planes(pde.domain)
-        if anchors is None:
-            from ..geometry.domain import PolygonDomain2D
+        from ..geometry.domain import PrismDomain3D
 
-            assert isinstance(pde.domain, PolygonDomain2D)
-            v = pde.domain.vertices
-            self._endpoints = np.stack([
-                np.stack([v[i], v[(i + 1) % v.shape[0]]])
-                for i in self.dir_segs
-            ])  # [E, 2, 2]
+        self._endpoints = None  # non-convex polygon: trimmed segment ADFs
+        self._prism = None      # extruded polygon: wall ADFs x cap planes
+        if isinstance(pde.domain, PrismDomain3D):
+            dom = pde.domain
+            nv = dom.poly.n_boundary_segments
+            v = dom.poly.vertices
+            # dir_segs is ascending, and walls (< nv) precede caps, so the
+            # wall-then-cap column layout below matches the dir_segs order
+            # gtilde() zips against.
+            wall_segs = [i for i in self.dir_segs if i < nv]
+            self._prism = {
+                "edges": (np.stack([
+                    np.stack([v[i], v[(i + 1) % nv]]) for i in wall_segs
+                ]) if wall_segs else np.zeros((0, 2, 2))),
+                "caps": [s - nv for s in self.dir_segs if s >= nv],
+                "z": (dom.z_lo, dom.z_hi),
+            }
         else:
-            self._anchors = np.stack(
-                [anchors[i] for i in self.dir_segs])   # [E, d]
-            self._normals = np.stack(
-                [normals[i] for i in self.dir_segs])   # [E, d]
+            anchors, normals = self._segment_planes(pde.domain)
+            if anchors is None:
+                from ..geometry.domain import PolygonDomain2D
+
+                assert isinstance(pde.domain, PolygonDomain2D)
+                v = pde.domain.vertices
+                self._endpoints = np.stack([
+                    np.stack([v[i], v[(i + 1) % v.shape[0]]])
+                    for i in self.dir_segs
+                ])  # [E, 2, 2]
+            else:
+                self._anchors = np.stack(
+                    [anchors[i] for i in self.dir_segs])   # [E, d]
+                self._normals = np.stack(
+                    [normals[i] for i in self.dir_segs])   # [E, d]
         # Single-field fast path: every Dirichlet segment shares one data
         # object (the common broadcast-constant case) — skip the blend.
         gs = [pde.bcs[i] for i in self.dir_segs]
@@ -219,7 +265,7 @@ class HardBC:
             return anchors, normals
         raise ValueError(
             f"hard_bc: unsupported domain type {type(domain).__name__} "
-            "(Domain1D / PolygonDomain2D / BoxDomainND)"
+            "(Domain1D / PolygonDomain2D / BoxDomainND / PrismDomain3D)"
         )
 
     @staticmethod
@@ -239,26 +285,20 @@ class HardBC:
         polygons, where an extended edge line would wrongly zero the ADF
         at interior points."""
         x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+        if self._prism is not None:
+            cols = []
+            if self._prism["edges"].shape[0]:
+                cols.append(
+                    _trimmed_segment_adf(x[:, :2], self._prism["edges"]))
+            z_lo, z_hi = self._prism["z"]
+            for cap in self._prism["caps"]:
+                d = (x[:, 2] - z_lo) if cap == 0 else (z_hi - x[:, 2])
+                cols.append(d[:, None])
+            return np.concatenate(cols, axis=1) / self._diam
         if self._endpoints is None:
             rel = x[:, None, :] - self._anchors[None, :, :]   # [P, E, d]
             return -np.einsum("ped,ed->pe", rel, self._normals) / self._diam
-        a = self._endpoints[:, 0]                             # [E, 2]
-        b = self._endpoints[:, 1]
-        c = 0.5 * (a + b)
-        e = b - a
-        ln = np.linalg.norm(e, axis=-1)                       # [E]
-        rel = x[:, None, :] - a[None, :, :]                   # [P, E, 2]
-        # unsigned distance to the edge LINE
-        f = np.abs(rel[..., 0] * e[None, :, 1]
-                   - rel[..., 1] * e[None, :, 0]) / ln        # [P, E]
-        # trimming field: positive inside the edge's slab, ~ -distance^2/L
-        # beyond its endpoints
-        d2 = np.sum((x[:, None, :] - c[None, :, :]) ** 2, axis=-1)
-        t = (0.25 * ln**2 - d2) / ln                          # [P, E]
-        # Rvachev-trimmed segment ADF: equals f on the slab midline,
-        # vanishes exactly on the segment only, first-order normalized
-        phi = np.sqrt(f**2 + 0.25 * (np.sqrt(t**2 + f**4) - t) ** 2)
-        return phi / self._diam
+        return _trimmed_segment_adf(x, self._endpoints) / self._diam
 
     def dist(self, x: np.ndarray) -> np.ndarray:
         """ADF D(x): zero exactly on every Dirichlet segment, ~min

@@ -4,5 +4,6 @@ from .domain import (
     Domain1D,
     Mesh,
     PolygonDomain2D,
+    PrismDomain3D,
     RectangleDomain2D,
 )

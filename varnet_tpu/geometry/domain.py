@@ -350,6 +350,120 @@ class BoxDomain3D(BoxDomainND):
             raise ValueError("BoxDomain3D requires 3 coordinates")
 
 
+class PrismDomain3D:
+    """Extruded-polygon 3-D domain: a ``PolygonDomain2D`` cross-section
+    (convex or NOT — e.g. an L-shaped duct) swept along z over
+    [z_lo, z_hi].  Beyond-reference: the reference geometry layer stops at
+    2-D polygons (SURVEY.md §2.1 #4); this extends its non-convex story to
+    3-D, complementing the axis-aligned ``BoxDomainND``.
+
+    Boundary segments, in order:
+      0 .. V-1 : the V side walls (polygon edge i x [z_lo, z_hi]); per-wall
+                 Dirichlet data attaches like per-edge data in 2-D.
+      V        : the bottom cap (z = z_lo)
+      V + 1    : the top cap  (z = z_hi)
+    Wall points reuse the polygon's HALF-OPEN edge convention in xy (each
+    wall owns its starting vertical edge) and are cell-centred in z; cap
+    points are cell-centred in xy and masked to the polygon interior — so
+    no boundary point is shared between segments, the same no-double-count
+    invariant the 2-D polygon and the ND box maintain.
+    """
+
+    dim = 3
+
+    def __init__(self, vertices: np.ndarray, z_lo: float = 0.0,
+                 z_hi: float = 1.0):
+        self.poly = PolygonDomain2D(vertices)
+        if not float(z_hi) > float(z_lo):
+            raise ValueError("PrismDomain3D requires z_hi > z_lo")
+        self.z_lo = float(z_lo)
+        self.z_hi = float(z_hi)
+
+    @property
+    def vertices(self) -> np.ndarray:
+        return self.poly.vertices
+
+    @property
+    def bounds(self):
+        lo, hi = self.poly.bounds
+        return (np.concatenate([lo, [self.z_lo]]),
+                np.concatenate([hi, [self.z_hi]]))
+
+    @property
+    def n_boundary_segments(self) -> int:
+        return self.poly.n_boundary_segments + 2
+
+    def in_domain(self, pts: np.ndarray) -> np.ndarray:
+        pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
+        return (self.poly.in_domain(pts[:, :2])
+                & (pts[:, 2] > self.z_lo) & (pts[:, 2] < self.z_hi))
+
+    def support_inside(self, centers: np.ndarray, half) -> np.ndarray:
+        """Support box centre +/- half inside the prism: the xy footprint
+        passes the polygon's stencil check, the z extent stays within the
+        slab (it may touch the caps: the test function vanishes there)."""
+        c = np.atleast_2d(np.asarray(centers, dtype=np.float64))
+        h = np.broadcast_to(np.atleast_1d(np.asarray(half, float)), (3,))
+        eps = 1e-12 * max(self.z_hi - self.z_lo, 1.0)
+        z_ok = ((c[:, 2] - h[2] >= self.z_lo - eps)
+                & (c[:, 2] + h[2] <= self.z_hi + eps))
+        return self.poly.support_inside(c[:, :2], h[:2]) & z_ok
+
+    def mesh(self, disc_num) -> Mesh:
+        """Uniform bounding-box grid; interior mask keeps nodes whose full
+        hat support lies inside the prism.  disc_num: int or per-dim
+        (nx, ny, nz) element counts."""
+        if np.isscalar(disc_num):
+            counts = (int(disc_num) + 1,) * 3
+        else:
+            counts = tuple(int(d) + 1 for d in disc_num)
+        lo, hi = self.bounds
+        nodes, _, spacing = cartesian_grid(lo, hi, counts)
+        interior = self.support_inside(nodes, spacing)
+        return Mesh(nodes=nodes, shape=counts, spacing=spacing,
+                    interior_mask=interior)
+
+    def boundary_points(self, b_disc_num: int = 8) -> List[np.ndarray]:
+        n = int(b_disc_num)
+        tz = self.z_lo + (np.arange(n) + 0.5) / n * (self.z_hi - self.z_lo)
+        pts: List[np.ndarray] = []
+        for edge in self.poly.boundary_points(n):
+            wall = np.concatenate(
+                [np.repeat(edge, n, axis=0),
+                 np.tile(tz, edge.shape[0])[:, None]], axis=1)
+            pts.append(wall)
+        lo, hi = self.poly.bounds
+        t = (np.arange(n) + 0.5) / n
+        gx, gy = np.meshgrid(lo[0] + t * (hi[0] - lo[0]),
+                             lo[1] + t * (hi[1] - lo[1]), indexing="ij")
+        xy = np.stack([gx.ravel(), gy.ravel()], axis=-1)
+        xy = xy[self.poly.in_domain(xy)]
+        for z in (self.z_lo, self.z_hi):
+            cap = np.concatenate(
+                [xy, np.full((xy.shape[0], 1), z)], axis=1)
+            pts.append(cap)
+        return pts
+
+    def segment_normal(self, seg: int) -> np.ndarray:
+        """Walls inherit the polygon edge normal (z-component 0); the caps
+        are -e_z / +e_z (Neumann BCs)."""
+        nv = self.poly.n_boundary_segments
+        if seg < nv:
+            return np.concatenate([self.poly.segment_normal(seg), [0.0]])
+        return np.array([0.0, 0.0, -1.0 if seg == nv else 1.0])
+
+    def grid_in_domain(self, counts) -> Tuple[np.ndarray, np.ndarray]:
+        """Uniform evaluation grid over the bounding box, masked to the
+        polygon footprint (z spans the slab exactly, like the ND box)."""
+        if np.isscalar(counts):
+            counts = (int(counts),) * 3
+        else:
+            counts = tuple(int(c) for c in counts)
+        lo, hi = self.bounds
+        nodes, _, _ = cartesian_grid(lo, hi, counts)
+        return nodes, self.poly.in_domain(nodes[:, :2])
+
+
 class RectangleDomain2D(PolygonDomain2D):
     """Axis-aligned rectangle convenience domain.
 

@@ -556,6 +556,55 @@ def steady_ad_3d(kappa: float = 0.1, vel=(1.0, 0.5, 0.25)):
             "c_ex_dt": None}
 
 
+def steady_ad_prism(kappa: float = 0.05, vel=(1.0, 0.5, 0.25)):
+    """Steady AD on an L-SHAPED PRISM (non-convex 3-D geometry:
+    PolygonDomain2D cross-section extruded along z — PrismDomain3D;
+    beyond-reference on two axes at once, non-convexity and dimension).
+
+        Omega = L-shape([0,1]^2 minus (0.5,1]x(0.5,1]) x [0,1]
+        u(x, y, z) = sin(pi x) sin(pi y) sin(pi z)
+        s = v . grad(u) - kappa lap(u)   (manufactured)
+
+    Mirrors lshape_manufactured_2d: u vanishes on the four OUTER walls and
+    both caps but is non-trivial on the two re-entrant inner walls
+    (x = 0.5 and y = 0.5), so the per-wall Dirichlet machinery is
+    genuinely exercised AND the problem is boundary-driven.  (An earlier
+    all-zero-data variant on the [0,2]^2 footprint hit the zero-data
+    attractor — CLAUDE.md known trap — and trained to u = 0.)
+    """
+    from ..geometry.domain import PrismDomain3D
+
+    v = np.asarray(vel, dtype=np.float64)
+
+    def c_ex(x, t=None):
+        x = np.atleast_2d(x)
+        return (np.sin(np.pi * x[:, 0]) * np.sin(np.pi * x[:, 1])
+                * np.sin(np.pi * x[:, 2]))
+
+    def c_ex_grad(x, t=None):
+        x = np.atleast_2d(x)
+        s = np.sin(np.pi * x)
+        c = np.cos(np.pi * x)
+        return np.pi * np.stack(
+            [c[:, 0] * s[:, 1] * s[:, 2],
+             s[:, 0] * c[:, 1] * s[:, 2],
+             s[:, 0] * s[:, 1] * c[:, 2]], axis=-1)
+
+    def source(x, t=None):
+        g = c_ex_grad(x)
+        lap = -3.0 * np.pi**2 * c_ex(x)
+        return g @ v - kappa * lap
+
+    domain = PrismDomain3D(np.array([
+        [0.0, 0.0], [1.0, 0.0], [1.0, 0.5], [0.5, 0.5],
+        [0.5, 1.0], [0.0, 1.0],
+    ]), 0.0, 1.0)
+    pde = ADPDE(domain, diff=kappa, vel=v, source=source,
+                bcs=[lambda x, t=None: c_ex(x)] * 8, c_ex=c_ex)
+    return {"pde": pde, "c_ex": c_ex, "c_ex_grad": c_ex_grad,
+            "c_ex_dt": None}
+
+
 def transient_ad_3d(kappa: float = 0.1, vel=(1.0, 0.5, 0.25),
                     t_final: float = 0.5):
     """3-D transient AD on the unit cube with a manufactured solution
