@@ -139,3 +139,61 @@ def test_prism_hard_bc_exactness_and_train():
     r = vn.refine_lm(steps=2, cg_iters=20, save_freq=2, verbose=False,
                      error_disc=8)
     assert min(res.errors + r.errors) < res.errors[0]
+
+
+def test_prism_transient_composes():
+    """Transient problems on a prism ride the same space-time tensor
+    tables (4-D with a polygon footprint): the keystone residual test on
+    a manufactured transient solution."""
+    import numpy as np
+    from varnet_tpu.problems.adpde import ADPDE
+
+    dom = PrismDomain3D(LSHAPE, 0.0, 1.0)
+
+    def c_ex(x, t):
+        x = np.atleast_2d(x)
+        return (np.sin(np.pi * x[:, 0]) * np.sin(np.pi * x[:, 1])
+                * np.sin(np.pi * x[:, 2]) * np.exp(-np.asarray(t)))
+
+    def c_ex_grad(x, t):
+        x = np.atleast_2d(x)
+        s, c = np.sin(np.pi * x), np.cos(np.pi * x)
+        e = np.exp(-np.asarray(t))
+        return np.pi * e[..., None] * np.stack(
+            [c[:, 0] * s[:, 1] * s[:, 2],
+             s[:, 0] * c[:, 1] * s[:, 2],
+             s[:, 0] * s[:, 1] * c[:, 2]], axis=-1)
+
+    kappa, v = 0.05, np.array([1.0, 0.5, 0.25])
+
+    def source(x, t):
+        g = c_ex_grad(x, t)
+        return (-c_ex(x, t) + g @ v
+                + kappa * 3.0 * np.pi**2 * c_ex(x, t))
+
+    pde = ADPDE(dom, diff=kappa, vel=v, source=source,
+                bcs=[lambda x, t: c_ex(x, t)] * 8,
+                t_interval=(0.0, 0.5),
+                ic=lambda x: c_ex(x, np.zeros(np.atleast_2d(x).shape[0])),
+                c_ex=c_ex)
+    maxr = []
+    for disc, tdisc in (((6, 6, 4), 4), ((12, 12, 8), 8)):
+        fixed = build_fixed_data(pde, disc_num=disc, t_disc_num=tdisc,
+                                 b_disc_num=3)
+        r = residual_of_function(fixed, c_ex_grad,
+                                 lambda x, t: -c_ex(x, t))
+        maxr.append(np.max(np.abs(r)) / np.sum(fixed.quad.w))
+    assert maxr[1] < maxr[0] / 3.0, maxr
+    assert maxr[1] < 5e-2, maxr
+
+
+def test_prism_slice_plots(tmp_path):
+    """viz composes: 3-D slice plots mask to the polygon footprint."""
+    import os
+
+    from varnet_tpu.viz.plot import plot_fields
+
+    case = steady_ad_prism()
+    files = plot_fields(case["pde"], str(tmp_path), disc=8)
+    names = {os.path.basename(f) for f in files}
+    assert "field_kappa_x2_0.50.png" in names
