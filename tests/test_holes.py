@@ -1,0 +1,144 @@
+"""PolygonDomain2D with HOLES — internal obstacle boundaries.
+
+Beyond-reference (SURVEY.md §2.1 #4 covers simple polygons only): the
+square-with-a-square-hole case exercises hole-aware point-in-domain,
+support trimming around the obstacle, hole-edge boundary bookkeeping and
+normals, the keystone residual-of-analytic test, hard-BC exactness on the
+obstacle wall, and the prism (extruded duct-with-a-rod) composition.
+"""
+
+import numpy as np
+
+from varnet_tpu.api import VarNet
+from varnet_tpu.fem.assembly import build_fixed_data
+from varnet_tpu.geometry.domain import PolygonDomain2D, PrismDomain3D
+from varnet_tpu.problems.analytic import obstacle_manufactured_2d
+
+from tests.test_assembly import residual_of_function
+
+OUTER = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+HOLE = np.array([[0.375, 0.375], [0.625, 0.375],
+                 [0.625, 0.625], [0.375, 0.625]])
+
+
+def test_in_domain_excludes_hole():
+    dom = PolygonDomain2D(OUTER, holes=[HOLE])
+    pts = np.array([[0.5, 0.5], [0.2, 0.2], [0.5, 0.2], [0.4, 0.4],
+                    [1.2, 0.5]])
+    np.testing.assert_array_equal(
+        dom.in_domain(pts), [False, True, True, False, False])
+
+
+def test_hole_vertices_must_be_inside():
+    import pytest
+
+    with pytest.raises(ValueError, match="inside"):
+        PolygonDomain2D(OUTER, holes=[HOLE + 1.0])
+
+
+def test_mesh_interior_trims_around_hole():
+    dom = PolygonDomain2D(OUTER, holes=[HOLE])
+    mesh = dom.mesh(16)  # h = 1/16
+    inner = mesh.interior_nodes
+    assert inner.shape[0] > 0
+    assert dom.support_inside(inner, mesh.spacing).all()
+    # nodes inside or hugging the hole are excluded; far nodes kept
+    assert not dom.support_inside(np.array([[0.5, 0.5]]), mesh.spacing)[0]
+    assert not dom.support_inside(np.array([[0.375, 0.5]]), mesh.spacing)[0]
+    assert dom.support_inside(np.array([[0.1875, 0.5]]), mesh.spacing)[0]
+
+
+def test_hole_boundary_points_and_normals():
+    dom = PolygonDomain2D(OUTER, holes=[HOLE])
+    segs = dom.boundary_points(6)
+    assert len(segs) == dom.n_boundary_segments == 8
+    eps = dom.segment_endpoints()
+    assert eps.shape == (8, 2, 2)
+    centre = np.array([0.5, 0.5])
+    for i in range(4, 8):
+        # hole-edge points lie on the hole edge
+        a, b = eps[i]
+        d = b - a
+        w = segs[i]
+        cross = (w[:, 0] - a[0]) * d[1] - (w[:, 1] - a[1]) * d[0]
+        np.testing.assert_allclose(cross, 0.0, atol=1e-12)
+        # domain-outward normal on a hole edge points INTO the hole
+        n = dom.segment_normal(i)
+        mid = 0.5 * (a + b)
+        assert np.dot(n, centre - mid) > 0, (i, n)
+    # outer normals still point away from the domain
+    assert np.dot(dom.segment_normal(0), [0.0, -1.0]) > 0.99
+
+
+def test_analytic_solution_residual_converges_with_hole():
+    """Keystone (SURVEY.md §4) on the obstacle geometry."""
+    case = obstacle_manufactured_2d()
+    maxr = []
+    for disc in (16, 32):
+        fixed = build_fixed_data(case["pde"], disc_num=disc, b_disc_num=6)
+        r = residual_of_function(fixed, case["c_ex_grad"])
+        maxr.append(np.max(np.abs(r)) / np.sum(fixed.quad.w))
+    assert maxr[1] < maxr[0] / 3.0, maxr
+    assert maxr[1] < 5e-2, maxr
+
+
+def test_obstacle_end_to_end_train():
+    case = obstacle_manufactured_2d()
+    vn = VarNet(case["pde"], layer_width=(20, 20), disc_num=16,
+                b_disc_num=8, n_devices=1, seed=0)
+    res = vn.train(epoch_num=800, weight=(1.0, 10.0), save_freq=800,
+                   verbose=False, error_disc=32)
+    r = vn.refine_lm(steps=8, weight=(1.0, 10.0), cg_iters=40,
+                     save_freq=8, verbose=False, matmul_precision=None,
+                     error_disc=32)
+    assert min(res.errors + r.errors) < 1e-1, (res.errors, r.errors)
+
+
+def test_obstacle_hard_bc_exactness():
+    """Hard BC with an obstacle: a random network reproduces the data
+    exactly on the outer AND hole edges (hole edges ride the same trimmed
+    segment ADFs), D > 0 at interior probes near the hole, and training
+    reports the BC rows exactly 0."""
+    case = obstacle_manufactured_2d()
+    vn = VarNet(case["pde"], layer_width=(12,), disc_num=12,
+                b_disc_num=6, n_devices=1, hard_bc=True, seed=1)
+    vn.theta = [dict(l) for l in vn.theta]
+    vn.theta[-1]["b"] = vn.theta[-1]["b"] + 0.6
+    dom = case["pde"].domain
+    for seg, pts in enumerate(dom.boundary_points(6)):
+        np.testing.assert_allclose(vn.evaluate(pts), case["c_ex"](pts),
+                                   atol=5e-6, err_msg=f"segment {seg}")
+    probes = np.array([[0.2, 0.2], [0.3, 0.5], [0.5, 0.3], [0.7, 0.7]])
+    assert (vn.hard.dist(probes) > 1e-4).all()
+    res = vn.train(epoch_num=100, save_freq=100, verbose=False,
+                   error_disc=16)
+    assert res.losses[-1]["loss_bc"] == 0.0
+
+
+def test_prism_with_hole_composes():
+    """Duct with a square rod drilled out: the extruded hole walls carry
+    boundary points, the mesh trims around the rod, and hard-BC exactness
+    holds on the rod wall."""
+    dom = PrismDomain3D(OUTER, 0.0, 1.0, holes=[HOLE])
+    assert dom.n_boundary_segments == 10
+    mesh = dom.mesh((8, 8, 4))
+    assert not dom.support_inside(np.array([[0.5, 0.5, 0.5]]),
+                                  mesh.spacing)[0]
+    assert dom.support_inside(np.array([[0.125, 0.5, 0.5]]),
+                              mesh.spacing)[0]
+    segs = dom.boundary_points(4)
+    assert len(segs) == 10
+    # rod-wall points: xy on the hole edge, z inside the slab
+    rod = segs[4]
+    np.testing.assert_allclose(rod[:, 1], 0.375)
+    assert ((rod[:, 2] > 0) & (rod[:, 2] < 1)).all()
+    # hard BC: zero Dirichlet everywhere is exact for a random net
+    from varnet_tpu.problems.adpde import ADPDE
+
+    pde = ADPDE(dom, diff=0.1, vel=np.zeros(3), source=1.0, bcs=0.0)
+    vn = VarNet(pde, layer_width=(10,), disc_num=(8, 8, 4), b_disc_num=4,
+                n_devices=1, hard_bc=True, seed=0)
+    vn.theta = [dict(l) for l in vn.theta]
+    vn.theta[-1]["b"] = vn.theta[-1]["b"] + 0.5
+    for pts in dom.boundary_points(4):
+        np.testing.assert_allclose(vn.evaluate(pts), 0.0, atol=5e-6)

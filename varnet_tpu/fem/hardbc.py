@@ -186,15 +186,14 @@ class HardBC:
         if isinstance(pde.domain, PrismDomain3D):
             dom = pde.domain
             nv = dom.poly.n_boundary_segments
-            v = dom.poly.vertices
+            edges = dom.poly.segment_endpoints()  # outer + hole walls
             # dir_segs is ascending, and walls (< nv) precede caps, so the
             # wall-then-cap column layout below matches the dir_segs order
             # gtilde() zips against.
             wall_segs = [i for i in self.dir_segs if i < nv]
             self._prism = {
-                "edges": (np.stack([
-                    np.stack([v[i], v[(i + 1) % nv]]) for i in wall_segs
-                ]) if wall_segs else np.zeros((0, 2, 2))),
+                "edges": (edges[wall_segs] if wall_segs
+                          else np.zeros((0, 2, 2))),
                 "caps": [s - nv for s in self.dir_segs if s >= nv],
                 "z": (dom.z_lo, dom.z_hi),
             }
@@ -204,11 +203,10 @@ class HardBC:
                 from ..geometry.domain import PolygonDomain2D
 
                 assert isinstance(pde.domain, PolygonDomain2D)
-                v = pde.domain.vertices
-                self._endpoints = np.stack([
-                    np.stack([v[i], v[(i + 1) % v.shape[0]]])
-                    for i in self.dir_segs
-                ])  # [E, 2, 2]
+                # outer + hole edges, in segment order
+                self._endpoints = (
+                    pde.domain.segment_endpoints()[self.dir_segs]
+                )  # [E, 2, 2]
             else:
                 self._anchors = np.stack(
                     [anchors[i] for i in self.dir_segs])   # [E, d]
@@ -255,6 +253,8 @@ class HardBC:
                     normals.append(domain.segment_normal(2 * j + side))
             return anchors, normals
         if isinstance(domain, PolygonDomain2D):
+            if getattr(domain, "holes", None):
+                return None, None  # hole edges: trimmed segment ADFs
             if not isinstance(domain, RectangleDomain2D) and not (
                 HardBC._is_convex(domain.vertices)
             ):

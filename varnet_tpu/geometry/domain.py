@@ -98,22 +98,57 @@ class Domain1D:
         return nodes, np.ones(nodes.shape[0], dtype=bool)
 
 
+def _raycast(vertices: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd (ray casting) point-in-polygon test."""
+    x, y = pts[:, 0], pts[:, 1]
+    x1, y1 = vertices[:, 0], vertices[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    inside = np.zeros(pts.shape[0], dtype=bool)
+    for i in range(vertices.shape[0]):
+        crosses = (y1[i] > y) != (y2[i] > y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x_int = x1[i] + (y - y1[i]) / (y2[i] - y1[i]) * (x2[i] - x1[i])
+        inside ^= crosses & (x < x_int)
+    return inside
+
+
 class PolygonDomain2D:
-    """Polygonal 2-D domain, convex or not (reference PolygonDomain2D).
+    """Polygonal 2-D domain, convex or not (reference PolygonDomain2D),
+    optionally with polygonal HOLES (beyond-reference: internal obstacle
+    boundaries — the geometry of flow-around-an-obstacle / cloaking
+    applications).
 
     vertices: [V, 2] in order (either orientation); the polygon is closed
     implicitly (last vertex connects back to the first).  Boundary segment i
     is the edge vertices[i] -> vertices[i+1], so per-segment Dirichlet data
     can be attached edge by edge (SURVEY.md §0 item 8).
+
+    holes: optional sequence of [Vh >= 3, 2] vertex arrays, each strictly
+    inside the outer polygon and mutually disjoint.  Hole edges continue
+    the segment numbering after the outer edges (outer 0..V-1, then hole 0's
+    edges, then hole 1's, ...), so per-segment BC data attaches uniformly.
+    The interior mask keeps only hats whose support avoids every hole, via
+    the same 3x3 probe stencil as the outer boundary — so a hole must be
+    RESOLVED by the mesh (diameter >~ h); a hole much smaller than one
+    element can slip between probes.
     """
 
     dim = 2
 
-    def __init__(self, vertices: np.ndarray):
+    def __init__(self, vertices: np.ndarray, holes=()):
         vertices = np.asarray(vertices, dtype=np.float64)
         if vertices.ndim != 2 or vertices.shape[1] != 2 or vertices.shape[0] < 3:
             raise ValueError("vertices must be [V>=3, 2]")
         self.vertices = vertices
+        self.holes = []
+        for h in holes:
+            h = np.asarray(h, dtype=np.float64)
+            if h.ndim != 2 or h.shape[1] != 2 or h.shape[0] < 3:
+                raise ValueError("each hole must be [V>=3, 2]")
+            if not _raycast(vertices, h).all():
+                raise ValueError("hole vertices must lie inside the outer "
+                                 "polygon")
+            self.holes.append(h)
 
     @property
     def bounds(self):
@@ -121,26 +156,28 @@ class PolygonDomain2D:
 
     @property
     def n_boundary_segments(self) -> int:
-        return self.vertices.shape[0]
+        return self.vertices.shape[0] + sum(h.shape[0] for h in self.holes)
+
+    def segment_endpoints(self) -> np.ndarray:
+        """[S, 2, 2] endpoint pairs of every boundary segment, in segment
+        order (outer edges, then each hole's edges)."""
+        rings = [self.vertices] + self.holes
+        return np.stack([
+            np.stack([v[i], v[(i + 1) % v.shape[0]]])
+            for v in rings for i in range(v.shape[0])
+        ])
 
     def in_domain(self, pts: np.ndarray) -> np.ndarray:
-        """Vectorized even-odd (ray casting) point-in-polygon test.
+        """Inside the outer polygon and outside every hole.
 
-        Handles non-convex polygons.  Points on an edge are classified by
-        the half-open edge convention; mesh interiors additionally require a
-        margin via the support check, so edge ambiguity is harmless.
+        Points on an edge are classified by the half-open edge convention;
+        mesh interiors additionally require a margin via the support check,
+        so edge ambiguity is harmless.
         """
         pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
-        x, y = pts[:, 0], pts[:, 1]
-        v = self.vertices
-        x1, y1 = v[:, 0], v[:, 1]
-        x2, y2 = np.roll(v[:, 0], -1), np.roll(v[:, 1], -1)
-        inside = np.zeros(pts.shape[0], dtype=bool)
-        for i in range(v.shape[0]):
-            crosses = (y1[i] > y) != (y2[i] > y)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                x_int = x1[i] + (y - y1[i]) / (y2[i] - y1[i]) * (x2[i] - x1[i])
-            inside ^= crosses & (x < x_int)
+        inside = _raycast(self.vertices, pts)
+        for h in self.holes:
+            inside &= ~_raycast(h, pts)
         return inside
 
     def mesh(self, disc_num) -> Mesh:
@@ -192,31 +229,46 @@ class PolygonDomain2D:
         double-weight corners in the BC MSE and silently average conflicting
         per-segment g values at a discontinuity.)
 
-        Returns a list of [b_disc_num, 2] arrays, one per edge, in the same
-        order as ``vertices`` so per-segment BC callables line up; a corner's
-        Dirichlet value comes from the edge STARTING at it.
+        Returns a list of [b_disc_num, 2] arrays, one per edge, in segment
+        order (outer edges, then each hole's) so per-segment BC callables
+        line up; a corner's Dirichlet value comes from the edge STARTING
+        at it.
         """
         n = int(b_disc_num)
         pts = []
-        v = self.vertices
-        for i in range(v.shape[0]):
-            a, b = v[i], v[(i + 1) % v.shape[0]]
-            t = np.linspace(0.0, 1.0, n + 1)[:-1, None]
-            pts.append(a[None, :] * (1 - t) + b[None, :] * t)
+        for v in [self.vertices] + self.holes:
+            for i in range(v.shape[0]):
+                a, b = v[i], v[(i + 1) % v.shape[0]]
+                t = np.linspace(0.0, 1.0, n + 1)[:-1, None]
+                pts.append(a[None, :] * (1 - t) + b[None, :] * t)
         return pts
 
+    def _ring_of(self, seg: int):
+        """(ring vertices, local edge index, is_hole) for segment ``seg``."""
+        if seg < self.vertices.shape[0]:
+            return self.vertices, seg, False
+        s = seg - self.vertices.shape[0]
+        for h in self.holes:
+            if s < h.shape[0]:
+                return h, s, True
+            s -= h.shape[0]
+        raise IndexError(f"segment {seg} out of range")
+
     def segment_normal(self, seg: int) -> np.ndarray:
-        """Outward unit normal of edge ``seg`` (vertices[seg] ->
-        vertices[seg+1]), orientation-aware via the polygon's signed
-        area (Neumann BCs)."""
-        v = self.vertices
-        a, b = v[seg], v[(seg + 1) % v.shape[0]]
+        """DOMAIN-outward unit normal of edge ``seg``, orientation-aware
+        via the owning ring's signed area (Neumann BCs).  On a hole edge
+        the domain-outward direction points INTO the hole, i.e. it is the
+        hole polygon's inward-flipped normal."""
+        v, i, is_hole = self._ring_of(seg)
+        a, b = v[i], v[(i + 1) % v.shape[0]]
         d = b - a
         n = np.array([d[1], -d[0]])  # right-hand normal (outward for CCW)
         x1, y1 = v[:, 0], v[:, 1]
         x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
         signed_area = 0.5 * np.sum(x1 * y2 - x2 * y1)
         if signed_area < 0:  # clockwise vertex order: flip
+            n = -n
+        if is_hole:  # polygon-outward = into the domain: flip again
             n = -n
         return n / np.linalg.norm(n)
 
@@ -372,8 +424,8 @@ class PrismDomain3D:
     dim = 3
 
     def __init__(self, vertices: np.ndarray, z_lo: float = 0.0,
-                 z_hi: float = 1.0):
-        self.poly = PolygonDomain2D(vertices)
+                 z_hi: float = 1.0, holes=()):
+        self.poly = PolygonDomain2D(vertices, holes=holes)
         if not float(z_hi) > float(z_lo):
             raise ValueError("PrismDomain3D requires z_hi > z_lo")
         self.z_lo = float(z_lo)

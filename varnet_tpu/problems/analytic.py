@@ -556,6 +556,49 @@ def steady_ad_3d(kappa: float = 0.1, vel=(1.0, 0.5, 0.25)):
             "c_ex_dt": None}
 
 
+def obstacle_manufactured_2d(kappa: float = 0.05, vel=(1.0, 0.5)):
+    """Steady AD on a square with a square HOLE (internal obstacle
+    boundary — beyond-reference: the geometry of the cloaking/obstacle
+    applications; PolygonDomain2D(holes=...)).
+
+        Omega = [0,1]^2 minus [0.375, 0.625]^2
+        u(x, y) = sin(pi x) sin(pi y)
+        s = v . grad(u) - kappa lap(u)   (manufactured)
+
+    u vanishes on the four outer edges but is non-trivial on the four
+    hole edges (segments 4-7), so the obstacle boundary genuinely drives
+    the solution (zero-data-attractor-safe, like lshape_manufactured_2d).
+    """
+    from ..geometry.domain import PolygonDomain2D
+
+    vx, vy = float(vel[0]), float(vel[1])
+
+    def c_ex(x, t=None):
+        x = np.atleast_2d(x)
+        return np.sin(np.pi * x[:, 0]) * np.sin(np.pi * x[:, 1])
+
+    def c_ex_grad(x, t=None):
+        x = np.atleast_2d(x)
+        sx, cx = np.sin(np.pi * x[:, 0]), np.cos(np.pi * x[:, 0])
+        sy, cy = np.sin(np.pi * x[:, 1]), np.cos(np.pi * x[:, 1])
+        return np.stack([np.pi * cx * sy, np.pi * sx * cy], axis=-1)
+
+    def source(x, t=None):
+        g = c_ex_grad(x)
+        lap = -2.0 * np.pi**2 * c_ex(x)
+        return vx * g[:, 0] + vy * g[:, 1] - kappa * lap
+
+    lo, hi = 0.375, 0.625
+    domain = PolygonDomain2D(
+        np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]),
+        holes=[np.array([[lo, lo], [hi, lo], [hi, hi], [lo, hi]])],
+    )
+    pde = ADPDE(domain, diff=kappa, vel=np.array([vx, vy]), source=source,
+                bcs=[lambda x, t=None: c_ex(x)] * 8, c_ex=c_ex)
+    return {"pde": pde, "c_ex": c_ex, "c_ex_grad": c_ex_grad,
+            "c_ex_dt": None}
+
+
 def steady_ad_prism(kappa: float = 0.05, vel=(1.0, 0.5, 0.25)):
     """Steady AD on an L-SHAPED PRISM (non-convex 3-D geometry:
     PolygonDomain2D cross-section extruded along z — PrismDomain3D;

@@ -124,12 +124,15 @@ def plot_domain(domain, path: Optional[str] = None, disc: int = 40):
         ax.plot([lo[0], hi[0]], [0, 0], "rs")
         ax.set_yticks([])
     else:
-        v = domain.vertices
-        closed = np.vstack([v, v[:1]])
-        ax.plot(closed[:, 0], closed[:, 1], "k-", lw=2)
-        for i in range(v.shape[0]):
-            mid = (v[i] + v[(i + 1) % v.shape[0]]) / 2
-            ax.annotate(f"seg {i}", mid, fontsize=8, color="tab:red")
+        seg = 0
+        rings = [domain.vertices] + list(getattr(domain, "holes", []))
+        for v in rings:
+            closed = np.vstack([v, v[:1]])
+            ax.plot(closed[:, 0], closed[:, 1], "k-", lw=2)
+            for i in range(v.shape[0]):
+                mid = (v[i] + v[(i + 1) % v.shape[0]]) / 2
+                ax.annotate(f"seg {seg}", mid, fontsize=8, color="tab:red")
+                seg += 1
         mesh = domain.mesh(disc)
         pts = mesh.interior_nodes
         ax.plot(pts[:, 0], pts[:, 1], ".", ms=2, color="tab:blue")
