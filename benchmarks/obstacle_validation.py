@@ -1,0 +1,159 @@
+"""Obstacle transport cross-validation: heated rod in a channel flow.
+
+The reference papers' application family (cloaking / transport around
+obstacles) on the new holes geometry (DESIGN.md decision 20): a square rod
+held at a ramped temperature u = 1 - exp(-8 t) sheds a plume into a
+uniform channel flow; no analytic solution exists, so the score is rel-L2
+against the in-repo CN-FDM solver (itself verified second-order WITH a
+hole in tests/test_holes.py — the same validate-the-validator step as the
+contaminant case, SURVEY.md §4 item 2).
+
+Config: channel [0, 2] x [0, 1], kappa = 0.05, v = (1, 0); rod
+[0.9, 1.1] x [0.4, 0.6]; inlet (left) u = 0 Dirichlet, outlet (right) and
+walls (top/bottom) free; IC u = 0 (compatible with the ramp).  Grid lines
+align with the rod at nx multiples of 20 (0.9 = 18/20 * 1 ... on the
+[0, 2] axis: 0.9/2 * nx integral for nx multiples of 20).
+
+Run (TPU):  python -u benchmarks/obstacle_validation.py
+Writes benchmarks/results/obstacle_validation.json (append) and persists
+theta to theta_obstacle.npz when rel-L2 < 5%.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+RESULTS = Path(__file__).parent / "results"
+
+ROD_LO, ROD_HI = (0.9, 0.4), (1.1, 0.6)
+
+
+def build_pde():
+    from varnet_tpu.geometry.domain import RectangleDomain2D
+    from varnet_tpu.problems.adpde import ADPDE
+
+    hole = np.array([
+        [ROD_LO[0], ROD_LO[1]], [ROD_HI[0], ROD_LO[1]],
+        [ROD_HI[0], ROD_HI[1]], [ROD_LO[0], ROD_HI[1]],
+    ])
+    dom = RectangleDomain2D((0.0, 0.0), (2.0, 1.0), holes=[hole])
+
+    def rod_g(x, t):
+        return 1.0 - np.exp(-8.0 * np.asarray(t)) * np.ones(
+            np.atleast_2d(x).shape[0])
+
+    # bottom, right, top, left, then the 4 rod edges
+    bcs = [None, None, None, 0.0] + [rod_g] * 4
+    return ADPDE(dom, diff=0.05, vel=np.array([1.0, 0.0]), source=0.0,
+                 bcs=bcs, t_interval=(0.0, 1.0), ic=0.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--disc", type=int, default=40,
+                    help="elements along x (y gets disc//2)")
+    ap.add_argument("--tdisc", type=int, default=24)
+    ap.add_argument("--width", type=int, default=48)
+    ap.add_argument("--layers", type=int, default=2)
+    ap.add_argument("--epochs", type=int, default=12000)
+    ap.add_argument("--lm-steps", type=int, default=20)
+    ap.add_argument("--lm-cg", type=int, default=150)
+    ap.add_argument("--k-chunks", type=int, default=1)
+    ap.add_argument("--hard-bc", action="store_true",
+                    help="exact Dirichlet imposition on inlet + rod")
+    ap.add_argument("--fdm-nx", type=int, default=160)
+    ap.add_argument("--fdm-nt", type=int, default=400)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--folder", type=str, default="/tmp/obstacle_val")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from varnet_tpu.api import VarNet
+    from varnet_tpu.problems.classical import solve_ad_fdm_2d
+    from varnet_tpu.train.optim import OptimizerConfig
+    from varnet_tpu.utils.helpers import enable_compilation_cache
+    from varnet_tpu.utils.io import save_theta_npz
+
+    enable_compilation_cache()
+    pde = build_pde()
+    sample_times = np.linspace(0.0, 1.0, 6)
+
+    t_fdm = time.perf_counter()
+    ref = solve_ad_fdm_2d(pde, nx=args.fdm_nx, ny=args.fdm_nx // 2,
+                          nt=args.fdm_nt, sample_times=sample_times)
+    t_fdm = time.perf_counter() - t_fdm
+    mask = pde.domain.in_domain(ref["x"])
+    print(f"[obstacle] FDM reference {args.fdm_nx}x{args.fdm_nx // 2}"
+          f"x{args.fdm_nt} in {t_fdm:.1f}s", flush=True)
+
+    w = None if args.hard_bc else (1.0, 50.0, 50.0)
+    t0 = time.perf_counter()
+    vn = VarNet(pde, layer_width=(args.width,) * args.layers,
+                disc_num=(args.disc, args.disc // 2),
+                t_disc_num=args.tdisc, b_disc_num=max(args.disc, 32),
+                n_devices=1, hard_bc=args.hard_bc,
+                optimizer=OptimizerConfig(lr=2e-3, decay_rate=0.1,
+                                          decay_steps=max(args.epochs // 4,
+                                                          1)))
+    vn.train(epoch_num=args.epochs, weight=w,
+             save_freq=max(args.epochs // 6, 1), verbose=True,
+             matmul_precision="highest", folderpath=args.folder,
+             resume=args.resume, max_retries=2)
+    if args.lm_steps:
+        vn.refine_lm(steps=args.lm_steps, weight=w, cg_iters=args.lm_cg,
+                     save_freq=max(args.lm_steps // 5, 1), verbose=True,
+                     k_chunks=args.k_chunks, matmul_precision="highest",
+                     folderpath=args.folder, resume=args.resume,
+                     max_retries=2)
+    wall = time.perf_counter() - t0
+
+    # score: rel-L2 vs the FDM field over domain nodes, t > 0 snapshots
+    per_time = {}
+    num = den = 0.0
+    for s, ts in enumerate(sample_times):
+        if ts <= 0.0:
+            continue
+        ue = ref["u"][s][mask]
+        up = vn.evaluate(ref["x"][mask], t=np.full(mask.sum(), ts))
+        per_time[f"{ts:.2f}"] = float(np.linalg.norm(up - ue)
+                                      / max(np.linalg.norm(ue), 1e-30))
+        num += float(np.sum((up - ue) ** 2))
+        den += float(np.sum(ue**2))
+    overall = float(np.sqrt(num / max(den, 1e-30)))
+    row = {
+        "mode": "hard" if args.hard_bc else "penalty",
+        "mesh": f"disc=({args.disc},{args.disc // 2}) tdisc={args.tdisc}",
+        "network": f"({args.width},)x{args.layers}",
+        "epochs": args.epochs,
+        "lm": f"{args.lm_steps} iters cg={args.lm_cg}",
+        "fdm": f"{args.fdm_nx}x{args.fdm_nx // 2}x{args.fdm_nt}",
+        "platform": jax.devices()[0].platform,
+        "overall_rel_l2": overall,
+        "per_time": per_time,
+        "wall_s": wall,
+    }
+    RESULTS.mkdir(exist_ok=True)
+    path = RESULTS / "obstacle_validation.json"
+    rows = json.loads(path.read_text()) if path.exists() else []
+    rows.append(row)
+    path.write_text(json.dumps(rows, indent=2))
+    print(json.dumps(row, indent=2), flush=True)
+    if overall < 0.05:
+        stem = "obstacle_hard" if args.hard_bc else "obstacle"
+        save_theta_npz(RESULTS / f"theta_{stem}.npz", vn.theta)
+        print(f"[obstacle] theta persisted ({overall:.3%})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -9,6 +9,7 @@ import pytest
 from varnet_tpu.examples import (
     ad1d_steady,
     ad3d_prism,
+    obstacle_2d,
     burgers_1d,
     inverse_coeff,
     lshape_2d,
@@ -41,6 +42,7 @@ TINY = ["--epochs", "40", "--save-freq", "20", "--width", "8"]
         (ad2d_transient, ["--disc", "6", "--tdisc", "4"]),
         (ad3d_steady, ["--disc", "5", "--bdisc", "3"]),
         (ad3d_prism, ["--disc", "5", "--bdisc", "3", "--hard-bc"]),
+        (obstacle_2d, ["--disc", "10", "--hard-bc"]),
         (neumann_2d, ["--disc", "8"]),
         (contaminant_2d, ["--disc", "6", "--tdisc", "4"]),
         (inverse_source, ["--disc", "8", "--n-obs", "36"]),

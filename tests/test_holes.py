@@ -142,3 +142,46 @@ def test_prism_with_hole_composes():
     vn.theta[-1]["b"] = vn.theta[-1]["b"] + 0.5
     for pts in dom.boundary_points(4):
         np.testing.assert_allclose(vn.evaluate(pts), 0.0, atol=5e-6)
+
+
+def test_fdm_with_hole_converges_to_analytic():
+    """Validate the validator (SURVEY.md §4 item 2 pattern): the CN-FDM
+    solver with a grid-aligned rectangular hole converges at second order
+    to a manufactured transient solution whose hole-edge Dirichlet data
+    is time-dependent."""
+    from varnet_tpu.geometry.domain import RectangleDomain2D
+    from varnet_tpu.problems.adpde import ADPDE
+    from varnet_tpu.problems.classical import solve_ad_fdm_2d
+
+    kappa, v = 0.1, np.array([0.6, 0.3])
+
+    def c_ex(x, t):
+        x = np.atleast_2d(x)
+        return (np.sin(np.pi * x[:, 0]) * np.sin(np.pi * x[:, 1])
+                * np.exp(-np.asarray(t)))
+
+    def grad(x, t):
+        x = np.atleast_2d(x)
+        sx, cx = np.sin(np.pi * x[:, 0]), np.cos(np.pi * x[:, 0])
+        sy, cy = np.sin(np.pi * x[:, 1]), np.cos(np.pi * x[:, 1])
+        e = np.exp(-np.asarray(t))
+        return np.pi * e[..., None] * np.stack([cx * sy, sx * cy], axis=-1)
+
+    def source(x, t):
+        g = grad(x, t)
+        return (-c_ex(x, t) + g @ v + 2.0 * np.pi**2 * kappa * c_ex(x, t))
+
+    dom = RectangleDomain2D((0.0, 0.0), (1.0, 1.0), holes=[HOLE])
+    pde = ADPDE(dom, diff=kappa, vel=v, source=source,
+                bcs=[0.0] * 4 + [lambda x, t: c_ex(x, t)] * 4,
+                t_interval=(0.0, 0.5),
+                ic=lambda x: c_ex(x, np.zeros(np.atleast_2d(x).shape[0])))
+    errs = []
+    for nx in (16, 32):
+        out = solve_ad_fdm_2d(pde, nx=nx, ny=nx, nt=4 * nx,
+                              sample_times=[0.5])
+        mask = dom.in_domain(out["x"])
+        u, ue = out["u"][0][mask], c_ex(out["x"][mask], 0.5)
+        errs.append(np.linalg.norm(u - ue) / np.linalg.norm(ue))
+    assert errs[1] < errs[0] / 3.0, errs  # second order => ~/4
+    assert errs[1] < 5e-3, errs

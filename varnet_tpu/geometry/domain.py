@@ -517,13 +517,13 @@ class PrismDomain3D:
 
 
 class RectangleDomain2D(PolygonDomain2D):
-    """Axis-aligned rectangle convenience domain.
+    """Axis-aligned rectangle convenience domain, optionally with holes.
 
-    Segments are ordered bottom, right, top, left (counter-clockwise from
-    (x_lo, y_lo)).
+    Outer segments are ordered bottom, right, top, left (counter-clockwise
+    from (x_lo, y_lo)); hole edges continue the numbering from 4.
     """
 
-    def __init__(self, lo=(0.0, 0.0), hi=(1.0, 1.0)):
+    def __init__(self, lo=(0.0, 0.0), hi=(1.0, 1.0), holes=()):
         lo = np.asarray(lo, dtype=np.float64)
         hi = np.asarray(hi, dtype=np.float64)
         if not np.all(hi > lo):
@@ -536,13 +536,24 @@ class RectangleDomain2D(PolygonDomain2D):
                     [hi[0], hi[1]],
                     [lo[0], hi[1]],
                 ]
-            )
+            ),
+            holes=holes,
         )
 
     def in_domain(self, pts: np.ndarray) -> np.ndarray:
         lo, hi = self.bounds
-        return _box_in_domain(lo, hi, pts)
+        ins = _box_in_domain(lo, hi, pts)
+        for h in self.holes:
+            pts2 = np.atleast_2d(np.asarray(pts, dtype=np.float64))
+            ins &= ~_raycast(h, pts2)
+        return ins
 
     def _support_inside(self, nodes, h):
         lo, hi = self.bounds
-        return _box_support_inside(lo, hi, nodes, h)
+        ok = _box_support_inside(lo, hi, nodes, h)
+        if self.holes:
+            # probe-stencil check for the holes (the box factor above is
+            # exact; PolygonDomain2D's stencil uses the hole-aware
+            # in_domain, so the conjunction trims around every hole)
+            ok &= PolygonDomain2D._support_inside(self, nodes, h)
+        return ok

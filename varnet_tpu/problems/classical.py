@@ -7,8 +7,11 @@ a conservative finite-difference discretization of
 
     u_t + v(x) . grad(u) - div(kappa grad u) + c u = s(x, t)
 
-on a RECTANGLE, integrated with the theta-scheme (Crank-Nicolson by
-default).  Host-side NumPy/SciPy — this is validation tooling, not a
+on a RECTANGLE — optionally with axis-aligned rectangular HOLES (internal
+Dirichlet obstacle boundaries: every node inside or on a hole becomes a
+Dirichlet row carrying the nearest hole edge's data; align the grid with
+the hole edges for second order) — integrated with the theta-scheme
+(Crank-Nicolson by default).  Host-side NumPy/SciPy — this is validation tooling, not a
 training path.  Second-order central differences for both advection and
 diffusion (flux form with midpoint kappa); per-segment boundary handling
 mirrors ``ADPDE.bcs``: Dirichlet rows for constrained segments, zero-
@@ -130,6 +133,44 @@ def solve_ad_fdm_2d(
             # A Dirichlet edge overrides a free corner set earlier.
             for k in nodes_i:
                 neumann_dir[k] = 0
+
+    # ---- holes (internal obstacle boundaries) --------------------------
+    # Every node inside or on an axis-aligned rectangular hole becomes a
+    # Dirichlet row carrying the nearest hole edge's data: rows adjacent
+    # to the obstacle then couple to exact boundary values, and the
+    # decoupled interior-of-hole rows are cosmetic.  Align the grid with
+    # the hole edges (hole coords on grid lines) to keep second order.
+    holes = list(getattr(pde.domain, "holes", []) or [])
+    seg_off = 4
+    eps_h = 1e-9 * max(hi[0] - lo[0], hi[1] - lo[1])
+    for hv in holes:
+        hlo, hhi = hv.min(axis=0), hv.max(axis=0)
+        if hv.shape[0] != 4 or not (
+            np.allclose(np.sort(np.unique(np.round(hv[:, 0], 12))),
+                        np.round([hlo[0], hhi[0]], 12))
+            and np.allclose(np.sort(np.unique(np.round(hv[:, 1], 12))),
+                            np.round([hlo[1], hhi[1]], 12))
+        ):
+            raise ValueError(
+                "solve_ad_fdm_2d supports axis-aligned rectangular holes "
+                "only (the variational path handles arbitrary polygons)"
+            )
+        inside = np.all((nodes >= hlo - eps_h) & (nodes <= hhi + eps_h),
+                        axis=1)
+        ks = np.where(inside)[0]
+        edges = [(hv[i], hv[(i + 1) % 4]) for i in range(4)]
+        for k in ks:
+            # nearest hole edge supplies the Dirichlet data
+            best, best_d = seg_off, np.inf
+            for li, (a, b) in enumerate(edges):
+                e = b - a
+                tpar = np.clip(np.dot(nodes[k] - a, e) / np.dot(e, e), 0, 1)
+                d = np.linalg.norm(nodes[k] - (a + tpar * e))
+                if d < best_d:
+                    best, best_d = seg_off + li, d
+            dirichlet_seg[k] = best
+            neumann_dir[k] = 0
+        seg_off += hv.shape[0]
     is_dir = dirichlet_seg >= 0
 
     # Per-segment flux-source assembly for NeumannBC edges: node lists and
@@ -256,11 +297,9 @@ def solve_ad_fdm_2d(
         g = np.zeros(len(dir_idx))
         tcol = np.full(len(dir_idx), t)
         pts = nodes[dir_idx]
-        for seg in range(4):
+        for seg in np.unique(dirichlet_seg[dir_idx]):
             m = dirichlet_seg[dir_idx] == seg
-            if not m.any():
-                continue
-            g[m] = pde.eval_bc(seg, pts[m], tcol[m])
+            g[m] = pde.eval_bc(int(seg), pts[m], tcol[m])
         return g
 
     def source_at(t):
