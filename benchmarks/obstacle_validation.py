@@ -9,10 +9,15 @@ hole in tests/test_holes.py — the same validate-the-validator step as the
 contaminant case, SURVEY.md §4 item 2).
 
 Config: channel [0, 2] x [0, 1], kappa = 0.05, v = (1, 0); rod
-[0.9, 1.1] x [0.4, 0.6]; inlet (left) u = 0 Dirichlet, outlet (right) and
-walls (top/bottom) free; IC u = 0 (compatible with the ramp).  Grid lines
-align with the rod at nx multiples of 20 (0.9 = 18/20 * 1 ... on the
-[0, 2] axis: 0.9/2 * nx integral for nx multiples of 20).
+[0.9, 1.1] x [0.4, 0.6]; inlet (left) u = 0 Dirichlet, INSULATED walls
+(top/bottom NeumannBC(0) — an explicit zero-flux row on both sides;
+a bare ``None`` wall is UNCONSTRAINED in the variational path because
+interior hats vanish on the boundary, while the FDM free edge imposes
+zero normal gradient — that mismatch mis-scored an early variant at
+rel-L2 2.2), free outflow (right, ``None`` — the one free edge the
+contaminant cross-validation already proved tolerable); IC u = 0
+(compatible with the ramp).  Grid lines align with the rod at nx
+multiples of 20.
 
 Run (TPU):  python -u benchmarks/obstacle_validation.py
 Writes benchmarks/results/obstacle_validation.json (append) and persists
@@ -36,7 +41,7 @@ ROD_LO, ROD_HI = (0.9, 0.4), (1.1, 0.6)
 
 def build_pde():
     from varnet_tpu.geometry.domain import RectangleDomain2D
-    from varnet_tpu.problems.adpde import ADPDE
+    from varnet_tpu.problems.adpde import ADPDE, NeumannBC
 
     hole = np.array([
         [ROD_LO[0], ROD_LO[1]], [ROD_HI[0], ROD_LO[1]],
@@ -48,8 +53,8 @@ def build_pde():
         return 1.0 - np.exp(-8.0 * np.asarray(t)) * np.ones(
             np.atleast_2d(x).shape[0])
 
-    # bottom, right, top, left, then the 4 rod edges
-    bcs = [None, None, None, 0.0] + [rod_g] * 4
+    # bottom, right(outflow), top, left(inlet), then the 4 rod edges
+    bcs = [NeumannBC(0.0), None, NeumannBC(0.0), 0.0] + [rod_g] * 4
     return ADPDE(dom, diff=0.05, vel=np.array([1.0, 0.0]), source=0.0,
                  bcs=bcs, t_interval=(0.0, 1.0), ic=0.0)
 
