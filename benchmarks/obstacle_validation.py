@@ -136,6 +136,12 @@ def main():
         num += float(np.sum((up - ue) ** 2))
         den += float(np.sum(ue**2))
     overall = float(np.sqrt(num / max(den, 1e-30)))
+
+    # None (JSON null), not NaN: a diverged/truncated run must not write a
+    # bare NaN literal that breaks the next json.loads of the results file.
+    def _num(v):
+        return float(v) if v == v else None
+
     row = {
         "mode": "hard" if args.hard_bc else "penalty",
         "mesh": f"disc=({args.disc},{args.disc // 2}) tdisc={args.tdisc}",
@@ -144,8 +150,8 @@ def main():
         "lm": f"{args.lm_steps} iters cg={args.lm_cg}",
         "fdm": f"{args.fdm_nx}x{args.fdm_nx // 2}x{args.fdm_nt}",
         "platform": jax.devices()[0].platform,
-        "overall_rel_l2": overall,
-        "per_time": per_time,
+        "overall_rel_l2": _num(overall),
+        "per_time": {k: _num(v) for k, v in per_time.items()},
         "wall_s": wall,
     }
     RESULTS.mkdir(exist_ok=True)

@@ -185,3 +185,84 @@ def test_fdm_with_hole_converges_to_analytic():
         errs.append(np.linalg.norm(u - ue) / np.linalg.norm(ue))
     assert errs[1] < errs[0] / 3.0, errs  # second order => ~/4
     assert errs[1] < 5e-3, errs
+
+
+def test_hole_edges_must_stay_inside_nonconvex_outer():
+    """Vertex containment alone is not enough: a hole whose vertices sit
+    in the two legs of an L-shape but whose edges cross the cut-out
+    quadrant must be rejected (review finding, round 3)."""
+    import pytest
+
+    lshape = np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 1.0], [1.0, 1.0],
+                       [1.0, 2.0], [0.0, 2.0]])
+    crossing = np.array([[1.6, 0.5], [1.7, 0.6], [0.6, 1.7], [0.5, 1.6]])
+    with pytest.raises(ValueError, match="strictly inside"):
+        PolygonDomain2D(lshape, holes=[crossing])
+
+
+def test_holes_must_be_disjoint():
+    import pytest
+
+    with pytest.raises(ValueError, match="disjoint"):
+        PolygonDomain2D(OUTER, holes=[HOLE, HOLE + 0.05])
+    # nested holes are also rejected (inner vertices inside the outer hole)
+    with pytest.raises(ValueError, match="disjoint"):
+        PolygonDomain2D(
+            OUTER, holes=[HOLE, 0.5 + 0.3 * (HOLE - 0.5)])
+    # well-separated holes still construct
+    dom = PolygonDomain2D(
+        OUTER, holes=[HOLE * 0.4 + 0.1, HOLE * 0.4 + np.array([0.5, 0.1])])
+    assert len(dom.holes) == 2
+
+
+def test_fdm_rejects_non_dirichlet_hole_edges():
+    """eval_bc -> None on a hole edge would NaN-flood the CN solve; the
+    solver must fail fast instead (review finding, round 3)."""
+    import pytest
+
+    from varnet_tpu.geometry.domain import RectangleDomain2D
+    from varnet_tpu.problems.adpde import ADPDE, NeumannBC
+    from varnet_tpu.problems.classical import solve_ad_fdm_2d
+
+    dom = RectangleDomain2D((0.0, 0.0), (1.0, 1.0), holes=[HOLE])
+    pde = ADPDE(dom, diff=0.1, vel=np.array([0.5, 0.0]), source=0.0,
+                bcs=[1.0, None, 0.0, 0.0] + [NeumannBC(0.0)] * 4,
+                t_interval=(0.0, 0.5), ic=0.0)
+    with pytest.raises(ValueError, match="Dirichlet"):
+        solve_ad_fdm_2d(pde, nx=16, ny=16, nt=16, sample_times=[0.5])
+
+
+def test_fdm_rejects_unresolved_hole():
+    """A hole with no grid node inside would silently solve the hole-free
+    problem and mis-score every caller (review finding, round 3)."""
+    import pytest
+
+    from varnet_tpu.geometry.domain import RectangleDomain2D
+    from varnet_tpu.problems.adpde import ADPDE
+    from varnet_tpu.problems.classical import solve_ad_fdm_2d
+
+    tiny = np.array([[0.51, 0.51], [0.55, 0.51], [0.55, 0.55], [0.51, 0.55]])
+    dom = RectangleDomain2D((0.0, 0.0), (1.0, 1.0), holes=[tiny])
+    pde = ADPDE(dom, diff=0.1, vel=np.array([0.5, 0.0]), source=0.0,
+                bcs=[0.0] * 4 + [1.0] * 4,
+                t_interval=(0.0, 0.5), ic=0.0)
+    with pytest.raises(ValueError, match="no grid node"):
+        solve_ad_fdm_2d(pde, nx=10, ny=10, nt=10, sample_times=[0.5])
+
+
+def test_plot_domain_prism_draws_hole_ring(tmp_path):
+    """plot_domain on a prism draws the FOOTPRINT including hole rings
+    (the holes live on .poly; review finding, round 3)."""
+    from varnet_tpu.viz.plot import plot_domain
+
+    dom = PrismDomain3D(OUTER, z_lo=0.0, z_hi=0.5, holes=[HOLE])
+    fig = plot_domain(dom, disc=12)
+    try:
+        rings = [ln for ln in fig.axes[0].lines
+                 if ln.get_linestyle() == "-" and ln.get_color() == "k"]
+        assert len(rings) == 2  # outer ring + hole ring
+        assert "caps: segs 8, 9" in fig.axes[0].get_title()
+    finally:
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)

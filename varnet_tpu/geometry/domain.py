@@ -112,6 +112,38 @@ def _raycast(vertices: np.ndarray, pts: np.ndarray) -> np.ndarray:
     return inside
 
 
+def _segments_cross(p1, p2, p3, p4, eps: float) -> bool:
+    """True if segments [p1,p2] and [p3,p4] intersect, including touching
+    and collinear-overlap cases (holes must stay STRICTLY clear of other
+    rings, so any contact counts)."""
+    def cross2(u, v):
+        return u[0] * v[1] - u[1] * v[0]
+
+    d1 = cross2(p4 - p3, p1 - p3)
+    d2 = cross2(p4 - p3, p2 - p3)
+    d3 = cross2(p2 - p1, p3 - p1)
+    d4 = cross2(p2 - p1, p4 - p1)
+    if (((d1 > eps and d2 < -eps) or (d1 < -eps and d2 > eps))
+            and ((d3 > eps and d4 < -eps) or (d3 < -eps and d4 > eps))):
+        return True
+
+    def on_seg(a, b, c):
+        return (abs(cross2(b - a, c - a)) <= eps
+                and min(a[0], b[0]) - eps <= c[0] <= max(a[0], b[0]) + eps
+                and min(a[1], b[1]) - eps <= c[1] <= max(a[1], b[1]) + eps)
+
+    return (on_seg(p3, p4, p1) or on_seg(p3, p4, p2)
+            or on_seg(p1, p2, p3) or on_seg(p1, p2, p4))
+
+
+def _rings_cross(a: np.ndarray, b: np.ndarray, eps: float) -> bool:
+    """Any edge of closed ring a touches/crosses any edge of ring b."""
+    ea = [(a[i], a[(i + 1) % a.shape[0]]) for i in range(a.shape[0])]
+    eb = [(b[j], b[(j + 1) % b.shape[0]]) for j in range(b.shape[0])]
+    return any(_segments_cross(p1, p2, p3, p4, eps)
+               for p1, p2 in ea for p3, p4 in eb)
+
+
 class PolygonDomain2D:
     """Polygonal 2-D domain, convex or not (reference PolygonDomain2D),
     optionally with polygonal HOLES (beyond-reference: internal obstacle
@@ -141,6 +173,8 @@ class PolygonDomain2D:
             raise ValueError("vertices must be [V>=3, 2]")
         self.vertices = vertices
         self.holes = []
+        lo, hi = vertices.min(axis=0), vertices.max(axis=0)
+        eps = 1e-12 * float(max(hi - lo))
         for h in holes:
             h = np.asarray(h, dtype=np.float64)
             if h.ndim != 2 or h.shape[1] != 2 or h.shape[0] < 3:
@@ -148,6 +182,19 @@ class PolygonDomain2D:
             if not _raycast(vertices, h).all():
                 raise ValueError("hole vertices must lie inside the outer "
                                  "polygon")
+            # Vertex containment alone misses edges that leave a NON-CONVEX
+            # outer ring (e.g. a hole spanning the cut-out of an L-shape):
+            # require no edge contact with the outer ring or earlier holes,
+            # and no mutual vertex containment (together: strictly inside,
+            # mutually disjoint — exact for simple polygons).
+            if _rings_cross(vertices, h, eps):
+                raise ValueError("hole edges must stay strictly inside the "
+                                 "outer polygon (an edge touches or crosses "
+                                 "the outer boundary)")
+            for g in self.holes:
+                if (_raycast(g, h).any() or _raycast(h, g).any()
+                        or _rings_cross(g, h, eps)):
+                    raise ValueError("holes must be mutually disjoint")
             self.holes.append(h)
 
     @property
@@ -434,6 +481,10 @@ class PrismDomain3D:
     @property
     def vertices(self) -> np.ndarray:
         return self.poly.vertices
+
+    @property
+    def holes(self):
+        return self.poly.holes
 
     @property
     def bounds(self):

@@ -155,9 +155,27 @@ def solve_ad_fdm_2d(
                 "solve_ad_fdm_2d supports axis-aligned rectangular holes "
                 "only (the variational path handles arbitrary polygons)"
             )
+        for li in range(hv.shape[0]):
+            bc = pde.bcs[seg_off + li]
+            if bc is None or isinstance(bc, (NeumannBC, RobinBC)):
+                # eval_bc would return None and numpy would coerce it to
+                # NaN, silently flooding the whole CN solve — fail fast.
+                raise ValueError(
+                    f"solve_ad_fdm_2d: hole edge (segment {seg_off + li}) "
+                    "must carry Dirichlet data (free/Neumann/Robin hole "
+                    "edges are not supported by the FDM cross-validator)"
+                )
         inside = np.all((nodes >= hlo - eps_h) & (nodes <= hhi + eps_h),
                         axis=1)
         ks = np.where(inside)[0]
+        if not ks.size:
+            # Silently ignoring the hole would score callers against a
+            # hole-FREE reference field.
+            raise ValueError(
+                "solve_ad_fdm_2d: a hole contains no grid node — refine "
+                "nx/ny or align the grid with the hole edges "
+                f"(hole bbox {hlo.tolist()}..{hhi.tolist()}, h=({hx}, {hy}))"
+            )
         edges = [(hv[i], hv[(i + 1) % 4]) for i in range(4)]
         for k in ks:
             # nearest hole edge supplies the Dirichlet data

@@ -124,8 +124,14 @@ def plot_domain(domain, path: Optional[str] = None, disc: int = 40):
         ax.plot([lo[0], hi[0]], [0, 0], "rs")
         ax.set_yticks([])
     else:
+        # A prism (extruded polygon) is drawn as its xy FOOTPRINT: wall
+        # segment i is footprint edge i (hole walls included), the two
+        # caps are noted in the title.  Scattering the 3-D interior nodes
+        # directly would overplot every z-layer into one blob.
+        poly = getattr(domain, "poly", None)
+        foot = poly if (domain.dim == 3 and poly is not None) else domain
         seg = 0
-        rings = [domain.vertices] + list(getattr(domain, "holes", []))
+        rings = [foot.vertices] + list(getattr(foot, "holes", []))
         for v in rings:
             closed = np.vstack([v, v[:1]])
             ax.plot(closed[:, 0], closed[:, 1], "k-", lw=2)
@@ -133,11 +139,14 @@ def plot_domain(domain, path: Optional[str] = None, disc: int = 40):
                 mid = (v[i] + v[(i + 1) % v.shape[0]]) / 2
                 ax.annotate(f"seg {seg}", mid, fontsize=8, color="tab:red")
                 seg += 1
-        mesh = domain.mesh(disc)
+        mesh = foot.mesh(disc)
         pts = mesh.interior_nodes
         ax.plot(pts[:, 0], pts[:, 1], ".", ms=2, color="tab:blue")
         ax.set_aspect("equal")
-    ax.set_title("domain")
+    if domain.dim == 3:
+        ax.set_title(f"domain footprint (caps: segs {seg}, {seg + 1})")
+    else:
+        ax.set_title("domain")
     if path:
         fig.savefig(path, dpi=120, bbox_inches="tight")
         plt.close(fig)
