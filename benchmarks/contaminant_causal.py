@@ -77,6 +77,13 @@ def main():
                          "checkpoints (completed windows are skipped)")
     args = ap.parse_args()
 
+    if args.hard_bc and not args.folder.endswith("_hard"):
+        # the hard and penalty runs must not share checkpoint folders: a
+        # hard --resume would otherwise silently restore/skip windows with
+        # PENALTY-run thetas left at the default path (params-only restore
+        # has no mode fingerprint) — review finding, round 3
+        args.folder += "_hard"
+
     windows = [float(w) for w in args.windows.split(",")]
     assert windows[-1] == 1.0, "final window must cover the full interval"
     w = (args.w_int, args.w_bcic, args.w_bcic)

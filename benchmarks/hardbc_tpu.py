@@ -107,9 +107,18 @@ def main():
                          resume=args.resume, max_retries=2)
         finite = ([e for e in res.errors if e == e]
                   + [e for e in r.errors if e == e])
+        rescored = None
+        if not finite:
+            # a --resume re-run whose Adam AND LM budgets were already
+            # complete no-ops with empty histories; the restored theta IS
+            # the run's final iterate — score it instead of losing the
+            # A/B number the benchmark exists to produce
+            ce = vn.compute_error(vn.theta, disc=err_disc, n_times=5)
+            rescored = None if ce is None else float(ce)
+            finite = [] if rescored is None else [rescored]
         # None (JSON null), not float("nan"): NaN serializes as an invalid
         # bare literal that breaks the next json.loads of the results file.
-        best = min(finite, default=None)
+        best = min((e for e in finite if e == e), default=None)
         row = {
             "case": args.case,
             "mode": mode,
@@ -125,9 +134,16 @@ def main():
             "wall_s": time.perf_counter() - t0,
         }
         rows.append(row)
+        # write per MODE, not after the whole loop: a timeout during the
+        # second mode must not lose the first mode's completed A/B number
+        RESULTS.mkdir(exist_ok=True)
+        path = RESULTS / "hardbc_tpu.json"
+        data = json.loads(path.read_text()) if path.exists() else []
+        data.append(row)
+        path.write_text(json.dumps(data, indent=2))
         print(json.dumps(row, indent=2), flush=True)
         final = next((e for e in reversed(r.errors) if e == e),
-                     float("nan"))
+                     float("nan") if rescored is None else rescored)
         if hard and final == final and final < 1e-3:
             # gate on the FINAL error: vn.theta is the final iterate, and
             # pins re-score persisted thetas (history bests may not
@@ -136,13 +152,6 @@ def main():
                            vn.theta)
             print(f"[hardbc_tpu] hard theta persisted ({final:.3e})",
                   flush=True)
-
-    RESULTS.mkdir(exist_ok=True)
-    path = RESULTS / "hardbc_tpu.json"
-    data = json.loads(path.read_text()) if path.exists() else []
-    data.extend(rows)
-    path.write_text(json.dumps(data, indent=2))
-
 
 if __name__ == "__main__":
     main()

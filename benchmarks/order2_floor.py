@@ -79,8 +79,14 @@ def main():
         matmul_precision="highest", verbose=True, folderpath=args.folder,
         max_retries=2, resume=args.resume,
     )
-    best = min([e for e in res.errors if e == e] +
-               [e for e in r.errors if e == e])
+    finite = ([e for e in res.errors if e == e]
+              + [e for e in r.errors if e == e])
+    if not finite:
+        # a --resume re-run whose Adam AND LM budgets were already complete
+        # no-ops with empty histories; score the restored final iterate
+        # instead of crashing on min() of an empty sequence
+        finite = [float(vn.compute_error(vn.theta, disc=96, n_times=7))]
+    best = min(finite)
     row = {
         "order": args.order,
         "mesh": f"disc={args.disc} tdisc={args.tdisc} integ={args.integ}",
@@ -90,7 +96,7 @@ def main():
         "epochs": args.epochs,
         "lm": f"{args.lm_steps} iters cg={args.lm_cg}",
         "best_rel_l2": best,
-        "adam_rel_l2": min(e for e in res.errors if e == e),
+        "adam_rel_l2": min((e for e in res.errors if e == e), default=None),
         "adam_quad_evals_per_sec": res.quad_evals_per_sec,
         "precoeff": args.precoeff,
         "wall_s": time.perf_counter() - t0,

@@ -615,9 +615,22 @@ class VarNet:
         start = pre if resume else 0
         target = max(int(epoch_num), start) if resume else start + int(epoch_num)
         st = {"epochs": target - start, "resume": resume}
-        if resume and verbose and target == start:
-            print(f"[varnet] resume: {start} epochs already complete "
-                  f"(budget {int(epoch_num)}), skipping training")
+        if resume and target == start:
+            # Completed-budget no-op: restore the final iterate and return
+            # WITHOUT running the device setup — and, critically, without
+            # overwriting the completed run's train_result.json with an
+            # empty history (review finding, round 3).
+            if verbose:
+                print(f"[varnet] resume: {start} epochs already complete "
+                      f"(budget {int(epoch_num)}), skipping training")
+            step, _ = self._restore_theta(folderpath)
+            if step:
+                meta = load_meta(folderpath, step)
+                if meta is not None and "prng_key" in meta:
+                    self.prng_key = np.asarray(meta["prng_key"],
+                                               dtype=np.uint32)
+            self.train_result = TrainResult()
+            return self.train_result
 
         def attempt_fn():
             with matmul_precision_scope(matmul_precision):
