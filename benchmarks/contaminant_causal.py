@@ -103,9 +103,12 @@ def main():
         pts, mask = vn.pde.domain.grid_in_domain((49, 25))
         pts = pts[mask]
         umax = float(np.abs(vn.evaluate(pts, t=np.full(len(pts), t_end))).max())
-        print(f"[causal] window [0,{t_end}]: loss "
-              f"{res.losses[-1]['loss']:.3e}  max|u(T)| {umax:.3e}",
-              flush=True)
+        # res can be empty (fault-after-final-checkpoint / budget-met
+        # no-op both return an empty TrainResult)
+        loss_s = (f"{res.losses[-1]['loss']:.3e}" if res.losses
+                  else "n/a (restored)")
+        print(f"[causal] window [0,{t_end}]: loss {loss_s}  "
+              f"max|u(T)| {umax:.3e}", flush=True)
         return {"tdisc": vn.t_disc_num, "max_abs_u_at_T": umax,
                 "wall_s": time.perf_counter() - t0}
 
@@ -171,7 +174,8 @@ def main():
     if args.lm_steps:
         vn.refine_lm(steps=args.lm_steps, weight=w, cg_iters=args.lm_cg,
                      cg_segment=50, k_chunks=16, save_freq=2, verbose=True,
-                     folderpath=f"{args.folder}_lm")
+                     folderpath=f"{args.folder}_lm",
+                     resume=args.resume, max_retries=2)
         overall2, per_time2, max_u2 = score(vn)
         if overall2 < overall:
             rec.update(overall_rel_l2=overall2, per_time=per_time2,

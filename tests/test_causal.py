@@ -49,6 +49,19 @@ def test_train_causal_validates_windows():
         train_causal(_make_pde, windows=(0.5, 0.75))  # final != 1.0
     with pytest.raises(ValueError):
         train_causal(_make_pde, windows=(0.75, 0.5, 1.0))  # not increasing
+    with pytest.raises(ValueError, match="positive"):
+        train_causal(_make_pde, windows=(-0.5, 0.5, 1.0))  # t_end <= 0
+
+
+def test_train_causal_rejects_colliding_train_kwargs():
+    """epoch_num/weight would TypeError deep inside train(); a shared
+    folderpath would silently corrupt the per-stage recovery chain
+    (review finding, round 3)."""
+    for key, val in (("epoch_num", 10), ("weight", (1.0, 1.0, 1.0)),
+                     ("folderpath", "/tmp/x"), ("resume", True)):
+        with pytest.raises(ValueError, match="train_kwargs"):
+            train_causal(_make_pde, windows=(0.5, 1.0), epoch_num=10,
+                         train_kwargs={key: val}, verbose=False)
 
 
 def test_train_causal_resume(tmp_path):

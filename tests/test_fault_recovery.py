@@ -32,12 +32,27 @@ def test_transient_classification():
     assert is_transient_device_error(
         jax.errors.JaxRuntimeError("UNAVAILABLE: TPU device error")
     )
+    # measured tunnel fault mode on this machine (CLAUDE.md known traps)
     assert is_transient_device_error(
+        jax.errors.JaxRuntimeError("FAILED_PRECONDITION: tunnel flake")
+    )
+    # OOM is deterministic for an unchanged program: retryable ONLY when
+    # the caller opts in because its retry shrinks the footprint
+    assert not is_transient_device_error(
         jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: out of memory")
+    )
+    assert is_transient_device_error(
+        jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: out of memory"),
+        include_oom=True,
     )
     # program errors are not retryable
     assert not is_transient_device_error(
         jax.errors.JaxRuntimeError("INVALID_ARGUMENT: bad shape")
+    )
+    # deterministic compiler failures surface as INTERNAL but must not
+    # re-pay the multi-minute compile per retry
+    assert not is_transient_device_error(
+        jax.errors.JaxRuntimeError("INTERNAL: Mosaic failed to compile")
     )
     assert not is_transient_device_error(ValueError("UNAVAILABLE"))
 

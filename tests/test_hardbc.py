@@ -575,3 +575,46 @@ def test_train_transient_3d_hard_bc():
     r = vn.refine_lm(steps=2, cg_iters=20, save_freq=2, verbose=False,
                      error_disc=8, error_times=3)
     assert min(res.errors + r.errors) < res.errors[0]
+
+
+def test_gtilde_many_segment_idw_no_underflow():
+    """The IDW product-of-distances underflows exp() without the
+    logsumexp-style shift once E is a few hundred segments (review
+    finding, round 3): a 720-gon with g = 1 everywhere must blend to
+    finite weights that reproduce the constant."""
+    th = np.linspace(0.0, 2 * np.pi, 720, endpoint=False)
+    poly = PolygonDomain2D(np.stack([np.cos(th), np.sin(th)], axis=1))
+    pde = ADPDE(poly, diff=0.1, vel=(0.0, 0.0),
+                bcs=[1.0] * poly.n_boundary_segments)
+    hb = HardBC(pde)
+    pts = np.array([[0.0, 0.0], [0.3, 0.2], [-0.5, 0.1], [0.0, 0.9]])
+    g = hb.gtilde(pts, None)
+    assert np.isfinite(g).all()
+    np.testing.assert_allclose(g, 1.0, atol=1e-9)
+
+
+def test_tables_one_sided_fallback_at_boundary_points():
+    """tables() is also called at flux-penalty coords ON the boundary
+    (api._shard_hard); a user data callable undefined outside the domain
+    (sqrt) must not NaN the dA rows (review finding, round 3)."""
+
+    def g_sqrt(x, t):
+        x = np.atleast_2d(x)
+        return np.sqrt(x[:, 0]) + np.asarray(t)
+
+    dom = RectangleDomain2D((0.0, 0.0), (1.0, 1.0))
+    # bottom, right, top free; left (x0 = 0) Dirichlet with sqrt data
+    pde = ADPDE(dom, diff=0.1, vel=(0.5, 0.0), source=0.0,
+                bcs=[None, None, None, g_sqrt],
+                t_interval=(0.0, 1.0), ic=lambda x: g_sqrt(x, 0.0))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        hb = HardBC(pde)
+    # points ON the left edge: the x0 - h probe leaves the domain
+    ys = np.linspace(0.1, 0.9, 5)
+    coords = np.stack([np.zeros(5), ys, np.full(5, 0.5)], axis=1)
+    hq = hb.tables(coords)
+    assert np.isfinite(hq.dA).all()
+    assert np.isfinite(hq.At).all()
+    # the one-sided d/dx of sqrt at x=0 is huge but finite; d/dy is 0
+    np.testing.assert_allclose(hq.dA[:, 1], 0.0, atol=1e-6)

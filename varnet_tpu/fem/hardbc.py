@@ -322,7 +322,12 @@ class HardBC:
         # w_e = prod_{j != e} phi1_j: total product / own factor, in log
         # space for robustness.
         logs = np.log(phi1)
-        w = np.exp(logs.sum(axis=1, keepdims=True) - logs)      # [P, E]
+        L = logs.sum(axis=1, keepdims=True) - logs              # [P, E]
+        # logsumexp-style shift: without it the product of E normalized
+        # distances underflows exp() to an all-zero row (0/0 NaN weights)
+        # for boundaries with many segments; the shift cancels in the
+        # normalization exactly.
+        w = np.exp(L - L.max(axis=1, keepdims=True))
         w = w / w.sum(axis=1, keepdims=True)
         out = np.zeros(x.shape[0], dtype=np.float64)
         for col, seg in enumerate(self.dir_segs):
@@ -392,11 +397,27 @@ class HardBC:
     def tables(self, coords: np.ndarray) -> HardQuad:
         """Full (A, B, dA, dB, At, Bt) tables at quadrature-like points.
 
-        Spatial/temporal gradients by f64 central differences — the
+        Spatial/temporal gradients by f64 central differences.  Quad
         points are strictly interior (Gauss points sit >= ~0.2 h from the
-        boundary), so probes never leave the domain's data fields'
-        natural extension.
+        boundary) so probes stay inside; flux-penalty coords sit ON the
+        boundary, where a +/-h probe can leave the domain and a user data
+        callable may be undefined (NaN) there — those points fall back to
+        the finite one-sided difference (D is pure geometry and is
+        defined everywhere, so only the data extension G needs the
+        guard).
         """
+
+        def _fd(fp, fm, f0, step):
+            """Central difference with a one-sided fallback where a
+            probe returned non-finite values."""
+            out = (fp - fm) / (2 * step)
+            bad = ~np.isfinite(out)
+            if bad.any():
+                fwd = (fp[bad] - f0[bad]) / step
+                out[bad] = np.where(np.isfinite(fwd), fwd,
+                                    (f0[bad] - fm[bad]) / step)
+            return out
+
         x, t, mu, lead = self._split(coords)
         d, h = self.n_space, self._fd_h
         D = self.dist(x)
@@ -409,11 +430,11 @@ class HardBC:
             xm = x.copy()
             xm[:, j] -= h
             dD[:, j] = (self.dist(xp) - self.dist(xm)) / (2 * h)
-            dG[:, j] = (self._G(xp, t, mu) - self._G(xm, t, mu)) / (2 * h)
+            dG[:, j] = _fd(self._G(xp, t, mu), self._G(xm, t, mu), G, h)
         if self.td:
             tau = (t - self.t0) / (self.t1 - self.t0)
             ht = 1e-6 * (self.t1 - self.t0)
-            Gt = (self._G(x, t + ht, mu) - self._G(x, t - ht, mu)) / (2 * ht)
+            Gt = _fd(self._G(x, t + ht, mu), self._G(x, t - ht, mu), G, ht)
             return HardQuad(
                 A=G.reshape(lead),
                 B=(tau * D).reshape(lead),

@@ -86,6 +86,9 @@ def train_causal(
         raise ValueError("the final window must be 1.0 (the full interval)")
     if any(b <= a for a, b in zip(windows, windows[1:])):
         raise ValueError("windows must be strictly increasing")
+    if windows[0] <= 0.0:
+        raise ValueError("windows must be positive fractions of the "
+                         "interval (got a window <= 0)")
 
     if resume and folderpath is None:
         raise ValueError(
@@ -100,6 +103,15 @@ def train_causal(
             "pass resume to train_causal itself, not via train_kwargs "
             "(the curriculum manages per-stage resume)"
         )
+    for key in ("epoch_num", "weight", "folderpath"):
+        if key in tkw:
+            # epoch_num/weight collide with the explicit train() call
+            # below (TypeError); a shared folderpath would make every
+            # stage checkpoint into ONE folder with overlapping epoch
+            # numbering, silently corrupting the recovery chain.
+            raise ValueError(
+                f"pass {key} to train_causal itself, not via train_kwargs"
+            )
 
     from .checkpoint import list_checkpoint_steps
 
@@ -134,12 +146,17 @@ def train_causal(
         res = vn.train(epoch_num=epoch_num, weight=weight,
                        resume=bool(done), **tkw)
         theta = vn.theta
-        rec = {"t_end": w, "final_loss": res.losses[-1]["loss"],
-               "result": res}
+        # res can be EMPTY: train()'s fault-retry path returns an empty
+        # TrainResult when the fault landed after the final checkpoint
+        # ("work already done"), and the budget-met no-op does the same.
+        final_loss = res.losses[-1]["loss"] if res.losses else None
+        rec = {"t_end": w, "final_loss": final_loss, "result": res}
         if stage_hook is not None:
             rec.update(stage_hook(vn, w, res) or {})
         stages.append(rec)
         if verbose:
-            print(f"[varnet/causal] window [0,{w}]: "
-                  f"loss {rec['final_loss']:.3e}", flush=True)
+            loss_s = ("n/a (restored complete)" if final_loss is None
+                      else f"{final_loss:.3e}")
+            print(f"[varnet/causal] window [0,{w}]: loss {loss_s}",
+                  flush=True)
     return vn, stages

@@ -22,6 +22,9 @@ TRANSIENT_STATUS_CODES = (
     "ABORTED",
     "DEADLINE_EXCEEDED",
     "INTERNAL",
+    # measured on this machine: a device_get through the TPU tunnel once
+    # died to a transient FAILED_PRECONDITION (CLAUDE.md known traps)
+    "FAILED_PRECONDITION",
 )
 
 # RESOURCE_EXHAUSTED (OOM) is deterministic for an unchanged program, so
@@ -32,7 +35,7 @@ OOM_STATUS_CODES = ("RESOURCE_EXHAUSTED",)
 
 
 def is_transient_device_error(
-    err: BaseException, include_oom: bool = True
+    err: BaseException, include_oom: bool = False
 ) -> bool:
     """True if ``err`` looks like a transient accelerator fault.
 
@@ -40,12 +43,19 @@ def is_transient_device_error(
     message leads with the gRPC-style status code; match on those rather
     than exception identity so the classification survives jaxlib
     version drift.  ``include_oom`` adds RESOURCE_EXHAUSTED — pass True
-    only when the retry will shrink the program's memory footprint.
+    only when the retry will shrink the program's memory footprint
+    (the default is False to match that contract: retrying an identical
+    program on a deterministic OOM just spins).
     """
     import jax
 
     if not isinstance(err, jax.errors.JaxRuntimeError):
         return False
     msg = str(err)
+    if "Mosaic" in msg:
+        # Mosaic/Pallas lowering failures surface as INTERNAL but are
+        # deterministic compiler errors — retrying re-pays the multi-
+        # minute compile for the same failure.
+        return False
     codes = TRANSIENT_STATUS_CODES + (OOM_STATUS_CODES if include_oom else ())
     return any(code in msg for code in codes)
