@@ -32,11 +32,10 @@ Forward-mode recurrence (per point block, T = tile size):
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -173,7 +172,7 @@ def _make_mm(precision):
 # Fourier-feature embedding (in-kernel; SEEDS the jacobian panels)
 
 
-def _embed(xs, bt2pi, _mm):
+def _embed(xs, bt2pi):
     """xs [n_in, T], bt2pi = 2*pi*B^T [F, n_in] ->
     a0 [2F, T], J0 list of n_in panels [2F, T]."""
     n_in = xs.shape[0]
@@ -241,13 +240,8 @@ def _fwd_pallas(wts, bs, xs_t, *, n_in, tile, activation, precision, interpret):
     in_specs = [
         pl.BlockSpec((n_in, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     ]
-    wb = []
-    for wt, b in zip(wts, bs):
-        wb += [wt, b]
-        in_specs += [
-            pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ]
+    wb = [x for pair in zip(wts, bs) for x in pair]
+    in_specs += _wb_specs(wts, bs)
     out_spec = pl.BlockSpec(
         (1 + n_in, tile), lambda i: (0, i), memory_space=pltpu.VMEM
     )
@@ -271,7 +265,7 @@ def _fwd_kernel_ff(n_in: int, n_layers: int, activation: str, precision, *refs):
     w_refs = refs[2 : 2 + 2 * n_layers]
     out_ref = refs[2 + 2 * n_layers]
 
-    a0, j0 = _embed(xs_ref[:], bt_ref[:], _mm)
+    a0, j0 = _embed(xs_ref[:], bt_ref[:])
     z = _mm(w_refs[0][:], a0) + w_refs[1][:]
     a = act(z)
     sp = act_p(z, a)
@@ -299,7 +293,7 @@ def _bwd_kernel_ff(n_in: int, n_layers: int, activation: str, precision, *refs):
     i = pl.program_id(0)
 
     # forward recompute (all state in VMEM)
-    a0, j0 = _embed(xs_ref[:], bt_ref[:], _mm)
+    a0, j0 = _embed(xs_ref[:], bt_ref[:])
     acts, zs, pres, jacs = [], [], [], []
     z = _mm(w_refs[0][:], a0) + w_refs[1][:]
     a = act(z)
@@ -463,7 +457,7 @@ def _jvp_kernel_ff(n_in: int, n_layers: int, activation: str, precision,
     out_ref = refs[2 + 4 * n_layers]
     t = xs_ref.shape[1]
 
-    a0, j0 = _embed(xs_ref[:], bt_ref[:], _mm)
+    a0, j0 = _embed(xs_ref[:], bt_ref[:])
     w1, b1 = w_refs[0][:], w_refs[1][:]
     dw1, db1 = dw_refs[0][:], dw_refs[1][:]
     z = _mm(w1, a0) + b1
@@ -490,13 +484,9 @@ def _jvp_pallas(wts, bs, dwts, dbs, xs_t, *, n_in, tile, activation, precision,
     in_specs = [
         pl.BlockSpec((n_in, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     ]
-    wb = []
-    for wt, b in list(zip(wts, bs)) + list(zip(dwts, dbs)):
-        wb += [wt, b]
-        in_specs += [
-            pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ]
+    wb = [x for pair in list(zip(wts, bs)) + list(zip(dwts, dbs))
+          for x in pair]
+    in_specs += _wb_specs(wts, bs) + _wb_specs(dwts, dbs)
     kernel = functools.partial(_jvp_kernel, n_in, n_layers, activation, precision)
     return pl.pallas_call(
         kernel,
@@ -517,13 +507,9 @@ def _jvp_pallas_ff(wts, bs, dwts, dbs, xs_t, bt, *, n_in, tile, activation,
         pl.BlockSpec((n_in, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec(bt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
-    wb = []
-    for wt, b in list(zip(wts, bs)) + list(zip(dwts, dbs)):
-        wb += [wt, b]
-        in_specs += [
-            pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ]
+    wb = [x for pair in list(zip(wts, bs)) + list(zip(dwts, dbs))
+          for x in pair]
+    in_specs += _wb_specs(wts, bs) + _wb_specs(dwts, dbs)
     kernel = functools.partial(_jvp_kernel_ff, n_in, n_layers, activation,
                                precision)
     return pl.pallas_call(
@@ -743,6 +729,22 @@ def _bwd_kernel(n_in: int, n_layers: int, activation: str, precision, *refs):
         def _():
             ref[:] = ref[:] + val
 
+    _packed_bwd_tail(
+        n_in, n_layers, t, _mm, act_p, act_pp, w_refs, out_refs, accum,
+        xs, zs, acts, s_packed, g_rows,
+        # stored pre panels from the forward recompute
+        pre_panel=lambda l, j: pres_c[l][:, j * t : (j + 1) * t],
+    )
+
+
+def _packed_bwd_tail(n_in, n_layers, t, _mm, act_p, act_pp, w_refs, out_refs,
+                     accum, xs, zs, acts, s_packed, g_rows, pre_panel):
+    """Last-layer + hidden-layer backward for the PANEL-PACKED recurrence,
+    shared between the value+jac backward (here) and the fused-residual
+    backward (pallas_residual._fused_bwd_kernel) — the two differed only
+    in where the hidden-layer pre panels P_l^j come from, supplied by
+    ``pre_panel(l, j)`` (l >= 1; layer 0 uses the Wt_1 column broadcast).
+    A gradient-propagation fix lands in ONE place (round-3 review)."""
     wt_last = w_refs[2 * (n_layers - 1)][:]
     d_wt_last = None
     for j in range(1 + n_in):
@@ -766,11 +768,7 @@ def _bwd_kernel(n_in: int, n_layers: int, activation: str, precision, *refs):
         # gz = sp*ga + spp * sum_j gJ_j * P_l^j
         acc = None
         for j in range(n_in):
-            p_lj = (
-                w_refs[0][:, j : j + 1]
-                if l == 0
-                else pres_c[l][:, j * t : (j + 1) * t]
-            )
+            p_lj = w_refs[0][:, j : j + 1] if l == 0 else pre_panel(l, j)
             term = g_jac[:, j * t : (j + 1) * t] * p_lj
             acc = term if acc is None else acc + term
         gz = sp * ga + spp * acc
@@ -803,23 +801,9 @@ def _bwd_pallas(wts, bs, xs_t, g, *, n_in, tile, activation, precision, interpre
         pl.BlockSpec((n_in, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((1 + n_in, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
     ]
-    wb = []
-    for wt, b in zip(wts, bs):
-        wb += [wt, b]
-        in_specs += [
-            pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ]
-    out_specs, out_shapes = [], []
-    for wt, b in zip(wts, bs):
-        out_specs += [
-            pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ]
-        out_shapes += [
-            jax.ShapeDtypeStruct(wt.shape, jnp.float32),
-            jax.ShapeDtypeStruct(b.shape, jnp.float32),
-        ]
+    wb = [x for pair in zip(wts, bs) for x in pair]
+    in_specs += _wb_specs(wts, bs)
+    out_specs, out_shapes = _wb_grad_outs(wts, bs)
     kernel = functools.partial(_bwd_kernel, n_in, n_layers, activation, precision)
     return pl.pallas_call(
         kernel,
@@ -841,6 +825,22 @@ def _wb_specs(wts, bs):
     return specs
 
 
+def _wb_grad_outs(wts, bs):
+    """(out_specs, out_shapes) for per-layer (dW, db) gradient outputs —
+    constant-index blocks accumulated across the sequential grid."""
+    out_specs, out_shapes = [], []
+    for wt, b in zip(wts, bs):
+        out_specs += [
+            pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shapes += [
+            jax.ShapeDtypeStruct(wt.shape, jnp.float32),
+            jax.ShapeDtypeStruct(b.shape, jnp.float32),
+        ]
+    return out_specs, out_shapes
+
+
 def _fwd_pallas_ff(wts, bs, xs_t, bt, *, n_in, tile, activation, precision,
                    interpret):
     n_layers = len(wts)
@@ -849,9 +849,7 @@ def _fwd_pallas_ff(wts, bs, xs_t, bt, *, n_in, tile, activation, precision,
         pl.BlockSpec((n_in, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec(bt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
     ] + _wb_specs(wts, bs)
-    wb = []
-    for wt, b in zip(wts, bs):
-        wb += [wt, b]
+    wb = [x for pair in zip(wts, bs) for x in pair]
     kernel = functools.partial(_fwd_kernel_ff, n_in, n_layers, activation,
                                precision)
     return pl.pallas_call(
@@ -874,19 +872,8 @@ def _bwd_pallas_ff(wts, bs, xs_t, g, bt, *, n_in, tile, activation, precision,
         pl.BlockSpec((1 + n_in, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec(bt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
     ] + _wb_specs(wts, bs)
-    wb = []
-    for wt, b in zip(wts, bs):
-        wb += [wt, b]
-    out_specs, out_shapes = [], []
-    for wt, b in zip(wts, bs):
-        out_specs += [
-            pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ]
-        out_shapes += [
-            jax.ShapeDtypeStruct(wt.shape, jnp.float32),
-            jax.ShapeDtypeStruct(b.shape, jnp.float32),
-        ]
+    wb = [x for pair in zip(wts, bs) for x in pair]
+    out_specs, out_shapes = _wb_grad_outs(wts, bs)
     kernel = functools.partial(_bwd_kernel_ff, n_in, n_layers, activation,
                                precision)
     return pl.pallas_call(
@@ -941,7 +928,9 @@ def pallas_ff_value_and_jac(
     """Fused kernel variant of ``models.mlp.ff_value_and_jac`` (Fourier
     embedding runs in-kernel; same signature with the fixed B first).
     Bind B with functools.partial to get the standard value_and_jac
-    signature."""
+    signature.  Same parameter-gradients-only VJP contract as
+    ``pallas_value_and_jac``: cotangents w.r.t. ``x`` (and B) are zeros,
+    not the true input gradient."""
     p, n_in = x.shape
     n_layers = len(params)
     if n_layers < 2:  # linear head on the embedding — nothing to fuse
@@ -1029,7 +1018,12 @@ def pallas_value_and_jac(
 
     Drop-in replacement for ``models.mlp.mlp_value_and_jac`` (same
     signature, same semantics: jacobian w.r.t. the ORIGINAL unscaled
-    inputs).  Pass ``value_and_jac=pallas_value_and_jac`` to
+    inputs) — with ONE contract difference: the custom VJP provides
+    gradients w.r.t. the PARAMETERS only; differentiating through ``x``
+    yields zeros, not the true input cotangent (the training loss never
+    needs it — quadrature coords are constants).  Callers that need
+    d/dx of the loss (trainable collocation points, grad-of-grad) must
+    use the XLA path.  Pass ``value_and_jac=pallas_value_and_jac`` to
     ``make_loss_fn`` / ``VarNet.train``.
     """
     p, n_in = x.shape

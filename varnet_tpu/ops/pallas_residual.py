@@ -27,7 +27,7 @@ is fixed).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +35,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_mlp import _act_pair, _make_mm, _outer, _small_k_mm, _small_n_mm_t
+from .pallas_mlp import (_act_pair, _make_mm, _outer, _packed_bwd_tail,
+                         _round_up, _small_k_mm, _small_n_mm_t)
 
 DEFAULT_TILE_K = 4096        # jacobian-panel kernel: measured best on v5e
 DEFAULT_TILE_K_DIR = 8192    # directional kernel: smaller VMEM state admits
@@ -200,61 +201,16 @@ def _fused_bwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
         def _():
             ref[:] = ref[:] + val
 
-    # identical structure to pallas_mlp._bwd_kernel from here on
-    wt_last = w_refs[2 * (n_layers - 1)][:]
-    d_wt_last = None
-    for j in range(1 + n_in):
-        term = _mm(g_rows[j], s_packed[-1][:, j * t : (j + 1) * t].T)
-        d_wt_last = term if d_wt_last is None else d_wt_last + term
-    accum(out_refs[2 * (n_layers - 1)], d_wt_last)
-    accum(
-        out_refs[2 * (n_layers - 1) + 1],
-        jnp.sum(g_rows[0], axis=1, keepdims=True),
+    _packed_bwd_tail(
+        n_in, n_layers, t, _mm, act_p, act_pp, w_refs, out_refs, accum,
+        xs, zs, acts, s_packed, g_rows,
+        # _packed_forward stores no pre panels: recompute P_l^j from the
+        # previous packed state
+        pre_panel=lambda l, j: _mm(
+            w_refs[2 * l][:],
+            s_packed[l - 1][:, (j + 1) * t : (j + 2) * t],
+        ),
     )
-    g_s = jnp.concatenate(
-        [_outer(wt_last.T, g_rows[j]) for j in range(1 + n_in)], axis=1
-    )
-
-    for l in range(n_layers - 2, -1, -1):
-        sp = act_p(zs[l], acts[l])
-        spp = act_pp(zs[l], acts[l], sp)
-        ga = g_s[:, :t]
-        g_jac = g_s[:, t:]
-        acc = None
-        for j in range(n_in):
-            p_lj = (
-                w_refs[0][:, j : j + 1]
-                if l == 0
-                else None
-            )
-            if l == 0:
-                term = g_jac[:, j * t : (j + 1) * t] * p_lj
-            else:
-                # recompute pre panels from the previous packed state
-                term = g_jac[:, j * t : (j + 1) * t] * _mm(
-                    w_refs[2 * l][:],
-                    s_packed[l - 1][:, (j + 1) * t : (j + 2) * t],
-                )
-            acc = term if acc is None else acc + term
-        gz = sp * ga + spp * acc
-        sp_tiled = jnp.concatenate([sp] * n_in, axis=1)
-        g_p = sp_tiled * g_jac
-
-        wt_l = w_refs[2 * l][:]
-        if l == 0:
-            d_wt = _small_n_mm_t(gz, xs, n_in)
-            cols = [
-                jnp.sum(g_p[:, j * t : (j + 1) * t], axis=1, keepdims=True)
-                for j in range(n_in)
-            ]
-            d_wt = d_wt + jnp.concatenate(cols, axis=1)
-            accum(out_refs[0], d_wt)
-            accum(out_refs[1], jnp.sum(gz, axis=1, keepdims=True))
-        else:
-            g_zc = jnp.concatenate([gz, g_p], axis=1)
-            accum(out_refs[2 * l], _mm(g_zc, s_packed[l - 1].T))
-            accum(out_refs[2 * l + 1], jnp.sum(gz, axis=1, keepdims=True))
-            g_s = _mm(wt_l.T, g_zc)
 
 
 # ---------------------------------------------------------------------- #
@@ -484,10 +440,6 @@ def _dir_bwd_kernel(n_in, n_layers, d, td, has_react, activation, precision,
             g_s = _mm(w_refs[2 * l][:].T, g_zc)
 
 
-def _round_up(n, m):
-    return -(-n // m) * m
-
-
 def resolve_layout(h_max, nq, n_layers, n_in, activation="tanh",
                    directional=True, interpret=False, tile=None,
                    q_block=None, precision=None, n_ff=0):
@@ -544,6 +496,20 @@ def resolve_layout(h_max, nq, n_layers, n_in, activation="tanh",
     return G, tile
 
 
+def _block_layout(xp, a3, nqp, kp, G):
+    """The q-major G-blocked kernel layout, in ONE place (the kernels'
+    col_map assumes exactly this transform): [rows, nqp, kp]-flattened
+    a3 -> G = 1: [rows, nqp * kp]; G > 1: [G * rows, (nqp // G) * kp]
+    with the within-block q index leading the row axis."""
+    rows = a3.shape[0]
+    if G > 1:
+        a = a3.reshape(rows, nqp // G, G, kp)
+        return xp.transpose(a, (2, 0, 1, 3)).reshape(
+            G * rows, (nqp // G) * kp
+        )
+    return a3.reshape(rows, nqp * kp)
+
+
 def prepare_residual_layout(quad, scale, shift, *, has_react, G, tile):
     """Precompute the kernel's q-major (optionally q-blocked) data layout
     (xs, flds) for FIXED quadrature data.
@@ -559,8 +525,15 @@ def prepare_residual_layout(quad, scale, shift, *, has_react, G, tile):
     # layouts there); device arrays go through jnp.  Coords are cast to
     # f32 BEFORE scaling so both paths round identically.
     xp = np if isinstance(quad.coords, np.ndarray) else jnp
+    if quad.tables_per_node:
+        # [K, nQ(, d)] order-2 tables: the plain fused layout assumes the
+        # shared [nQ(, d)] shape (d below would silently become nQ) —
+        # order-2 rides prepare_residual_coeffs (precoeff=True) instead.
+        raise ValueError(
+            "per-node test tables (test_order=2) require precoeff=True"
+        )
     k, nq, n_in = quad.coords.shape
-    d = quad.dN.shape[1]
+    d = quad.dN.shape[-1]
     kp = _round_up(max(k, 1), tile)
     nqp = _round_up(nq, G)
 
@@ -584,15 +557,8 @@ def prepare_residual_layout(quad, scale, shift, *, has_react, G, tile):
     flds3 = xp.concatenate(fld_rows, axis=0)
     n_f = flds3.shape[0]
 
-    if G > 1:
-        def blocked(a3, rows):
-            a = a3.reshape(rows, nqp // G, G, kp)
-            return xp.transpose(a, (2, 0, 1, 3)).reshape(
-                G * rows, (nqp // G) * kp
-            )
-
-        return blocked(xs3, n_in), blocked(flds3, n_f)
-    return xs3.reshape(n_in, nqp * kp), flds3.reshape(n_f, nqp * kp)
+    return (_block_layout(xp, xs3, nqp, kp, G),
+            _block_layout(xp, flds3, nqp, kp, G))
 
 
 @functools.lru_cache(maxsize=32)
@@ -1268,18 +1234,11 @@ def prepare_residual_coeffs(quad, scale, shift, *, time_dependent,
         react = xp.asarray(quad.react, dtype=xp.float32)
         cu3 = row3(w_kq * n_kq * react)
 
-    def layout(a3):
-        rows = a3.shape[0]
-        if G > 1:
-            a = a3.reshape(rows, nqp // G, G, kp)
-            return xp.transpose(a, (2, 0, 1, 3)).reshape(
-                G * rows, (nqp // G) * kp
-            )
-        return a3.reshape(rows, nqp * kp)
-
-    out = (layout(xs3), layout(cdir3), layout(csrc3))
+    out = (_block_layout(xp, xs3, nqp, kp, G),
+           _block_layout(xp, cdir3, nqp, kp, G),
+           _block_layout(xp, csrc3, nqp, kp, G))
     if cu3 is not None:
-        out = out + (layout(cu3),)
+        out = out + (_block_layout(xp, cu3, nqp, kp, G),)
     return out
 
 
