@@ -174,6 +174,40 @@ def test_contaminant_causal_theta_pinned():
     assert overall < 0.025, f"expected ~1.6e-2, got {overall:.3e}"
 
 
+def test_contaminant_causal_hard_theta_pinned():
+    """Causal curriculum x HARD BC at the original contaminant config
+    (round 3, tpu_queue13/chain13): LM-polished 1.89% overall (Adam-only
+    2.11% vs the penalty curriculum's Adam-only 3.64% —
+    contaminant_causal_hard.json); pinned at <2.5%.  The hard ansatz
+    makes every window's BC/IC exact, so the curriculum only has to
+    carry the plume, not re-fit the boundary."""
+    from varnet_tpu.api import VarNet
+    from varnet_tpu.problems.analytic import contaminant_transport_2d
+    from varnet_tpu.utils.helpers import rel_l2_error
+
+    path = os.path.join(RESULTS, "theta_contaminant_causal_hard.npz")
+    if not os.path.exists(path):
+        pytest.skip("no persisted causal x hard contaminant theta yet")
+    data = os.path.join(os.path.dirname(RESULTS), "data",
+                        "contaminant_fdm.npz")
+    z = np.load(data)
+    case = contaminant_transport_2d()  # defaults ARE the original params
+    vn = VarNet(case["pde"], layer_width=(96, 96, 96), disc_num=8,
+                t_disc_num=4, b_disc_num=4, n_devices=1, seed=0,
+                input_scaling=False, hard_bc=True, fourier_features=128,
+                fourier_scale=[0.5, 2.0])
+    vn.theta = _load_theta(path)
+    preds, trues = [], []
+    for s, tval in enumerate(z["times"]):
+        if tval <= 0:
+            continue
+        x = z["x"].astype(np.float64)
+        preds.append(vn.evaluate(x, t=np.full(x.shape[0], tval)))
+        trues.append(z["u"][s].astype(np.float64))
+    overall = rel_l2_error(np.concatenate(preds), np.concatenate(trues))
+    assert overall < 0.025, f"expected ~1.9e-2, got {overall:.3e}"
+
+
 def test_ad3d_d16_theta_pinned():
     """3-D steady AD deep push (round 3, /tmp/tpu_queue4): width-64 LM at
     disc 16 reached rel-L2 4.48e-4 on TPU (ad3d_floor.json; the run the
