@@ -167,3 +167,29 @@ def test_segmented_sharded_both_variants_descend():
         out = step(step(state))
         assert jnp.isfinite(out.loss)
         assert float(out.loss) < 9.0, f"precond={p}: {float(out.loss)}"
+
+
+def test_segmented_exact_iteration_count():
+    """cg_iters NOT divisible by cg_segment runs exactly cg_iters
+    iterations — segmented and fused results agree.  Regression: the
+    old ceil-division over-ran by up to seg-1 CG iterations, so a
+    non-divisible budget silently solved a different system."""
+    scales = [1.0, 5.0, 200.0, 1e3]
+    _, _, res = _linear_problem(scales)
+    x0 = jnp.ones(4)
+    state0 = LMState(flat=x0, lam=jnp.asarray(1e-6),
+                     loss=jnp.dot(res(x0), res(x0)))
+    fused = make_lm_step(res, cg_iters=7)(state0)
+    seg = make_lm_step(res, cg_iters=7, cg_segment=4)(state0)
+    np.testing.assert_allclose(seg.loss, fused.loss, rtol=1e-5)
+    np.testing.assert_allclose(seg.flat, fused.flat, rtol=1e-4, atol=1e-6)
+
+
+def test_segmented_sharded_exact_iteration_count():
+    """Same non-divisible-budget exactness on the sharded LM path (its
+    remainder segment is a separately-compiled shard_map)."""
+    step_f, state, _ = _make_sharded_lm_parts(cg_iters=7)
+    step_s, _, _ = _make_sharded_lm_parts(cg_iters=7, cg_segment=4)
+    out_f, out_s = step_f(state), step_s(state)
+    np.testing.assert_allclose(out_s.loss, out_f.loss, rtol=1e-5)
+    np.testing.assert_allclose(out_s.flat, out_f.flat, rtol=1e-4, atol=1e-6)

@@ -19,6 +19,7 @@ All device work is jitted: each LM iteration is ONE compiled function
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -170,7 +171,12 @@ def make_residual_fn(
         if ic is not None and not hard_mode:
             u_ic = apply_fn(net, ic.coords, activation, scale, shift)
             parts.append(jnp.sqrt(weights[2] / n_ic) * (u_ic - ic.values) * ic.mask)
-        if has_obs and obs is not None:
+        if has_obs:
+            if obs is None:
+                # silently dropping the data rows would make LM polish an
+                # objective MISSING the observation term while the loss
+                # keeps decreasing — fail loudly instead (mirrors loss.py)
+                raise ValueError("has_obs=True but the obs batch is None")
             u_obs = apply_fn(net, obs.coords, activation, scale, shift)
             if hard_mode:
                 u_obs = hard[1].A + hard[1].B * u_obs
@@ -344,19 +350,25 @@ def make_lm_step(
             minv = make_minv(pullback, r.shape[0], lam, r.dtype)
             return cg_carry0(b, minv), jnp.dot(r, r), minv
 
-        @jax.jit
-        def cg_run_segment(flat, lam, carry, minv):
+        @functools.partial(jax.jit, static_argnames="n")
+        def cg_run_segment(flat, lam, carry, minv, n):
             _, pullback = jax.vjp(residual_closure, flat)
             body = make_cg_body(flat, lam, pullback, minv)
-            return jax.lax.fori_loop(0, seg, body, carry)
+            return jax.lax.fori_loop(0, n, body, carry)
 
         accept = jax.jit(accept_impl)
 
         def step(state: LMState) -> LMState:
             flat, lam = state.flat, state.lam
             carry, loss, minv = cg_init(flat, lam)
-            for _ in range(-(-int(cg_iters) // seg)):
-                carry = cg_run_segment(flat, lam, carry, minv)
+            # exact cg_iters total: full segments + a remainder segment
+            # (the old round-UP ran up to seg-1 extra CG iterations plus
+            # an extra re-linearization per LM step)
+            done = 0
+            while done < int(cg_iters):
+                n = min(seg, int(cg_iters) - done)
+                carry = cg_run_segment(flat, lam, carry, minv, n=n)
+                done += n
             return accept(flat, lam, loss, carry[0])
 
         return step
@@ -474,27 +486,36 @@ def _make_lm_step_sharded(
             b, loss, minv, _ = init_parts(flat, lam, data)
             return cg_carry0(b, minv), loss, minv
 
-        def cg_seg_body(flat, lam, carry, minv, data):
-            _, pullback = jax.vjp(lambda f: res(f, data), flat)
-            body = make_cg_body(flat, lam, data, pullback, minv)
-            return jax.lax.fori_loop(0, seg, body, carry)
+        def make_cg_seg_body(n):
+            def cg_seg_body(flat, lam, carry, minv, data):
+                _, pullback = jax.vjp(lambda f: res(f, data), flat)
+                body = make_cg_body(flat, lam, data, pullback, minv)
+                return jax.lax.fori_loop(0, n, body, carry)
+
+            return cg_seg_body
 
         def accept_body(flat, lam, loss, delta, data):
             return accept_impl(flat, lam, loss, delta, data)
 
         cg_init = smap(cg_init_body, (rep, rep, data_specs),
                        ((rep,) * 4, rep, minv_spec))
-        cg_seg = smap(cg_seg_body,
-                      (rep, rep, (rep,) * 4, minv_spec, data_specs),
-                      (rep,) * 4)
+        seg_specs = ((rep, rep, (rep,) * 4, minv_spec, data_specs),
+                     (rep,) * 4)
+        cg_seg = smap(make_cg_seg_body(seg), *seg_specs)
+        rem = int(cg_iters) % seg
+        # exact cg_iters total (the old round-UP ran up to seg-1 extra
+        # CG iterations plus an extra re-linearization per LM step)
+        cg_rem = smap(make_cg_seg_body(rem), *seg_specs) if rem else None
         accept = smap(accept_body, (rep, rep, rep, rep, data_specs),
                       state_spec)
 
         def step(state: LMState) -> LMState:
             flat, lam = state.flat, state.lam
             carry, loss, minv = cg_init(flat, lam, data)
-            for _ in range(-(-int(cg_iters) // seg)):
+            for _ in range(int(cg_iters) // seg):
                 carry = cg_seg(flat, lam, carry, minv, data)
+            if cg_rem is not None:
+                carry = cg_rem(flat, lam, carry, minv, data)
             return accept(flat, lam, loss, carry[0], data)
 
         return step

@@ -88,6 +88,14 @@ def make_loss_fn(
     """
     if hard_mode and fused_residual is not None:
         raise ValueError("hard_mode is incompatible with fused_residual")
+    if fused_residual is not None and (diff_fn is not None or vel_fn is not None):
+        # the fully-fused kernel integrates FIXED quad.kappa/quad.vel;
+        # accepting trainable hooks here would give theta['kap']/['vel']
+        # exactly zero gradient with no error (api gating declines the
+        # kernel for inverse-coefficient problems — enforce it here too)
+        raise ValueError(
+            "fused_residual is incompatible with trainable diff_fn/vel_fn"
+        )
     d = static.n_space
     td = static.time_dependent
     n_in = static.n_inputs
@@ -111,6 +119,15 @@ def make_loss_fn(
                 prepared=None, neu=None, hard=None):
         net = net_params(theta)
         weights = jnp.asarray(weights)
+        if has_obs and weights.shape[0] < 4:
+            # weights[3] on a 3-vector would CLAMP to weights[2] (JAX
+            # gather semantics): w_obs silently becomes w_ic — require
+            # the explicit 4th (observation) weight instead
+            raise ValueError(
+                "has_obs requires a 4th (observation) loss weight"
+            )
+        if has_obs and obs is None:
+            raise ValueError("has_obs=True but the obs batch is None")
         k, nq = quad.coords.shape[0], quad.coords.shape[1]
         if fused_residual is not None:
             # fully-fused kernel: network + contraction in VMEM, r out;
@@ -172,7 +189,8 @@ def make_loss_fn(
             # reference, whose raw sum of r_k^2 shrinks as O(h^2D) under
             # refinement.  Per-node [K, nQ] tables (order-2 test space)
             # carry per-CLASS support volumes, so the division is per node.
-            vol = jnp.sum(quad.w, axis=-1) if quad.w.ndim == 2 else jnp.sum(quad.w)
+            vol = (jnp.sum(quad.w, axis=-1) if quad.tables_per_node
+                   else jnp.sum(quad.w))
             r = r / vol
             loss_int = masked_sum_sq(r, quad.mask) / float(max(static.n_test, 1))
         else:
