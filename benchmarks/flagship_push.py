@@ -45,6 +45,8 @@ def main():
                     help="initial LM damping; continuations from a "
                          "converged theta should pass ~1e-9 to skip the "
                          "re-warm rejections")
+    ap.add_argument("--target", type=float, default=5e-5,
+                    help="early-stop rel-L2 target for the LM loop")
     ap.add_argument("--folder", type=str, default="/tmp/flagship_push")
     ap.add_argument("--resume", action="store_true",
                     help="continue from the newest LM checkpoint in "
@@ -70,7 +72,7 @@ def main():
     r = vn.refine_lm(
         steps=args.lm_steps, weight=w, cg_iters=args.lm_cg, cg_segment=40,
         k_chunks=args.k_chunks, save_freq=1, error_disc=96, error_times=7,
-        target_error=5e-5, matmul_precision="highest", verbose=True,
+        target_error=args.target, matmul_precision="highest", verbose=True,
         lam0=args.lam0, folderpath=args.folder, resume=args.resume,
         max_retries=args.max_retries,
     )
@@ -89,10 +91,15 @@ def main():
         "lm": f"{args.lm_steps} iters cg={args.lm_cg} seg=40 "
               f"k_chunks={args.k_chunks}",
         "wall_s": wall,
-        "date": "2026-08-17",
+        "date": time.strftime("%Y-%m-%d"),
     }
     RESULTS.mkdir(exist_ok=True)
-    (RESULTS / "flagship_push.json").write_text(json.dumps(out, indent=2))
+    path = RESULTS / "flagship_push.json"
+    # append-a-row history (migrating the legacy single-object file)
+    prior = json.loads(path.read_text()) if path.exists() else []
+    rows = prior if isinstance(prior, list) else [prior]
+    rows.append(out)
+    path.write_text(json.dumps(rows, indent=2))
     if best < 1.33e-4:
         save_theta_npz(RESULTS / f"flagship_theta_{best:.1e}.npz", vn.theta)
         print(f"[push] new best theta persisted ({best:.3e})", flush=True)
