@@ -227,13 +227,18 @@ def test_ad3d_d16_theta_pinned():
 
 
 BURGERS_PINS = {
-    # case-name -> (factory kwargs key, VarNet kwargs, eval, bound)
-    # Bounds carry ~2x platform noise over the measured TPU numbers
-    # (burgers_accuracy.json, queue7 2026-08-19): traveling front
-    # 4.00e-5, steady shock 4.97e-4, 2-D planar front 1.08e-4.
+    # theta-stem -> ((eval disc, n_times), bound)
+    # Bounds carry ~2x platform noise over the CPU re-scores of the
+    # persisted TPU thetas (burgers_accuracy.json, queue7 2026-08-19
+    # penalty / queue15 2026-08-20 hard): traveling front 4.00e-5,
+    # steady shock 4.97e-4, 2-D planar front 1.08e-4; hard-BC A/B
+    # shock 3.50e-4, front 8.09e-7 (hard ansatz kills the BC rows —
+    # 50x under the penalty front).
     "traveling_front": ((256, 5), 1e-4),
     "steady_shock": ((256, 5), 8e-4),
     "front_2d": ((96, 5), 2e-4),
+    "traveling_front_hard": ((256, 5), 2e-6),
+    "steady_shock_hard": ((256, 5), 7e-4),
 }
 
 
@@ -254,15 +259,17 @@ def test_burgers_theta_pinned(name):
     if not os.path.exists(path):
         pytest.skip(f"no persisted theta for {name} yet")
     (disc, n_times), bound = BURGERS_PINS[name]
+    hard = name.endswith("_hard")
+    base = name[: -len("_hard")] if hard else name
     case = {
         "traveling_front": lambda: burgers_1d_transient(nu=0.05, a=0.4,
                                                         c=0.6),
         "steady_shock": lambda: burgers_1d_steady(nu=0.07, a=1.0),
         "front_2d": lambda: burgers_2d_front(nu=0.1),
-    }[name]()
+    }[base]()
     td = case["pde"].time_dependent
     vn = VarNet(case["pde"], layer_width=(32,) * 3, disc_num=8,
-                t_disc_num=4 if td else None, n_devices=1)
+                t_disc_num=4 if td else None, n_devices=1, hard_bc=hard)
     theta = _load_theta(path)
     err = vn.compute_error(theta, disc=disc, n_times=n_times)
     assert err < bound, f"{name}: rel-L2 {err:.3e} >= {bound:g}"
@@ -287,3 +294,23 @@ def test_hardbc_1dt_theta_pinned():
     theta = _load_theta(path)
     err = vn.compute_error(theta, disc=256, n_times=5)
     assert err < 5e-6, f"hardbc 1dt: rel-L2 {err:.3e} >= 5e-6"
+
+
+def test_hardbc_3d_theta_pinned():
+    """Persisted hard-BC 3-D steady parameters from the TPU deep push
+    (benchmarks/hardbc_tpu.py --case 3d, queue15 2026-08-20: best
+    3.94e-4 in 165 s vs the penalty path's 4.48e-4 in 472 s; final
+    iterate re-scores 4.02e-4 on CPU-exact eval) stay under 8e-4 —
+    pins the 6-face box-ADF hard transform at d=3."""
+    from varnet_tpu.api import VarNet
+    from varnet_tpu.problems.analytic import steady_ad_3d
+
+    path = os.path.join(RESULTS, "theta_hardbc_3d.npz")
+    if not os.path.exists(path):
+        pytest.skip("no persisted hard-BC 3-D theta yet")
+    case = steady_ad_3d()
+    vn = VarNet(case["pde"], layer_width=(64,) * 2, disc_num=8,
+                n_devices=1, hard_bc=True)
+    theta = _load_theta(path)
+    err = vn.compute_error(theta, disc=32)
+    assert err < 8e-4, f"hardbc 3d: rel-L2 {err:.3e} >= 8e-4"
