@@ -189,6 +189,29 @@ def test_lm_tiler_caps_wide_nets_only():
     assert _auto_tile_lm(256, 64, 4, 3) == 256
 
 
+def test_vjp_tiler_caps_wide_highdim_shapes_only():
+    """Regression pin for the fourth round-3 scoped-VMEM OOM (queue15
+    hardbc_3dt): the value+jac custom-VJP backward under the plain Adam
+    step measured 16.02 MB at (h=64, n_in=4, n_layers=3, tile=1280) —
+    1.78x the 9 MB static estimate, 17 KB over the limit (3-Dt hard BC
+    declines the fused-residual kernel, so value+jac carries training).
+    The _vjp_budget clamp must cap that shape under the limit while
+    leaving every n_in<=3 shape (incl. the same-night clean h=64
+    3-D steady run) and narrow nets untouched."""
+    from varnet_tpu.ops.pallas_mlp import _auto_tile, _vjp_budget
+
+    # the failing shape: measured 16.02 MB at tile 1280 -> 12.8 KB/col
+    tile = _auto_tile(4096, 64, 3, 4, budget_bytes=_vjp_budget(64, 4))
+    assert tile % 256 == 0 and tile >= 256
+    scoped = (16.02 * 1024 * 1024 / 1280) * tile
+    assert scoped < 15 * 1024 * 1024, (tile, scoped)
+    # n_in=3 at the same width ran clean — the clamp must not bind there,
+    # nor for narrow nets at n_in=4
+    assert _vjp_budget(64, 3) is None
+    assert _vjp_budget(48, 4) is None
+    assert _vjp_budget(96, 4) == 7 * 1024 * 1024
+
+
 def test_lm_rides_jvp_kernel_pair():
     """End-to-end: make_lm_step with the (VJP, JVP) kernel-closure pair
     reduces the loss exactly like the XLA-only pair on a tiny problem."""

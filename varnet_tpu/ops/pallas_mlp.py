@@ -66,6 +66,23 @@ def _auto_tile(requested: int, h_max: int, n_layers: int, n_in: int,
     return int(min(requested, cap))
 
 
+def _vjp_budget(h_max: int, n_in: int) -> int | None:
+    """Value+jac-kernel budget override for WIDE x HIGH-DIM shapes.
+
+    Measured (2026-08-20, /tmp/tpu_queue15 hardbc_3dt): the custom-VJP
+    backward at h=64 / n_in=4 / 3 layers ran the default 9 MB static
+    estimate at 16.02 MB actual scoped VMEM (1.78x overhead) — 17 KB
+    over the 16 MB limit, under the plain Adam step (3-Dt hard BC
+    declines the fused-residual kernel, so value+jac carries training).
+    h=64 / n_in=3 fits (hardbc 3-D steady ran clean the same night), so
+    the clamp gates on BOTH h >= 56 and n_in >= 4: a 7 MB budget sizes
+    the same shape to tile 1024 (~12.8 MB actual).  Narrow TPU-proven
+    recipes keep their measured tiles.  None = use the default budget."""
+    if h_max >= 56 and n_in >= 4:
+        return 7 * 1024 * 1024
+    return None
+
+
 def _auto_tile_jvp(requested: int, h_max: int, n_in: int) -> int:
     """Tile cap for the parameter-tangent JVP kernels (_jvp_kernel /
     _jvp_kernel_ff), whose per-program live set is LARGER than the
@@ -942,7 +959,9 @@ def pallas_ff_value_and_jac(
     # the WIDER of the two (ADVICE r1: the fixed 4096 tile overflowed the
     # scoped-VMEM budget at large F exactly like the plain path pre-fix).
     h_max = max(l["w"].shape[1] for l in params)
-    tile = _auto_tile(tile, max(2 * b_mat.shape[1], h_max), n_layers, n_in)
+    h_eff = max(2 * b_mat.shape[1], h_max)
+    tile = _auto_tile(tile, h_eff, n_layers, n_in,
+                      budget_bytes=_vjp_budget(h_eff, n_in))
     f = _fused_fn_ff(n_in, n_layers, activation, tile, bool(interpret),
                      precision)
 
@@ -1033,7 +1052,8 @@ def pallas_value_and_jac(
 
         return mlp_value_and_jac(params, x, activation, scale, shift)
     h_max = max(l["w"].shape[1] for l in params)
-    tile = _auto_tile(tile, h_max, n_layers, n_in)
+    tile = _auto_tile(tile, h_max, n_layers, n_in,
+                      budget_bytes=_vjp_budget(h_max, n_in))
     f = _fused_fn(n_in, n_layers, activation, tile, bool(interpret), precision)
 
     xs = x if scale is None else (x - shift) * scale
