@@ -72,6 +72,15 @@ def main():
     ap.add_argument("--k-chunks", type=int, default=1)
     ap.add_argument("--hard-bc", action="store_true",
                     help="exact Dirichlet imposition on inlet + rod")
+    ap.add_argument("--ff", type=int, default=0,
+                    help="Fourier features (0 = plain MLP); the 13.3%% "
+                         "hard-BC plateau at width 48 looks "
+                         "representation-bound near the rod corners — "
+                         "the contaminant recipe (ff128, scales 0.5/2.0) "
+                         "is the measured escape for that failure mode")
+    ap.add_argument("--ff-scale", type=str, default="0.5,2.0",
+                    help="comma-separated Fourier scales (used when "
+                         "--ff > 0)")
     ap.add_argument("--fdm-nx", type=int, default=160)
     ap.add_argument("--fdm-nt", type=int, default=400)
     ap.add_argument("--cpu", action="store_true")
@@ -103,6 +112,11 @@ def main():
           f"x{args.fdm_nt} in {t_fdm:.1f}s", flush=True)
 
     w = None if args.hard_bc else (1.0, 50.0, 50.0)
+    ff_kw = {}
+    if args.ff:
+        ff_kw = dict(fourier_features=args.ff, input_scaling=False,
+                     fourier_scale=[float(s) for s in
+                                    args.ff_scale.split(",")])
     t0 = time.perf_counter()
     vn = VarNet(pde, layer_width=(args.width,) * args.layers,
                 disc_num=(args.disc, args.disc // 2),
@@ -110,7 +124,8 @@ def main():
                 n_devices=1, hard_bc=args.hard_bc,
                 optimizer=OptimizerConfig(lr=2e-3, decay_rate=0.1,
                                           decay_steps=max(args.epochs // 4,
-                                                          1)))
+                                                          1)),
+                **ff_kw)
     vn.train(epoch_num=args.epochs, weight=w,
              save_freq=max(args.epochs // 6, 1), verbose=True,
              matmul_precision="highest", folderpath=args.folder,
@@ -145,7 +160,9 @@ def main():
     row = {
         "mode": "hard" if args.hard_bc else "penalty",
         "mesh": f"disc=({args.disc},{args.disc // 2}) tdisc={args.tdisc}",
-        "network": f"({args.width},)x{args.layers}",
+        "network": (f"({args.width},)x{args.layers}"
+                    + (f" ff{args.ff}{tuple(ff_kw['fourier_scale'])}"
+                       if args.ff else "")),
         "epochs": args.epochs,
         "lm": f"{args.lm_steps} iters cg={args.lm_cg}",
         "fdm": f"{args.fdm_nx}x{args.fdm_nx // 2}x{args.fdm_nt}",
@@ -161,7 +178,8 @@ def main():
     path.write_text(json.dumps(rows, indent=2))
     print(json.dumps(row, indent=2), flush=True)
     if overall < 0.05:
-        stem = "obstacle_hard" if args.hard_bc else "obstacle"
+        stem = ("obstacle_hard" if args.hard_bc else "obstacle") + (
+            f"_ff{args.ff}" if args.ff else "")
         save_theta_npz(RESULTS / f"theta_{stem}.npz", vn.theta)
         print(f"[obstacle] theta persisted ({overall:.3%})", flush=True)
 
