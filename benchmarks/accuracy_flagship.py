@@ -32,7 +32,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from varnet_tpu.api import VarNet  # noqa: E402
 from varnet_tpu.problems.analytic import transient_ad_2d  # noqa: E402
 from varnet_tpu.train.optim import OptimizerConfig  # noqa: E402
-from varnet_tpu.utils.io import save_theta_npz  # noqa: E402
+from varnet_tpu.utils.io import persist_theta_if_better  # noqa: E402
 
 RESULTS = Path(__file__).parent / "results"
 
@@ -127,7 +127,9 @@ def main():
             vn2.compute_error(vn2.theta, disc=96, n_times=7))
         RESULTS.mkdir(exist_ok=True)
         stem = f"flagship_theta_w{args.width}x{args.layers}"
-        save_theta_npz(RESULTS / f"{stem}.npz", vn2.theta)
+        final_err = float(vn2.compute_error(vn2.theta, disc=96, n_times=7))
+        persist_theta_if_better(RESULTS / f"{stem}.npz", vn2.theta,
+                                final_err)
         row = {
             "width": args.width, "layers": args.layers,
             "coarse": f"disc={args.coarse_disc}/t{args.coarse_tdisc} "

@@ -58,7 +58,7 @@ def main():
     )
     from varnet_tpu.train.optim import OptimizerConfig
     from varnet_tpu.utils.helpers import enable_compilation_cache
-    from varnet_tpu.utils.io import save_theta_npz
+    from varnet_tpu.utils.io import persist_theta_if_better
 
     enable_compilation_cache()
     if args.two_d:
@@ -122,10 +122,15 @@ def main():
     rows.append(row)
     path.write_text(json.dumps(rows, indent=2))
     print(json.dumps(row, indent=2), flush=True)
-    if best is not None and best < 1e-3:
+    # persist the FINAL iterate's score (what the file re-scores to in
+    # the pin test), improve-only via the sidecar guard
+    final = next((e for e in reversed(r.errors) if e == e),
+                 next((e for e in reversed(res.errors) if e == e),
+                      float("nan")))
+    if final == final and final < 1e-3:
         stem = row["case"] + ("_hard" if args.hard_bc else "")
-        save_theta_npz(RESULTS / f"theta_burgers_{stem}.npz", vn.theta)
-        print(f"[burgers_accuracy] theta persisted ({best:.3e})", flush=True)
+        persist_theta_if_better(RESULTS / f"theta_burgers_{stem}.npz",
+                                vn.theta, final)
 
 
 if __name__ == "__main__":

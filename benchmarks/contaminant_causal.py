@@ -31,7 +31,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from varnet_tpu.problems.analytic import contaminant_transport_2d  # noqa: E402
 from varnet_tpu.train.causal import train_causal  # noqa: E402
 from varnet_tpu.train.optim import OptimizerConfig  # noqa: E402
-from varnet_tpu.utils.io import save_theta_npz  # noqa: E402
+from varnet_tpu.utils.io import (  # noqa: E402
+    persist_theta_if_better,
+    save_theta_npz,
+)
 
 from benchmarks.fdm_scoring import score_vs_fdm  # noqa: E402
 
@@ -152,7 +155,10 @@ def main():
             json.dumps(rec, indent=2))
         if rec["overall_rel_l2"] < 0.5:  # clearly escaped u=0
             net = vn.theta["net"] if isinstance(vn.theta, dict) else vn.theta
-            save_theta_npz(RESULTS / f"theta_{stem}.npz", net)
+            persist_theta_if_better(
+                RESULTS / f"theta_{stem}.npz", net,
+                rec["overall_rel_l2"],
+                write_fn=lambda p: save_theta_npz(p, net))
         print(json.dumps(rec, indent=2), flush=True)
 
     # score + persist the Adam result BEFORE LM (the LM phase is the

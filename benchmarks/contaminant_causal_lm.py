@@ -19,7 +19,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from varnet_tpu.api import VarNet  # noqa: E402
 from varnet_tpu.problems.analytic import contaminant_transport_2d  # noqa: E402
-from varnet_tpu.utils.io import load_theta_npz, save_theta_npz  # noqa: E402
+from varnet_tpu.utils.io import (  # noqa: E402
+    load_theta_npz,
+    persist_theta_if_better,
+    save_theta_npz,
+)
 
 from benchmarks.fdm_scoring import score_vs_fdm  # noqa: E402
 
@@ -76,7 +80,9 @@ def main():
         (RESULTS / "contaminant_causal.json").write_text(
             json.dumps(rec, indent=2))
         net = vn.theta["net"] if isinstance(vn.theta, dict) else vn.theta
-        save_theta_npz(RESULTS / "theta_contaminant_causal.npz", net)
+        persist_theta_if_better(
+            RESULTS / "theta_contaminant_causal.npz", net, after,
+            write_fn=lambda p: save_theta_npz(p, net))
         print("[causal-lm] JSON + theta updated", flush=True)
 
 

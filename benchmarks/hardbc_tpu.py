@@ -66,7 +66,7 @@ def main():
     )
     from varnet_tpu.train.optim import OptimizerConfig
     from varnet_tpu.utils.helpers import enable_compilation_cache
-    from varnet_tpu.utils.io import save_theta_npz
+    from varnet_tpu.utils.io import persist_theta_if_better
 
     enable_compilation_cache()
     factory = {"2d": steady_ad_2d, "3d": steady_ad_3d,
@@ -148,10 +148,8 @@ def main():
             # gate on the FINAL error: vn.theta is the final iterate, and
             # pins re-score persisted thetas (history bests may not
             # re-score — repo invariant)
-            save_theta_npz(RESULTS / f"theta_hardbc_{args.case}.npz",
-                           vn.theta)
-            print(f"[hardbc_tpu] hard theta persisted ({final:.3e})",
-                  flush=True)
+            persist_theta_if_better(
+                RESULTS / f"theta_hardbc_{args.case}.npz", vn.theta, final)
 
 if __name__ == "__main__":
     main()

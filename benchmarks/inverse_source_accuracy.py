@@ -28,7 +28,10 @@ from varnet_tpu.models.source import make_mlp_source  # noqa: E402
 from varnet_tpu.problems.analytic import inverse_source_2d  # noqa: E402
 from varnet_tpu.train.optim import OptimizerConfig  # noqa: E402
 from varnet_tpu.utils.helpers import rel_l2_error  # noqa: E402
-from varnet_tpu.utils.io import theta_npz_dict  # noqa: E402
+from varnet_tpu.utils.io import (  # noqa: E402
+    persist_theta_if_better,
+    theta_npz_dict,
+)
 
 RESULTS = Path(__file__).parent / "results"
 
@@ -86,11 +89,15 @@ def run_one(args, w_obs):
     rec = {"w_obs": w_obs, "u_rel_l2": u_err, "source_rel_l2": s_err,
            "adam_u": u_mid, "adam_source": s_mid, "wall_s": wall}
     print(json.dumps(rec), flush=True)
-    # Persist the joint {net, src} parameters for the pin test.
+    # Persist the joint {net, src} parameters for the pin test —
+    # improve-only on the SOLUTION rel-L2 (the pin's primary metric).
     RESULTS.mkdir(exist_ok=True)
     flat = {**theta_npz_dict(vn.theta["net"], prefix="net_"),
             **theta_npz_dict(vn.theta["src"], prefix="src_")}
-    np.savez(RESULTS / f"theta_inverse_source_wobs{w_obs:g}.npz", **flat)
+    persist_theta_if_better(
+        RESULTS / f"theta_inverse_source_wobs{w_obs:g}.npz", None, u_err,
+        note=f"source_rel_l2={s_err:.4e}",
+        write_fn=lambda pth: np.savez(pth, **flat))
     return rec, vn
 
 

@@ -97,7 +97,7 @@ def main():
     from varnet_tpu.problems.classical import solve_ad_fdm_2d
     from varnet_tpu.train.optim import OptimizerConfig
     from varnet_tpu.utils.helpers import enable_compilation_cache
-    from varnet_tpu.utils.io import save_theta_npz
+    from varnet_tpu.utils.io import persist_theta_if_better
 
     enable_compilation_cache()
     pde = build_pde()
@@ -180,8 +180,8 @@ def main():
     if overall < 0.05:
         stem = ("obstacle_hard" if args.hard_bc else "obstacle") + (
             f"_ff{args.ff}" if args.ff else "")
-        save_theta_npz(RESULTS / f"theta_{stem}.npz", vn.theta)
-        print(f"[obstacle] theta persisted ({overall:.3%})", flush=True)
+        persist_theta_if_better(RESULTS / f"theta_{stem}.npz", vn.theta,
+                                overall)
 
 
 if __name__ == "__main__":

@@ -23,7 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from varnet_tpu.api import VarNet  # noqa: E402
 from varnet_tpu.problems import analytic  # noqa: E402
 from varnet_tpu.train.optim import OptimizerConfig  # noqa: E402
-from varnet_tpu.utils.io import save_theta_npz  # noqa: E402
+from varnet_tpu.utils.io import persist_theta_if_better  # noqa: E402
 
 RESULTS = Path(__file__).parent / "results"
 
@@ -36,11 +36,6 @@ CONFIGS = {
     "lshape_manufactured": (analytic.lshape_manufactured_2d, 48, None, 24, 2,
                             (1.0, 10.0)),
 }
-
-
-def save_theta(name, theta):
-    RESULTS.mkdir(exist_ok=True)
-    save_theta_npz(RESULTS / f"theta_{name}.npz", theta)
 
 
 def run(name, args):
@@ -61,7 +56,13 @@ def run(name, args):
                      matmul_precision="highest", error_disc=96, error_times=7,
                      k_chunks=args.k_chunks)
     err = min(e for e in r.errors if np.isfinite(e))
-    save_theta(name, vn.theta)
+    # score the FINAL iterate (what the file would re-score to in the pin
+    # test) and persist only on improvement — an unconditional save here
+    # once let a tiny CPU smoke clobber a pinned theta (CLAUDE.md trap)
+    final_err = float(vn.compute_error(vn.theta, disc=96, n_times=7))
+    RESULTS.mkdir(exist_ok=True)
+    persist_theta_if_better(RESULTS / f"theta_{name}.npz", vn.theta,
+                            final_err)
     rec = {"rel_l2": err, "wall_s": time.perf_counter() - t0,
            "config": {"disc": disc, "tdisc": tdisc, "width": width,
                       "layers": layers, "weight": weight,
