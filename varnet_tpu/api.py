@@ -119,9 +119,14 @@ class VarNet:
                     solution) trains.  Supported domains: interval / box
                     / polygon (non-convex via trimmed segment ADFs);
                     composes with MOR (per-mu tables) and batch_num > 1
-                    (tables scan with the quad mini-batches); rides the
-                    value+jacobian evaluator (the fully-fused residual
-                    kernel declines).
+                    (tables scan with the quad mini-batches).  Hot path:
+                    plain-MLP linear problems ride the fully-fused
+                    PRECOEFF residual kernel (the affine ansatz folds
+                    into the precomputed integrand coefficients —
+                    prepare_residual_coeffs ``hard=``, auto-selected);
+                    FF / nonlinear / inverse-coefficient combinations
+                    ride the value+jacobian evaluator; refine_lm always
+                    does.
     """
 
     def __init__(
@@ -353,7 +358,8 @@ class VarNet:
             return None
         return shard_flux(neu_h, self.mesh, dtype=self.dtype)
 
-    def _shard_hard(self, quad_h, obs_h, neu_h, batch_num: int = 1):
+    def _shard_hard(self, quad_h, obs_h, neu_h, batch_num: int = 1,
+                    hq=None):
         """Sharded hard-BC transform payload for the given PADDED host
         quad/obs/flux data: (HardQuad at quad coords, HardPts at obs
         coords or None, HardQuad at flux-penalty coords or None) — or
@@ -363,10 +369,15 @@ class VarNet:
         ``batch_num > 1``: the quad tables are built at the UNBATCHED
         padded coords, then reshaped to the same [B, Kb, ...] mini-batch
         layout as the quad itself (the trainer scans them together);
-        obs/flux tables stay full-batch like their penalty rows."""
+        obs/flux tables stay full-batch like their penalty rows.
+
+        ``hq``: optionally the already-computed quad-coord tables (the
+        train path shares one host f64 build between this payload and
+        the fused-kernel coefficient fold, _prepare_fused_layout)."""
         if self.hard is None:
             return None
-        hq = self.hard.tables(quad_h.coords)
+        if hq is None:
+            hq = self.hard.tables(quad_h.coords)
         if batch_num > 1:
             kb = hq.A.shape[0] // batch_num
             hq = jax.tree_util.tree_map(
@@ -384,12 +395,25 @@ class VarNet:
     def _fused_residual_hook(self, matmul_precision):
         """Fully-fused weak-residual kernel when eligible (plain MLP, fixed
         source), else None — the hot-path selection for TPU training."""
+        # Hard BC forces the precoeff variant: the ansatz u = A + B n is
+        # AFFINE in the raw network outputs, so exact imposition folds
+        # entirely into the precomputed integrand coefficients
+        # (prepare_residual_coeffs hard=) and the unchanged kernel
+        # computes the transformed residual — the only fused layout that
+        # can express it (in-kernel table variants bake the raw-network
+        # coefficients).
+        precoeff = self.fused_precoeff or self.hard is not None
         if (
             not self.use_pallas
             or not self.use_fused_residual
-            # exact-BC ansatz transforms the network outputs BEFORE the
-            # contraction: value+jac path only (fem/hardbc.py)
-            or self.hard is not None
+            # exact-BC fold needs the directional precoeff kernel: plain
+            # MLP only (the FF embedding tangent path has no coefficient
+            # fold) and linear PDE (the bilinear u*(b.grad u) term needs
+            # jacobian panels)
+            or (self.hard is not None
+                and (not self.fused_directional
+                     or self.fourier_b is not None
+                     or self.nl_vec is not None))
             # trainable kappa/velocity multiply the fixed-data du
             # coefficients: value+jac path only (inverse identification)
             or self.diff_fn is not None
@@ -398,17 +422,17 @@ class VarNet:
             # forced fused_directional=False); FF/precoeff variants
             # cannot express the bilinear u*(b.grad u) term
             or (self.nl_vec is not None
-                and (self.fourier_b is not None or self.fused_precoeff))
+                and (self.fourier_b is not None or precoeff))
             # Fourier-embedded nets ride the directional kernel (the
             # embedding + its tangent run in-kernel, _embed_dir); the
             # precoeff variant and per-node tables keep the general path
             or (self.fourier_b is not None
-                and (not self.fused_directional or self.fused_precoeff
+                and (not self.fused_directional or precoeff
                      or self._per_node_tables))
             # shared-[nQ]-table kernels can't express per-node tables
             # (order-2 space, adaptively refined hats); the precoeff
             # variant folds the tables into the data and can
-            or (self._per_node_tables and not self.fused_precoeff)
+            or (self._per_node_tables and not precoeff)
         ):
             return None
         import functools
@@ -432,18 +456,24 @@ class VarNet:
             precision=prec,
             directional=self.fused_directional,
             q_block=self.fused_q_block,
-            precoeff=self.fused_precoeff,
+            precoeff=precoeff,
             sublane_pad=self.fused_sublane_pad,
             fourier_bt=fourier_bt,
             nl_vec=None if self.nl_vec is None else tuple(
                 float(v) for v in self.nl_vec),
         )
 
-    def _prepare_fused_layout(self, quad_h, matmul_precision=None):
+    def _prepare_fused_layout(self, quad_h, matmul_precision=None,
+                              hard_hq=None):
         """Per-shard precomputed (xs, flds) kernel layouts, stacked on a
         leading shard axis and placed with a data-axis NamedSharding.
         Host-side NumPy transform mirroring the in-graph one bit-for-bit
-        (both cast to f32 before scaling)."""
+        (both cast to f32 before scaling).
+
+        ``hard_hq``: HardQuad tables at the padded quad coords (exact-BC
+        mode) — folded into the precoeff coefficients per shard, so the
+        kernel computes the TRANSFORMED residual with zero extra device
+        work (prepare_residual_coeffs hard=)."""
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
 
@@ -494,11 +524,16 @@ class VarNet:
                 react=np.asarray(quad_h.react[sl]),
                 mask=np.asarray(quad_h.mask[sl]),
             )
-            if self.fused_precoeff:
+            if self.fused_precoeff or hard_hq is not None:
+                hard_s = None
+                if hard_hq is not None:
+                    hard_s = jax.tree_util.tree_map(
+                        lambda a: np.asarray(a[sl]), hard_hq
+                    )
                 prep = prepare_residual_coeffs(
                     shard, scale, shift,
                     time_dependent=self.static.time_dependent,
-                    has_react=self.has_react, G=G, tile=tile,
+                    has_react=self.has_react, G=G, tile=tile, hard=hard_s,
                 )
             else:
                 prep = prepare_residual_layout(
@@ -731,7 +766,12 @@ class VarNet:
         obs_h = None if not has_obs else pad_points(self.obs_data, self.n_shards)
 
         neu_h = self._padded_neu()
-        hard_d = self._shard_hard(quad_h, obs_h, neu_h, batch_num=batch_num)
+        # one host f64 table build serves both the sharded loss operand
+        # and (fused path) the per-shard coefficient fold below
+        hard_hq = (None if self.hard is None
+                   else self.hard.tables(quad_h.coords))
+        hard_d = self._shard_hard(quad_h, obs_h, neu_h, batch_num=batch_num,
+                                  hq=hard_hq)
 
         if batch_num > 1:
             quad_h = _tree_reshape_batches(quad_h, batch_num)
@@ -781,7 +821,8 @@ class VarNet:
         # other dtypes fall back to the in-graph relayout.
         prepared_d = None
         if fused is not None and batch_num == 1 and self.dtype == jnp.float32:
-            prepared_d = self._prepare_fused_layout(quad_h, matmul_precision)
+            prepared_d = self._prepare_fused_layout(quad_h, matmul_precision,
+                                                    hard_hq=hard_hq)
 
         theta = replicate(self.theta, self.mesh)
         opt_state = optimizer.init(theta)
@@ -1003,7 +1044,10 @@ class VarNet:
         neu_h = self._padded_neu()
         # hard tables are built at the UNBATCHED padded coords, then
         # reshaped to the mini-batch layout inside _shard_hard
-        hard_d = self._shard_hard(quad_h, obs_h, neu_h, batch_num=batch_num)
+        hard_hq = (None if self.hard is None
+                   else self.hard.tables(quad_h.coords))
+        hard_d = self._shard_hard(quad_h, obs_h, neu_h, batch_num=batch_num,
+                                  hq=hard_hq)
         if batch_num > 1:
             quad_h = _tree_reshape_batches(quad_h, batch_num)
             quad_d = shard_quad(quad_h, self.mesh, dtype=self.dtype, batched=True)
@@ -1070,7 +1114,8 @@ class VarNet:
         )
         prepared_d = None
         if fused is not None and self.dtype == jnp.float32:
-            prepared_d = self._prepare_fused_layout(quad_h, matmul_precision)
+            prepared_d = self._prepare_fused_layout(quad_h, matmul_precision,
+                                                    hard_hq=hard_hq)
         weights_arr = jnp.asarray(w_full, dtype=self.dtype)
 
         def unstack(theta_host):

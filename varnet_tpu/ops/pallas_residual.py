@@ -1170,13 +1170,32 @@ def _dirp_bwd_kernel(n_in, n_layers, has_react, activation, precision, G,
 
 
 def prepare_residual_coeffs(quad, scale, shift, *, time_dependent,
-                            has_react, G, tile):
+                            has_react, G, tile, hard=None):
     """Precompute (xs, cdir, csrc[, cu]) for the precoeff kernel.
 
     Accepts shared [nQ] tables OR per-node [K, nQ] tables (order-2 test
     space) — the output format is identical.  Padded q rows / k columns
     are zero, so their contributions vanish in-kernel (coefficients are
     zero, not just weights).
+
+    hard: optional :class:`~varnet_tpu.fem.hardbc.HardQuad` transform
+    tables (exact BC/IC imposition).  The ansatz u = A + B*n makes the
+    weak residual AFFINE in the raw network outputs (n, grad n, n_t), so
+    exact imposition folds entirely into these coefficients and the
+    unchanged kernel computes the transformed residual
+    (DESIGN.md decision 18; the kernel does no extra work):
+
+        grad-row j : w * sc_j * B * (vel_j N + kappa dN_j)
+        time row   : w * sc_d * B * N
+        cu (value) : w * (Bt N + (vel . dB) N + kappa dB . dN
+                          [+ react B N])
+        csrc       : w * ((At N + (vel . dA) N + kappa dA . dN
+                          [+ react A N]) - src N)
+
+    (steady problems drop the At/Bt terms; the theta-independent A-part
+    rides the additive csrc operand, so no XLA-side offset is needed).
+    A cu operand is always emitted in hard mode — pass the kernel
+    factory ``has_react or hard`` as its cu flag.
     """
     xp = np if isinstance(quad.coords, np.ndarray) else jnp
     k, nq, n_in = quad.coords.shape
@@ -1219,20 +1238,53 @@ def prepare_residual_coeffs(quad, scale, shift, *, time_dependent,
         a = xp.transpose(a_kq)[None]  # [1, nQ, K]
         return xp.pad(a, ((0, 0), (0, nqp - nq), (0, kp - k)))
 
-    c_rows = [
-        row3(w_kq * sc[j] * (vel[:, :, j] * n_kq + kappa * dn_kq[:, :, j]))
-        for j in range(d)
-    ]
-    if td:
-        c_rows.append(row3(w_kq * sc[d] * n_kq))
+    if hard is None:
+        c_rows = [
+            row3(w_kq * sc[j] * (vel[:, :, j] * n_kq
+                                 + kappa * dn_kq[:, :, j]))
+            for j in range(d)
+        ]
+        if td:
+            c_rows.append(row3(w_kq * sc[d] * n_kq))
+        csrc3 = row3(-w_kq * n_kq * src)            # [1, nQp, Kp]
+        cu3 = None
+        if has_react:
+            react = xp.asarray(quad.react, dtype=xp.float32)
+            cu3 = row3(w_kq * n_kq * react)
+    else:
+        # Hard-BC fold (u = A + B n): scale the grad/time rows by B, put
+        # the n-coefficient on cu and the theta-independent A-part on the
+        # additive csrc.  Tables arrive f64 host-side (fem/hardbc.py) or
+        # as traced jnp arrays (in-graph fallback) — cast like the rest.
+        B = xp.asarray(hard.B, dtype=xp.float32)
+        dB = xp.asarray(hard.dB, dtype=xp.float32)
+        dA = xp.asarray(hard.dA, dtype=xp.float32)
+        c_rows = [
+            row3(w_kq * sc[j] * B * (vel[:, :, j] * n_kq
+                                     + kappa * dn_kq[:, :, j]))
+            for j in range(d)
+        ]
+        if td:
+            c_rows.append(row3(w_kq * sc[d] * B * n_kq))
+        vdB = sum(vel[:, :, j] * dB[:, :, j] for j in range(d))
+        kdBdN = sum(dB[:, :, j] * dn_kq[:, :, j] for j in range(d))
+        vdA = sum(vel[:, :, j] * dA[:, :, j] for j in range(d))
+        kdAdN = sum(dA[:, :, j] * dn_kq[:, :, j] for j in range(d))
+        cu_kq = (vdB * n_kq + kappa * kdBdN)
+        cs_kq = (vdA * n_kq + kappa * kdAdN - src * n_kq)
+        if td:
+            cu_kq = cu_kq + xp.asarray(hard.Bt, dtype=xp.float32) * n_kq
+            cs_kq = cs_kq + xp.asarray(hard.At, dtype=xp.float32) * n_kq
+        if has_react:
+            react = xp.asarray(quad.react, dtype=xp.float32)
+            A = xp.asarray(hard.A, dtype=xp.float32)
+            cu_kq = cu_kq + react * B * n_kq
+            cs_kq = cs_kq + react * A * n_kq
+        cu3 = row3(w_kq * cu_kq)
+        csrc3 = row3(w_kq * cs_kq)
     for _ in range(n_in - d - (1 if td else 0)):  # MOR rows: zero direction
         c_rows.append(xp.zeros((1, nqp, kp), dtype=xp.float32))
     cdir3 = xp.concatenate(c_rows, axis=0)          # [n_in, nQp, Kp]
-    csrc3 = row3(-w_kq * n_kq * src)                # [1, nQp, Kp]
-    cu3 = None
-    if has_react:
-        react = xp.asarray(quad.react, dtype=xp.float32)
-        cu3 = row3(w_kq * n_kq * react)
 
     out = (_block_layout(xp, xs3, nqp, kp, G),
            _block_layout(xp, cdir3, nqp, kp, G),
@@ -1363,6 +1415,7 @@ def pallas_fused_residual(
     sublane_pad: bool = False,
     fourier_bt=None,
     nl_vec=None,
+    hard=None,
 ):
     """Weak residual r [K] via the fully-fused kernel.
 
@@ -1420,6 +1473,12 @@ def pallas_fused_residual(
     n_layers = len(params)
     from .pallas_mlp import _auto_tile
 
+    if hard is not None and not precoeff:
+        # the exact-imposition fold lives in the coefficient tables —
+        # only the precoeff variant consumes those (see
+        # prepare_residual_coeffs); api gating selects it for hard_bc
+        raise ValueError("hard transform tables require precoeff=True")
+
     nl = None
     if nl_vec is not None:
         # Nonlinear advection u (b . grad u): bilinear in (u, du) — only
@@ -1473,12 +1532,15 @@ def pallas_fused_residual(
     if precoeff:
         if not directional:
             raise ValueError("precoeff requires directional=True")
-        n_data = 3 + (1 if has_react else 0)
+        # the cu (value-coefficient) operand carries reaction AND/OR the
+        # hard-BC n-coefficient — one kernel flag covers both
+        has_cu = bool(has_react) or hard is not None
+        n_data = 3 + (1 if has_cu else 0)
         if prepared is not None:
             data = tuple(prepared)
             exp_cols = (nqp // G) * kp
             exp = ((G * n_in, exp_cols), (G * n_in, exp_cols),
-                   (G, exp_cols)) + (((G, exp_cols),) if has_react else ())
+                   (G, exp_cols)) + (((G, exp_cols),) if has_cu else ())
             if len(data) != n_data or tuple(a.shape for a in data) != exp:
                 raise ValueError(
                     f"prepared coeff shapes {[a.shape for a in data]} != "
@@ -1489,14 +1551,14 @@ def pallas_fused_residual(
         else:
             data = prepare_residual_coeffs(
                 quad, scale, shift, time_dependent=time_dependent,
-                has_react=has_react, G=G, tile=tile,
+                has_react=has_react, G=G, tile=tile, hard=hard,
             )
         wts = tuple(jnp.transpose(l["w"]).astype(jnp.float32)
                     for l in params)
         bs = tuple(jnp.reshape(l["b"], (-1, 1)).astype(jnp.float32)
                    for l in params)
         f = _dirp_residual_fn(
-            n_in, n_layers, bool(has_react), activation, tile, nqp, G,
+            n_in, n_layers, has_cu, activation, tile, nqp, G,
             bool(interpret), precision,
         )
         r = f(wts, bs, *data)

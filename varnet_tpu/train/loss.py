@@ -74,20 +74,23 @@ def make_loss_fn(
     hard_mode: exact BC/IC imposition (fem/hardbc.py).  The loss gains a
         ``hard = (HardQuad at quad coords, HardPts at obs coords or None,
         HardQuad at flux-penalty coords or None)`` operand of fixed
-        transform tables; the network outputs are re-ansatzed via
+        transform tables; the BC/IC penalty rows drop out (exact by
+        construction — reported as 0.0 in aux for logging stability),
+        and observation rows compare the TRANSFORMED solution.  On the
+        general path the network outputs are re-ansatzed via
         :func:`~varnet_tpu.fem.hardbc.hard_transform` BEFORE the weak
-        residual, the BC/IC penalty rows drop out (exact by construction
-        — reported as 0.0 in aux for logging stability), and observation
-        rows compare the TRANSFORMED solution.  Incompatible with
-        ``fused_residual`` (the fully-fused kernel bakes the raw-network
-        residual; api gating declines it).
+        residual; with a ``fused_residual`` hook the ansatz is instead
+        FOLDED INTO the precomputed integrand coefficients (the weak
+        residual is AFFINE in the raw network outputs —
+        prepare_residual_coeffs ``hard=``), so the hook must be the
+        precoeff kernel prepared with the same tables (api gating
+        guarantees it; the quad-table leg ``hard[0]`` is forwarded to
+        the hook for its prepare-in-graph fallback).
 
     Returns ``loss_fn(theta, quad, bc, ic, obs, weights) -> (total, aux)``;
     ``ic``/``obs`` may be None for steady / non-inverse problems (decided
     statically here, not traced).
     """
-    if hard_mode and fused_residual is not None:
-        raise ValueError("hard_mode is incompatible with fused_residual")
     if fused_residual is not None and (diff_fn is not None or vel_fn is not None):
         # the fully-fused kernel integrates FIXED quad.kappa/quad.vel;
         # accepting trainable hooks here would give theta['kap']/['vel']
@@ -132,9 +135,12 @@ def make_loss_fn(
         if fused_residual is not None:
             # fully-fused kernel: network + contraction in VMEM, r out;
             # `prepared` (per-shard precomputed kernel layout, threaded by
-            # the trainer) skips the per-step data relayout
+            # the trainer) skips the per-step data relayout.  hard_mode:
+            # the transform is already folded into those coefficients;
+            # hard[0] only feeds the prepare-in-graph fallback.
+            extra = {"hard": hard[0]} if hard_mode else {}
             r = fused_residual(net, quad, activation, scale, shift,
-                               prepared=prepared)
+                               prepared=prepared, **extra)
             if source_fn is not None:
                 # Inverse-source mode: the trainable source enters the weak
                 # form linearly, so the kernel integrates with quad.src
