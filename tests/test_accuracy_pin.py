@@ -296,6 +296,28 @@ def test_hardbc_1dt_theta_pinned():
     assert err < 5e-6, f"hardbc 1dt: rel-L2 {err:.3e} >= 5e-6"
 
 
+def test_hardbc_3dt_theta_pinned():
+    """Persisted hard-BC 3-D TRANSIENT parameters (4-D space-time) from
+    queue18 (benchmarks/hardbc_tpu.py --case 3dt, 2026-08-20: 24k Adam +
+    50 LM cg=200 at d16/t10 w64x2, rel-L2 1.066e-4 in 2594 s across two
+    resumable attempts — 43x under the penalty path's 4.64e-3 at the
+    same mesh/width, ad3d_floor.json) stay under 3e-4 — pins the
+    8-face box x time ADF hard transform at n_in=4 and the _vjp_budget
+    VMEM clamp shape (h=64, n_in=4) that this run exercised."""
+    from varnet_tpu.api import VarNet
+    from varnet_tpu.problems.analytic import transient_ad_3d
+
+    path = os.path.join(RESULTS, "theta_hardbc_3dt.npz")
+    if not os.path.exists(path):
+        pytest.skip("no persisted hard-BC 3-Dt theta yet")
+    case = transient_ad_3d()
+    vn = VarNet(case["pde"], layer_width=(64,) * 2, disc_num=6,
+                t_disc_num=4, n_devices=1, hard_bc=True)
+    theta = _load_theta(path)
+    err = vn.compute_error(theta, disc=24, n_times=5)
+    assert err < 3e-4, f"hardbc 3dt: rel-L2 {err:.3e} >= 3e-4"
+
+
 def test_hardbc_3d_theta_pinned():
     """Persisted hard-BC 3-D steady parameters from the TPU deep push
     (benchmarks/hardbc_tpu.py --case 3d, queue15 2026-08-20: best
