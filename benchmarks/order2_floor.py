@@ -47,10 +47,10 @@ def main():
                     help="Gauss points per dim per element/piece")
     ap.add_argument("--folder", type=str, default="/tmp/order2_floor")
     ap.add_argument("--precoeff", action="store_true",
-                    help="ride the precomputed-coefficient fused residual "
-                         "kernel for the Adam phase (the only fused path "
-                         "that supports per-node order-2 tables; LM always "
-                         "uses the value+jac kernel pair)")
+                    help="explicitly opt into the precomputed-coefficient "
+                         "fused residual kernel (order 2 now AUTO-selects "
+                         "it — this flag only matters for --order 1 A/Bs; "
+                         "LM always uses the value+jac kernel pair)")
     ap.add_argument("--resume", action="store_true",
                     help="continue from the newest checkpoints in --folder "
                          "(run_resumable.sh adds this on attempts 2+)")

@@ -345,3 +345,111 @@ def test_inconsistent_kernel_knobs_fail_in_ctor():
     with pytest.raises(ValueError, match="fused_precoeff"):
         VarNet(case["pde"], layer_width=(8,), disc_num=4, t_disc_num=3,
                n_devices=1, fused_sublane_pad=True)
+
+
+def test_api_gating_order2_autoselects_precoeff():
+    """VarNet(test_order=2) hot path: per-node tables AUTO-select the
+    precoeff fused-residual kernel (TPU-measured 2.3x the value+jac
+    fallback at identical rel-L2, order2_floor.json); combinations the
+    precoeff fold cannot express (Fourier embedding, jacobian-panel
+    layout, nonlinear advection) keep the value+jac path (hook None).
+    Also pins the hook/layout consistency invariant: whenever the hook
+    fires, its precoeff keyword equals _precoeff_selected — the single
+    predicate _prepare_fused_layout keys on."""
+    from varnet_tpu.api import VarNet
+
+    case = transient_ad_2d()
+    kw = dict(layer_width=(8, 8), disc_num=6, t_disc_num=3, n_devices=1,
+              use_pallas=True)
+
+    vn = VarNet(case["pde"], test_order=2, **kw)
+    hook = vn._fused_residual_hook(None)
+    assert vn._precoeff_selected is True
+    assert hook is not None and hook.keywords["precoeff"] is True
+
+    # order 1 keeps the in-kernel-table directional variant (-3% for
+    # precoeff at the flagship shape — BASELINE.md negative result)
+    vn1 = VarNet(case["pde"], test_order=1, **kw)
+    hook1 = vn1._fused_residual_hook(None)
+    assert vn1._precoeff_selected is False
+    assert hook1 is not None and hook1.keywords["precoeff"] is False
+
+    # Fourier embedding has no coefficient fold: value+jac path
+    vn_ff = VarNet(case["pde"], test_order=2, fourier_features=4, **kw)
+    assert vn_ff._precoeff_selected is False
+    assert vn_ff._fused_residual_hook(None) is None
+
+    # jacobian-panel layout (fused_directional=False) can't ride precoeff
+    vn_jp = VarNet(case["pde"], test_order=2, fused_directional=False,
+                   **kw)
+    assert vn_jp._precoeff_selected is False
+    assert vn_jp._fused_residual_hook(None) is None
+
+    # nonlinear advection needs jacobian panels; the ctor forces
+    # fused_directional=False and order 2 falls to value+jac
+    from varnet_tpu.problems.analytic import burgers_1d_transient
+
+    bcase = burgers_1d_transient(nu=0.05, a=0.4, c=0.6)
+    vn_nl = VarNet(bcase["pde"], layer_width=(8, 8), disc_num=6,
+                   t_disc_num=3, n_devices=1, use_pallas=True,
+                   test_order=2)
+    assert vn_nl._precoeff_selected is False
+    assert vn_nl._fused_residual_hook(None) is None
+
+
+def test_batched_train_step_precoeff_per_node_in_graph():
+    """batch_num > 1 with the IN-GRAPH precoeff fused kernel and per-node
+    (order-2) tables — the path the order-2 auto-selection takes when
+    batch_num > 1 blocks the prepared layout (api._train_impl prepares
+    only for batch_num == 1).  The scan must slice the [B, Kb, nQ] tables
+    per mini-batch and reproduce the XLA loss trajectory exactly."""
+    import functools
+
+    from varnet_tpu.fem.assembly import pad_points, pad_quad
+    from varnet_tpu.parallel.mesh import (
+        make_mesh,
+        replicate,
+        shard_points,
+        shard_quad,
+    )
+    from varnet_tpu.problems.analytic import steady_ad_1d
+    from varnet_tpu.train.loss import make_loss_fn
+    from varnet_tpu.train.optim import OptimizerConfig, make_optimizer
+    from varnet_tpu.train.trainer import _tree_reshape_batches, make_train_step
+
+    case = steady_ad_1d(kappa=0.2)
+    fd = build_fixed_data(case["pde"], 15, test_order=2)
+    n_sh, batch = 2, 2
+    mesh = make_mesh(n_sh)
+    quad_h = pad_quad(fd.quad, n_sh * batch)
+    assert quad_h.N.ndim == 2  # per-node tables
+    quad_b = _tree_reshape_batches(quad_h, batch)
+    quad_d = shard_quad(quad_b, mesh, batched=True)
+    bc = shard_points(pad_points(fd.bc, n_sh), mesh)
+
+    kb = quad_h.coords.shape[0] // batch // n_sh  # rows per shard per batch
+    fused = functools.partial(
+        pallas_fused_residual, time_dependent=False, has_react=False,
+        tile=kb, interpret=True, q_block=2, precoeff=True,
+    )
+    opt = make_optimizer(OptimizerConfig())
+    theta0 = replicate(init_mlp(jax.random.PRNGKey(0), 1, (8, 8)), mesh)
+    w = jnp.asarray([1.0, 10.0, 0.0, 0.0])
+
+    def run(loss_fn):
+        theta = jax.tree_util.tree_map(jnp.copy, theta0)
+        opt_state = replicate(opt.init(theta), mesh)
+        step = make_train_step(loss_fn, opt, mesh=mesh, donate=False,
+                               batch_num=batch, tables_per_node=True)
+        losses = []
+        for _ in range(5):
+            theta, opt_state, aux = step(theta, opt_state, quad_d, bc,
+                                         None, None, w)
+            losses.append(float(aux["loss"]))
+        return losses
+
+    l_fused = run(make_loss_fn(fd.static, fused_residual=fused,
+                               input_scaling=True))
+    l_xla = run(make_loss_fn(fd.static, input_scaling=True))
+    np.testing.assert_allclose(l_fused, l_xla, rtol=2e-5)
+    assert l_fused[-1] < l_fused[0]

@@ -82,9 +82,11 @@ class VarNet:
                     reference: O(h^3) invisible-error floor instead of
                     the measured 0.21 h^2 — see fem/element.py).  The
                     shared-table fused residual kernel requires order 1;
-                    order 2 rides the fused value+jacobian kernel / XLA
-                    path, or the fully-fused precoeff kernel when
-                    ``fused_precoeff=True``.
+                    order 2 AUTO-selects the fully-fused PRECOEFF kernel
+                    (measured 2.3x the value+jac fallback at identical
+                    rel-L2, order2_floor.json) when eligible (plain MLP,
+                    linear PDE, directional layout), else the fused
+                    value+jacobian kernel / XLA path.
       activation:   'tanh' | 'sigmoid'
       seed:         PRNG seed for parameter init
       n_devices:    restrict the data-parallel mesh (default: all devices)
@@ -191,8 +193,11 @@ class VarNet:
         self.fused_q_block = fused_q_block
         # Precomputed-coefficient kernel variant: integrand coefficients
         # folded into the prepared data (no in-kernel table work); the
-        # only fused path that supports test_order=2.  Opt-in until
-        # TPU-measured (see ops/pallas_residual.py PRECOMPUTED section).
+        # only fused path that supports test_order=2 — AUTO-selected for
+        # per-node tables / hard BC via _precoeff_selected (TPU-measured
+        # 2.3x at order 2; -3% at the order-1 flagship shape, so order 1
+        # keeps the in-kernel-table directional variant).  This flag is
+        # the explicit opt-in for order-1 benchmarking.
         self.fused_precoeff = bool(fused_precoeff)
         # Sublane-aligned hidden widths (pad to multiples of 8) for the
         # precoeff kernel: admits larger aligned q-blocks (G=5 at width
@@ -343,6 +348,32 @@ class VarNet:
         single predicate every hot-path/sharding gate keys on."""
         return self.test_order != 1 or self.fixed.quad.tables_per_node
 
+    @property
+    def _precoeff_selected(self) -> bool:
+        """True when the PRECOEFF fused-residual variant is in play:
+        explicit opt-in, exact-BC imposition (the only fused layout whose
+        precomputed coefficients can absorb the affine hard-BC ansatz),
+        or AUTO for per-node-table test spaces (order-2 / adaptively
+        refined hats) — the shared-[nQ]-table kernels cannot express
+        per-node tables, and precoeff measured 2.3x the value+jac
+        fallback at identical rel-L2 on the order-2 flagship shape
+        (BASELINE.md, order2_floor.json).  The auto clause requires the
+        combinations precoeff can express: directional layout, plain MLP
+        (no Fourier embedding fold), linear PDE (no jacobian panels).
+        Single source of truth for _fused_residual_hook AND
+        _prepare_fused_layout — the two must agree or the prepared
+        operand layout won't match the kernel."""
+        return (
+            self.fused_precoeff
+            or self.hard is not None
+            or (
+                self._per_node_tables
+                and self.fused_directional
+                and self.fourier_b is None
+                and self.nl_vec is None
+            )
+        )
+
     def _padded_neu(self):
         """Padded host Neumann FluxData, or None — padded ONCE so the
         sharded flux rows and the hard-BC flux tables stay row-aligned by
@@ -402,7 +433,7 @@ class VarNet:
         # computes the transformed residual — the only fused layout that
         # can express it (in-kernel table variants bake the raw-network
         # coefficients).
-        precoeff = self.fused_precoeff or self.hard is not None
+        precoeff = self._precoeff_selected
         if (
             not self.use_pallas
             or not self.use_fused_residual
@@ -524,7 +555,7 @@ class VarNet:
                 react=np.asarray(quad_h.react[sl]),
                 mask=np.asarray(quad_h.mask[sl]),
             )
-            if self.fused_precoeff or hard_hq is not None:
+            if self._precoeff_selected or hard_hq is not None:
                 hard_s = None
                 if hard_hq is not None:
                     hard_s = jax.tree_util.tree_map(
