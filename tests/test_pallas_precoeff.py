@@ -453,3 +453,42 @@ def test_batched_train_step_precoeff_per_node_in_graph():
     l_xla = run(make_loss_fn(fd.static, input_scaling=True))
     np.testing.assert_allclose(l_fused, l_xla, rtol=2e-5)
     assert l_fused[-1] < l_fused[0]
+
+
+def test_precoeff_mor_order2_combo():
+    """MOR (parametric mu inputs) x order-2 per-node tables through the
+    precoeff kernel — the combination the order-2 auto-selection newly
+    reaches (api._precoeff_selected makes no n_mor exclusion).  Values
+    AND parameter gradients vs the compositional reference."""
+    case = mor_steady_ad_2d(vels=(0.5, 1.5))
+    fd = build_fixed_data(case["pde"], 6, b_disc_num=4, test_order=2)
+    st = fd.static
+    assert st.n_mor >= 1
+    quad = jax.tree_util.tree_map(jnp.asarray, fd.quad)
+    assert quad.N.ndim == 2  # per-node tables paired with the mu grid
+    params = init_mlp(jax.random.PRNGKey(7), st.n_inputs, (10, 10))
+    scale, shift = make_input_scaling(st.input_lo, st.input_hi)
+    r_ref = _reference_r(params, quad, st, scale, shift, False, False)
+    tile = quad.coords.shape[0]
+    for g in (1, 2):
+        r = pallas_fused_residual(
+            params, quad, "tanh", scale, shift, time_dependent=False,
+            tile=tile, interpret=True, q_block=g, precoeff=True,
+        )
+        np.testing.assert_allclose(r, r_ref, rtol=2e-5, atol=1e-7)
+
+    def loss_k(p):
+        r = pallas_fused_residual(
+            p, quad, "tanh", scale, shift, time_dependent=False,
+            tile=tile, interpret=True, q_block=2, precoeff=True,
+        )
+        return jnp.sum((r * quad.mask) ** 2)
+
+    def loss_ref(p):
+        r = _reference_r(p, quad, st, scale, shift, False, False)
+        return jnp.sum((r * quad.mask) ** 2)
+
+    gk, gref = jax.grad(loss_k)(params), jax.grad(loss_ref)(params)
+    for lk, lr in zip(gk, gref):
+        np.testing.assert_allclose(lk["w"], lr["w"], rtol=5e-4, atol=1e-7)
+        np.testing.assert_allclose(lk["b"], lr["b"], rtol=5e-4, atol=1e-7)
