@@ -41,11 +41,19 @@ CONFIGS = {
 def run(name, args):
     factory, disc, tdisc, width, layers, weight = CONFIGS[name]
     case = factory()
+    # order 2 defaults to 3 Gauss points/dim (quadratic integrands need
+    # the extra point; same default as order2_floor.py)
+    extra = {}
+    integ = args.integ if args.integ else (3 if args.order == 2 else None)
+    if integ:
+        extra["integ_p_num"] = integ
     vn = VarNet(
         case["pde"], layer_width=(width,) * layers, disc_num=disc,
         b_disc_num=max(disc, 20), t_disc_num=tdisc,
+        test_order=args.order,
         optimizer=OptimizerConfig(lr=2e-3, decay_rate=0.4,
                                   decay_steps=max(args.epochs // 4, 1)),
+        **extra,
     )
     t0 = time.perf_counter()
     vn.train(epoch_num=args.epochs, weight=weight,
@@ -67,7 +75,8 @@ def run(name, args):
            "config": {"disc": disc, "tdisc": tdisc, "width": width,
                       "layers": layers, "weight": weight,
                       "epochs": args.epochs, "lm_steps": args.lm_steps,
-                      "lm_cg": args.lm_cg}}
+                      "lm_cg": args.lm_cg, "test_order": args.order,
+                      "integ": integ}}
     print(json.dumps({name: rec}), flush=True)
     return rec
 
@@ -83,6 +92,15 @@ def main():
     ap.add_argument("--k-chunks", type=int, default=4)
     ap.add_argument("--only", type=str, default=None,
                     help="comma-separated config names")
+    ap.add_argument("--order", type=int, default=1, choices=(1, 2),
+                    help="test-function order; 2 = quadratic Lagrange "
+                         "classes (order-2 rows record under '<name>_o2' "
+                         "so the order-1 recipe rows survive; the theta "
+                         "file is shared — persist_theta_if_better keeps "
+                         "whichever solution re-scores best)")
+    ap.add_argument("--integ", type=int, default=None,
+                    help="Gauss points per dim (default: 2 for order 1, "
+                         "3 for order 2)")
     args = ap.parse_args()
     names = args.only.split(",") if args.only else list(CONFIGS)
 
@@ -90,8 +108,9 @@ def main():
     out = json.loads(p.read_text()) if p.exists() else {}
     for name in names:
         rec = run(name, args)
-        out[name] = rec["rel_l2"]
-        out[f"{name}_detail"] = rec
+        key = name if args.order == 1 else f"{name}_o2"
+        out[key] = rec["rel_l2"]
+        out[f"{key}_detail"] = rec
         p.write_text(json.dumps(out, indent=2))
     print(json.dumps(out, indent=2))
 
