@@ -48,6 +48,15 @@ NO_FUSED = os.environ.get("BENCH_NO_FUSED", "0") == "1"
 
 
 def main():
+    # ONE chip on this machine: if a benchmark queue step holds it,
+    # preempt cooperatively (SIGTERM its published pid + hold the bench
+    # lock) — the step resumes from checkpoints after we exit
+    # (varnet_tpu/utils/preempt.py, benchmarks/run_resumable.sh).
+    # Must happen before the first jax device touch.
+    from varnet_tpu.utils.preempt import preempt_queue_step
+
+    preempt_queue_step()
+
     import jax
     import jax.numpy as jnp
 

@@ -18,20 +18,53 @@
 # --resume (all resumable entry points accept it: flagship_push.py,
 # contaminant_causal.py, the example CLIs).  Exits 0 on the first
 # attempt that completes, with the last attempt's code otherwise.
+#
+# BENCH PREEMPTION (one TPU process at a time, CLAUDE.md): the current
+# attempt's pid is published in /tmp/varnet_tpu_step.pid so bench.py can
+# SIGTERM it and take the chip; while /tmp/varnet_bench.lock exists
+# (fresh — stale locks >1h are ignored) new attempts WAIT, then resume
+# from checkpoints as if the attempt had timed out.  The lock wait does
+# not consume an attempt.
 
 set -u
 timeout_s="$1"; attempts="$2"; shift 2
+pidfile=/tmp/varnet_tpu_step.pid
+lock=/tmp/varnet_bench.lock
 
 for ((i = 1; i <= attempts; i++)); do
+    while [ -f "$lock" ]; do
+        now=$(date +%s); ts=$(cat "$lock" 2>/dev/null || echo 0)
+        case "$ts" in (*[!0-9]*|'') ts=0;; esac
+        if (( now - ts > 3600 )); then
+            echo "[run_resumable] ignoring stale bench lock" >&2
+            break
+        fi
+        echo "[run_resumable] waiting for bench lock" >&2
+        sleep 60
+    done
     extra=()
-    if ((i > 1)); then
+    if ((i > 1)) || ((${preempts:=0} > 0)); then
+        # resume after a failed attempt OR a bench preemption (the
+        # preempted attempt checkpointed; restarting fresh would lose it)
         extra=(--resume)
         echo "[run_resumable] attempt $i/$attempts (resuming)" >&2
     fi
-    timeout --signal=TERM --kill-after=60 "$timeout_s" "$@" "${extra[@]}"
+    timeout --signal=TERM --kill-after=60 "$timeout_s" "$@" "${extra[@]}" &
+    pid=$!
+    echo "$pid" > "$pidfile"
+    wait "$pid"
     rc=$?
+    rm -f "$pidfile"
     if ((rc == 0)); then
         exit 0
+    fi
+    if [ -f "$lock" ] && (( ${preempts:=0} < 5 )); then
+        # killed by a bench preemption, not a hang/fault: the attempt
+        # doesn't count (bounded so a wedged lock can't loop forever)
+        preempts=$((preempts + 1))
+        i=$((i - 1))
+        echo "[run_resumable] preempted by bench ($preempts)" >&2
+        continue
     fi
     echo "[run_resumable] attempt $i/$attempts exited rc=$rc" >&2
     sleep 30

@@ -17,12 +17,24 @@ cd /root/repo
 LOG=/tmp/tpu_queue19
 mkdir -p $LOG
 
-step() {  # step NAME TIMEOUT CMD...
+step() {  # step NAME TIMEOUT CMD...  (bench-preemptable: waits on the
+          # bench lock, publishes its pid — utils/preempt.py protocol)
   local name=$1 tmo=$2; shift 2
   [ -f "$LOG/$name.done" ] && { echo "skip $name (done)"; return; }
+  while [ -f /tmp/varnet_bench.lock ]; do
+    local now ts; now=$(date +%s)
+    ts=$(cat /tmp/varnet_bench.lock 2>/dev/null || echo 0)
+    case "$ts" in (*[!0-9]*|'') ts=0;; esac
+    (( now - ts > 3600 )) && break
+    echo "waiting for bench lock"; sleep 60
+  done
   echo "=== $name: $(date -u) ==="
-  timeout "$tmo" "$@" >"$LOG/$name.log" 2>&1
+  timeout "$tmo" "$@" >"$LOG/$name.log" 2>&1 &
+  local pid=$!
+  echo "$pid" > /tmp/varnet_tpu_step.pid
+  wait "$pid"
   local rc=$?
+  rm -f /tmp/varnet_tpu_step.pid
   if [ $rc -eq 0 ]; then touch "$LOG/$name.done"; fi
   echo "=== $name rc=$rc $(date -u) ==="
 }
