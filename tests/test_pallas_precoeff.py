@@ -492,3 +492,35 @@ def test_precoeff_mor_order2_combo():
     for lk, lr in zip(gk, gref):
         np.testing.assert_allclose(lk["w"], lr["w"], rtol=5e-4, atol=1e-7)
         np.testing.assert_allclose(lk["b"], lr["b"], rtol=5e-4, atol=1e-7)
+
+
+def test_train_order2_auto_fused_matches_xla():
+    """END-TO-END VarNet.train with the order-2 AUTO-selected precoeff
+    kernel (interpret-wrapped hook, the test_ensemble forcing pattern)
+    vs the XLA path: same seed, same loss trajectory.  Covers the full
+    _train_impl wiring — gating, per-node sharding, loss assembly — not
+    just the kernel/trainer pieces."""
+    import functools
+
+    from varnet_tpu.api import VarNet
+    from varnet_tpu.problems.analytic import steady_ad_2d
+
+    case = steady_ad_2d(kappa=0.1)
+
+    def run(fused: bool):
+        vn = VarNet(case["pde"], layer_width=(10, 10), disc_num=8,
+                    n_devices=2, test_order=2, seed=11, use_pallas=fused)
+        if fused:
+            hook = vn._fused_residual_hook(None)
+            assert hook is not None and hook.keywords["precoeff"] is True
+            vn._fused_residual_hook = lambda prec: functools.partial(
+                hook, interpret=True
+            )
+            # prepared layout resolves G/tile for the COMPILED kernel;
+            # skip it so the interpret kernel prepares in-graph
+            vn._prepare_fused_layout = lambda *a, **kw: None
+        r = vn.train(epoch_num=30, weight=(1.0, 10.0), save_freq=15,
+                     verbose=False)
+        return [rec["loss"] for rec in r.losses]
+
+    np.testing.assert_allclose(run(True), run(False), rtol=5e-4)
