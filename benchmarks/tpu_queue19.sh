@@ -52,4 +52,22 @@ step per1d_o2 5000 \
   python -u benchmarks/per_config_accuracy.py --only 1d_steady --order 2 \
   --epochs 10000 --lm-steps 60 --lm-cg 100 --k-chunks 4
 
+# Obstacle frontier, redirected by the queue18 step-3 diagnosis (int
+# residual fell 1000x while rel-L2 rose to 88%: the weak residual at
+# d(40,20)/t24 underdetermines the FF-rich space).  Attack the residual
+# operator, not capacity:
+#   4. DENSER TEST MESH at the proven w48 hard recipe (4x classes, 2x
+#      quad density per dim — does 13.3% drop when the operator sees
+#      the oscillations?)
+#   5. capacity WITHOUT the aliasing-prone Fourier basis (w96 plain)
+step obstacle_dense 6000 \
+  python -u benchmarks/obstacle_validation.py --hard-bc --disc 80 \
+  --tdisc 40 --width 48 --layers 2 --epochs 16000 --lm-steps 20 \
+  --lm-cg 150 --k-chunks 8 --folder /tmp/obstacle_dense
+
+step obstacle_w96 6000 \
+  python -u benchmarks/obstacle_validation.py --hard-bc --width 96 \
+  --layers 3 --epochs 16000 --lm-steps 20 --lm-cg 150 --k-chunks 2 \
+  --folder /tmp/obstacle_w96
+
 echo "=== queue19 complete $(date -u) ==="
