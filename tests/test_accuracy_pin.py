@@ -171,7 +171,7 @@ def test_contaminant_causal_theta_pinned():
         preds.append(vn.evaluate(x, t=np.full(x.shape[0], tval)))
         trues.append(z["u"][s].astype(np.float64))
     overall = rel_l2_error(np.concatenate(preds), np.concatenate(trues))
-    assert overall < 0.025, f"expected ~1.6e-2, got {overall:.3e}"
+    assert overall < 0.020, f"expected ~1.5e-2, got {overall:.3e}"
 
 
 def test_contaminant_causal_hard_theta_pinned():
