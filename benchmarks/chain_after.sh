@@ -7,5 +7,9 @@
 # live in /tmp and are also wiped — re-touch the harvested ones first).
 set -u
 sentinel=$1; next=$2
-while ! grep -q "complete" "$sentinel" 2>/dev/null; do sleep 120; done
+# anchored: only the queue driver's own final line matches (a step name
+# or log line merely containing "complete" must not fire the chain)
+while ! grep -q "^=== queue[0-9]* complete" "$sentinel" 2>/dev/null; do
+  sleep 120
+done
 exec bash "$next"

@@ -72,11 +72,20 @@ def main():
     print(f"[causal-lm] polished rel-L2 {after:.4e} "
           f"({time.perf_counter() - t0:.0f}s)", flush=True)
     if after < base:
+        # Provenance (ADVICE r3): the warm-start score goes under a
+        # neutral key (it may itself be a prior LM result, not Adam),
+        # and LM iterations / polish wall accumulate across invocations.
         rec = json.loads((RESULTS / "contaminant_causal.json").read_text())
+        prev_iters = int(rec.get("lm_total_iters", 0))
+        prev_wall = float(rec.get("lm_total_wall_s", 0.0))
+        rec.pop("adam_rel_l2", None)
         rec.update(overall_rel_l2=after, per_time=per_time, phase="lm",
-                   adam_rel_l2=base,
-                   lm=f"{args.lm_steps} iters cg={args.lm_cg} "
-                      f"k_chunks={args.k_chunks}")
+                   prev_rel_l2=base,
+                   lm_total_iters=prev_iters + args.lm_steps,
+                   lm_total_wall_s=prev_wall + (time.perf_counter() - t0),
+                   lm=f"+{args.lm_steps} iters cg={args.lm_cg} "
+                      f"k_chunks={args.k_chunks} (cumulative "
+                      f"{prev_iters + args.lm_steps})")
         (RESULTS / "contaminant_causal.json").write_text(
             json.dumps(rec, indent=2))
         net = vn.theta["net"] if isinstance(vn.theta, dict) else vn.theta

@@ -56,14 +56,24 @@ def run(name, args):
         **extra,
     )
     t0 = time.perf_counter()
+    # per-config checkpoint dir so a run_resumable.sh retry (--resume)
+    # continues from the newest checkpoint instead of restarting
+    folder = f"{args.folder}/{name}_o{args.order}" if args.folder else None
     vn.train(epoch_num=args.epochs, weight=weight,
              save_freq=max(args.epochs // 4, 1), verbose=False,
-             matmul_precision="highest", error_disc=96, error_times=7)
+             matmul_precision="highest", error_disc=96, error_times=7,
+             folderpath=folder, resume=args.resume, max_retries=2)
     r = vn.refine_lm(steps=args.lm_steps, weight=weight, cg_iters=args.lm_cg,
                      cg_segment=40, save_freq=max(args.lm_steps // 4, 1),
                      matmul_precision="highest", error_disc=96, error_times=7,
-                     k_chunks=args.k_chunks)
-    err = min(e for e in r.errors if np.isfinite(e))
+                     k_chunks=args.k_chunks,
+                     folderpath=folder, resume=args.resume, max_retries=2)
+    finite = [e for e in r.errors if np.isfinite(e)]
+    if not finite:
+        # a --resume re-run whose LM budget was already complete no-ops
+        # with an empty history; score the restored iterate instead
+        finite = [float(vn.compute_error(vn.theta, disc=96, n_times=7))]
+    err = min(finite)
     # score the FINAL iterate (what the file would re-score to in the pin
     # test) and persist only on improvement — an unconditional save here
     # once let a tiny CPU smoke clobber a pinned theta (CLAUDE.md trap)
@@ -101,6 +111,11 @@ def main():
     ap.add_argument("--integ", type=int, default=None,
                     help="Gauss points per dim (default: 2 for order 1, "
                          "3 for order 2)")
+    ap.add_argument("--folder", type=str, default="/tmp/per_config",
+                    help="checkpoint root (per-config subdirs)")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the newest checkpoint per config "
+                         "(run_resumable.sh appends this on retries)")
     args = ap.parse_args()
     names = args.only.split(",") if args.only else list(CONFIGS)
 

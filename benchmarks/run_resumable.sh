@@ -52,6 +52,17 @@ for ((i = 1; i <= attempts; i++)); do
     timeout --signal=TERM --kill-after=60 "$timeout_s" "$@" "${extra[@]}" &
     pid=$!
     echo "$pid" > "$pidfile"
+    # TOCTOU re-check (ADVICE r3): bench.py may have taken the lock in
+    # the window between our lock check and the pidfile write, in which
+    # case it read no pid and will open the chip — yield immediately.
+    if [ -f "$lock" ]; then
+        now=$(date +%s); ts=$(cat "$lock" 2>/dev/null || echo 0)
+        case "$ts" in (*[!0-9]*|'') ts=0;; esac
+        if (( now - ts <= 3600 )); then
+            echo "[run_resumable] bench lock appeared post-launch; yielding" >&2
+            kill -TERM "$pid" 2>/dev/null
+        fi
+    fi
     wait "$pid"
     rc=$?
     rm -f "$pidfile"

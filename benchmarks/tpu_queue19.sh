@@ -17,38 +17,27 @@ cd /root/repo
 LOG=/tmp/tpu_queue19
 mkdir -p $LOG
 
-step() {  # step NAME TIMEOUT CMD...  (bench-preemptable: waits on the
-          # bench lock, publishes its pid — utils/preempt.py protocol)
+step() {  # step NAME TIMEOUT CMD...  — every step rides run_resumable.sh
+          # (bench preemption + hang retry + --resume; ADVICE r3 medium)
   local name=$1 tmo=$2; shift 2
   [ -f "$LOG/$name.done" ] && { echo "skip $name (done)"; return; }
-  while [ -f /tmp/varnet_bench.lock ]; do
-    local now ts; now=$(date +%s)
-    ts=$(cat /tmp/varnet_bench.lock 2>/dev/null || echo 0)
-    case "$ts" in (*[!0-9]*|'') ts=0;; esac
-    (( now - ts > 3600 )) && break
-    echo "waiting for bench lock"; sleep 60
-  done
   echo "=== $name: $(date -u) ==="
-  timeout "$tmo" "$@" >"$LOG/$name.log" 2>&1 &
-  local pid=$!
-  echo "$pid" > /tmp/varnet_tpu_step.pid
-  wait "$pid"
+  timeout "$tmo" "$@" >"$LOG/$name.log" 2>&1
   local rc=$?
-  rm -f /tmp/varnet_tpu_step.pid
   if [ $rc -eq 0 ]; then touch "$LOG/$name.done"; fi
   echo "=== $name rc=$rc $(date -u) ==="
 }
 
-step order2_auto 2500 \
+step order2_auto 5000 benchmarks/run_resumable.sh 2500 2 \
   python -u benchmarks/order2_floor.py --order 2 --disc 16 --tdisc 12 \
   --width 48 --layers 3 --epochs 2000 --lm-steps 0 --k-chunks 1 \
   --folder /tmp/o2auto
 
-step per2d_o2 8000 \
+step per2d_o2 12000 benchmarks/run_resumable.sh 4000 3 \
   python -u benchmarks/per_config_accuracy.py --only 2d_steady --order 2 \
   --epochs 12000 --lm-steps 60 --lm-cg 150 --k-chunks 8
 
-step per1d_o2 5000 \
+step per1d_o2 9000 benchmarks/run_resumable.sh 3000 3 \
   python -u benchmarks/per_config_accuracy.py --only 1d_steady --order 2 \
   --epochs 10000 --lm-steps 60 --lm-cg 100 --k-chunks 4
 
@@ -60,12 +49,12 @@ step per1d_o2 5000 \
 #      quad density per dim — does 13.3% drop when the operator sees
 #      the oscillations?)
 #   5. capacity WITHOUT the aliasing-prone Fourier basis (w96 plain)
-step obstacle_dense 6000 \
+step obstacle_dense 12000 benchmarks/run_resumable.sh 4000 3 \
   python -u benchmarks/obstacle_validation.py --hard-bc --disc 80 \
   --tdisc 40 --width 48 --layers 2 --epochs 16000 --lm-steps 20 \
   --lm-cg 150 --k-chunks 8 --folder /tmp/obstacle_dense
 
-step obstacle_w96 6000 \
+step obstacle_w96 12000 benchmarks/run_resumable.sh 4000 3 \
   python -u benchmarks/obstacle_validation.py --hard-bc --width 96 \
   --layers 3 --epochs 16000 --lm-steps 20 --lm-cg 150 --k-chunks 2 \
   --folder /tmp/obstacle_w96

@@ -58,12 +58,18 @@ def preempt_queue_step(wait_s: float = 180.0, verbose: bool = True):
 
     atexit.register(release)
 
+    # Re-poll the pidfile briefly: run_resumable checks the lock BEFORE
+    # launching + publishing its pid, so an attempt launched in that
+    # window appears here a moment after we took the lock (TOCTOU fix —
+    # ADVICE r3; run_resumable also re-checks the lock on its side).
     pid = None
-    try:
-        with open(PIDFILE) as f:
-            pid = int(f.read().strip())
-    except (FileNotFoundError, ValueError):
-        pass
+    deadline0 = time.time() + 10.0
+    while pid is None and time.time() < deadline0:
+        try:
+            with open(PIDFILE) as f:
+                pid = int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            time.sleep(1.0)
     if pid is not None and _alive(pid):
         if verbose:
             print(f"[preempt] SIGTERM queue step pid {pid}, waiting",
