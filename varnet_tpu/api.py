@@ -60,6 +60,7 @@ from .train.optim import OptimizerConfig, make_optimizer
 from .train.trainer import (
     EnsembleResult,
     TrainResult,
+    _pad_batched_axis1,
     _tree_reshape_batches,
     make_eval_fn,
     make_train_step,
@@ -780,11 +781,15 @@ class VarNet:
         if not td:
             w_full = [w_full[0], w_full[1], 0.0, w_full[2]]
 
-        multiple = int(batch_num) * self.n_shards
+        # Device-count-invariant batching (VERDICT r3 item 6): split into
+        # mini-batches FIRST (pad depends only on batch_num), then pad
+        # each batch for the shard count — same batch membership for any
+        # n_devices (trainer._pad_batched_axis1).
         fused = None if value_and_jac is not None else self._fused_residual_hook(
             matmul_precision
         )
-        quad_h = pad_quad(self.fixed.quad, multiple)
+        quad_h = pad_quad(self.fixed.quad,
+                          int(batch_num) if batch_num > 1 else self.n_shards)
         if fused is not None and self.source_fn is not None:
             # Inverse-source mode on the fused kernel: the trainable source
             # enters the weak residual LINEARLY, so the kernel integrates
@@ -797,15 +802,23 @@ class VarNet:
         obs_h = None if not has_obs else pad_points(self.obs_data, self.n_shards)
 
         neu_h = self._padded_neu()
+        if batch_num > 1:
+            # batch membership is already fixed; per-batch shard padding
+            # only appends masked filler (device-count invariant)
+            quad_h = _tree_reshape_batches(quad_h, batch_num)
+            quad_h = _pad_batched_axis1(quad_h, self.n_shards)
         # one host f64 table build serves both the sharded loss operand
-        # and (fused path) the per-shard coefficient fold below
+        # and (fused path) the per-shard coefficient fold below; in the
+        # batched layout the tables are built at the flattened coords and
+        # reshaped back inside _shard_hard
+        flat_coords = (quad_h.coords.reshape((-1,) + quad_h.coords.shape[2:])
+                       if batch_num > 1 else quad_h.coords)
         hard_hq = (None if self.hard is None
-                   else self.hard.tables(quad_h.coords))
+                   else self.hard.tables(flat_coords))
         hard_d = self._shard_hard(quad_h, obs_h, neu_h, batch_num=batch_num,
                                   hq=hard_hq)
 
         if batch_num > 1:
-            quad_h = _tree_reshape_batches(quad_h, batch_num)
             quad_d = shard_quad(quad_h, self.mesh, dtype=self.dtype, batched=True)
         else:
             quad_d = shard_quad(quad_h, self.mesh, dtype=self.dtype)
@@ -1061,9 +1074,10 @@ class VarNet:
         if not td:
             w_full = [w_full[0], w_full[1], 0.0, w_full[2]]
 
-        multiple = int(batch_num) * self.n_shards
         fused = self._fused_residual_hook(matmul_precision) if batch_num == 1 else None
-        quad_h = pad_quad(self.fixed.quad, multiple)
+        # device-count-invariant batching: see _train_epochs_impl
+        quad_h = pad_quad(self.fixed.quad,
+                          int(batch_num) if batch_num > 1 else self.n_shards)
         if fused is not None and self.source_fn is not None:
             # Inverse-source mode on the fused kernel (see _train_impl):
             # the kernel integrates with the fixed source zeroed; the
@@ -1073,14 +1087,18 @@ class VarNet:
         ic_h = None if self.fixed.ic is None else pad_points(self.fixed.ic, self.n_shards)
         obs_h = None if not has_obs else pad_points(self.obs_data, self.n_shards)
         neu_h = self._padded_neu()
-        # hard tables are built at the UNBATCHED padded coords, then
+        if batch_num > 1:
+            quad_h = _tree_reshape_batches(quad_h, batch_num)
+            quad_h = _pad_batched_axis1(quad_h, self.n_shards)
+        # hard tables are built at the (flattened) final coords, then
         # reshaped to the mini-batch layout inside _shard_hard
+        flat_coords = (quad_h.coords.reshape((-1,) + quad_h.coords.shape[2:])
+                       if batch_num > 1 else quad_h.coords)
         hard_hq = (None if self.hard is None
-                   else self.hard.tables(quad_h.coords))
+                   else self.hard.tables(flat_coords))
         hard_d = self._shard_hard(quad_h, obs_h, neu_h, batch_num=batch_num,
                                   hq=hard_hq)
         if batch_num > 1:
-            quad_h = _tree_reshape_batches(quad_h, batch_num)
             quad_d = shard_quad(quad_h, self.mesh, dtype=self.dtype, batched=True)
         else:
             quad_d = shard_quad(quad_h, self.mesh, dtype=self.dtype)
@@ -1253,6 +1271,16 @@ class VarNet:
         parameters.  This is both the adaptive-refinement indicator
         (``refine_tests``) and a public diagnostic surface.
         """
+        return self._residual_densities(
+            self.fixed.quad, self.static.n_test, theta, chunk,
+            matmul_precision)
+
+    def _residual_densities(self, quad, k_real, theta, chunk,
+                            matmul_precision):
+        """test_residuals body against an ARBITRARY quadrature layout
+        (the train mesh's, or a finer probe mesh's — residual_adequacy).
+        Densities are support-volume normalized, hence comparable across
+        test-mesh scales."""
         from .models.mlp import make_input_scaling, mlp_value_and_jac
         from .ops.residual import weak_residual
 
@@ -1320,9 +1348,7 @@ class VarNet:
                    else jnp.sum(w_tbl))
             return r / vol
 
-        quad = self.fixed.quad
         per_node = quad.tables_per_node
-        k_real = self.static.n_test
         chunk = max(1, min(int(chunk), k_real))
         out = np.empty(k_real, dtype=np.float64)
         with matmul_precision_scope(matmul_precision or "highest"):
@@ -1359,6 +1385,75 @@ class VarNet:
                     hq,
                 )
                 out[sl] = np.asarray(r)[: hi - lo]
+        return out
+
+    def residual_adequacy(self, theta=None, refine: int = 2,
+                          integ_p_num: Optional[int] = None,
+                          threshold: float = 10.0, chunk: int = 16384,
+                          matmul_precision: Optional[str] = None,
+                          verbose: bool = True) -> dict:
+        """Guard against residual-consistent WRONG solutions (VERDICT r3
+        item 2; SURVEY.md §0 items 3-4 — the weak residual is the
+        method's only training signal, so a test space too coarse for
+        the hypothesis space can be driven to ~0 while the solution gets
+        WORSE; measured on the obstacle case, where ff128/width-96 drove
+        the interior loss 1000x down to rel-L2 88%).
+
+        Re-scores the weak residual densities on an INDEPENDENT probe
+        test mesh ``refine``x finer per dimension (space and time; same
+        support-volume normalization, so densities are comparable across
+        scales).  For a genuinely converged solution the probe sees the
+        same small residual field (ratio ~ 1); quadrature/test-space
+        underdetermination shows up as probe >> train.
+
+        Returns dict with ``train_rms``, ``probe_rms``, ``ratio``,
+        ``flagged`` (ratio > threshold), plus the probe mesh spec.  A
+        one-shot host-side diagnostic (XLA value+jac path) — not part of
+        any train step.
+        """
+        f = int(refine)
+        if f < 2:
+            raise ValueError("refine must be >= 2 (an identical probe "
+                             "mesh cannot detect underdetermination)")
+        disc = self.disc_num
+        probe_disc = ([int(d) * f for d in disc]
+                      if np.ndim(disc) else int(disc) * f)
+        probe_t = (None if self.t_disc_num is None
+                   else int(self.t_disc_num) * f)
+        probe_fixed = build_fixed_data(
+            self.pde, probe_disc, b_disc_num=self.b_disc_num,
+            t_disc_num=probe_t,
+            integ_p_num=int(integ_p_num or self.integ_p_num),
+            pad_multiple=1, test_order=self.test_order,
+        )
+        r_train = self.test_residuals(theta, chunk=chunk,
+                                      matmul_precision=matmul_precision)
+        r_probe = self._residual_densities(
+            probe_fixed.quad, probe_fixed.static.n_test, theta, chunk,
+            matmul_precision)
+        train_rms = float(np.sqrt(np.mean(r_train**2)))
+        probe_rms = float(np.sqrt(np.mean(r_probe**2)))
+        ratio = probe_rms / max(train_rms, 1e-300)
+        out = {
+            "train_rms": train_rms,
+            "probe_rms": probe_rms,
+            "ratio": ratio,
+            "flagged": bool(ratio > threshold),
+            "threshold": float(threshold),
+            "train_mesh": f"disc={disc} tdisc={self.t_disc_num} "
+                          f"n_test={self.static.n_test}",
+            "probe_mesh": f"disc={probe_disc} tdisc={probe_t} "
+                          f"n_test={probe_fixed.static.n_test}",
+        }
+        if verbose:
+            state = ("FLAGGED: probe residual >> train residual — the "
+                     "train test space likely underdetermines the "
+                     "solution (aliasing); densify disc/t_disc/integ or "
+                     "refine_tests before trusting the fit"
+                     if out["flagged"] else "ok")
+            print(f"[varnet/adequacy] train_rms {train_rms:.3e}  "
+                  f"probe_rms {probe_rms:.3e}  ratio {ratio:.1f}  "
+                  f"{state}", flush=True)
         return out
 
     def refine_tests(self, frac: float = 0.1,

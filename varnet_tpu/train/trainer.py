@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fem.assembly import PointData, QuadData
+from ..fem.assembly import PointData, QuadData, _pad_to_multiple
 
 
 def _tree_reshape_batches(quad: QuadData, batch_num: int) -> QuadData:
@@ -59,6 +59,47 @@ def _tree_reshape_batches(quad: QuadData, batch_num: int) -> QuadData:
         src=r(quad.src, True),
         react=r(quad.react, True),
         mask=r(quad.mask, True),
+    )
+
+
+def _pad_batched_axis1(quad: QuadData, multiple: int) -> QuadData:
+    """Pad the PER-BATCH test axis of a batched QuadData ([B, Kb, ...])
+    to a multiple of the shard count.
+
+    Device-count invariance (VERDICT r3 item 6): mini-batch MEMBERSHIP is
+    fixed by the batch split (pad to batch_num, reshape) BEFORE any
+    shard padding, so the same real test rows land in the same batch for
+    ANY n_devices; only masked filler rows (replicas of each batch's row
+    0, zero mask) differ.  Without this, global pad-to-(B x n_shards)
+    shifted the contiguous batch boundaries with the device count and
+    silently changed the training trajectory.
+    """
+    kb = quad.coords.shape[1]
+    target = _pad_to_multiple(kb, multiple)
+    if target == kb:
+        return quad
+
+    per_node = quad.tables_per_node
+
+    def pad(a, is_per_node: bool, fill_zero: bool = False):
+        if not is_per_node:
+            return a  # shared [nQ] tables: replicated across batches
+        pad_n = target - kb
+        filler = np.repeat(a[:, :1], pad_n, axis=1)
+        if fill_zero:
+            filler = np.zeros_like(filler)
+        return np.concatenate([a, filler], axis=1)
+
+    return QuadData(
+        coords=pad(quad.coords, True),
+        N=pad(quad.N, per_node),
+        dN=pad(quad.dN, per_node),
+        w=pad(quad.w, per_node),
+        kappa=pad(quad.kappa, True),
+        vel=pad(quad.vel, True),
+        src=pad(quad.src, True),
+        react=pad(quad.react, True),
+        mask=pad(quad.mask, True, fill_zero=True),
     )
 
 
