@@ -43,11 +43,18 @@ def main():
                     help="allow the real TPU (default forces CPU)")
     ap.add_argument("--out", type=str,
                     default="benchmarks/results/lm_precond_probe.json")
+    ap.add_argument("--resume", action="store_true",
+                    help="accepted for run_resumable.sh compatibility; "
+                         "the probe is short enough to just restart")
     args = ap.parse_args()
 
     case = transient_ad_2d()
     runs = {}
-    for precond in (0, args.probes):
+    # three arms since round 4 (VERDICT r3 item 9): plain CG, the legacy
+    # ELEMENTWISE Hutchinson diagonal (measured to degrade final rel-L2),
+    # and the per-LEAF trace reduction that replaces it as the default
+    for precond, mode in ((0, "diag"), (args.probes, "diag"),
+                          (args.probes, "leaf")):
         vn = VarNet(case["pde"], layer_width=(args.width, args.width),
                     disc_num=args.disc, t_disc_num=args.tdisc, seed=0)
         vn.train(epoch_num=args.epochs, weight=(1.0, 10.0, 10.0),
@@ -57,14 +64,16 @@ def main():
             steps=args.lm_steps, weight=(1.0, 10.0, 10.0),
             cg_iters=args.cg_iters, save_freq=1, verbose=True,
             error_disc=48, k_chunks=args.k_chunks, precond=precond,
+            precond_mode=mode,
         )
         wall = time.perf_counter() - t0
-        runs[f"precond={precond}"] = {
+        key = f"precond={precond}" + (f"_{mode}" if precond else "")
+        runs[key] = {
             "losses": [rec["loss"] for rec in r.losses],
             "rel_l2": r.errors,
             "lm_wall_s": wall,
         }
-        print(f"[probe] precond={precond}: final loss "
+        print(f"[probe] {key}: final loss "
               f"{r.losses[-1]['loss']:.4e} relL2 {r.errors[-1]:.3e} "
               f"({wall:.1f}s)")
 

@@ -1,11 +1,12 @@
 """Multi-host bootstrap + scaling-efficiency tests (SURVEY.md §5.8).
 
-The 2-process test spawns real subprocesses, each calling
+The multi-process tests spawn real subprocesses, each calling
 ``initialize_distributed`` (jax.distributed over a localhost coordinator,
-CPU backend, 2 virtual devices per process = 4 global), and runs one real
+CPU backend, 2 virtual devices per process), and run one real
 ``VarNet.train`` through the shared mesh — the TPU-world equivalent of the
 reference's multi-tower path actually executing, not just existing
-(VERDICT r1 missing #4: "dead-until-proven code").
+(VERDICT r1 missing #4: "dead-until-proven code"; VERDICT r3 item 10
+extends the evidence from 2 processes / 4 devices to 4 processes / 8).
 """
 
 import os
@@ -28,21 +29,21 @@ _CHILD = textwrap.dedent(
     )
     import jax
     jax.config.update("jax_platforms", "cpu")
-    pid = int(sys.argv[1]); port = sys.argv[2]
+    pid = int(sys.argv[1]); port = sys.argv[2]; nproc = int(sys.argv[3])
     sys.path.insert(0, {repo!r})
     from varnet_tpu.parallel.mesh import initialize_distributed
     n = initialize_distributed(
-        coordinator_address=f"localhost:{{port}}", num_processes=2,
+        coordinator_address=f"localhost:{{port}}", num_processes=nproc,
         process_id=pid,
     )
-    assert n == 2, n
-    assert jax.process_count() == 2
-    assert len(jax.devices()) == 4
+    assert n == nproc, n
+    assert jax.process_count() == nproc
+    assert len(jax.devices()) == 2 * nproc
     from varnet_tpu.api import VarNet
     from varnet_tpu.problems.analytic import steady_ad_1d
     case = steady_ad_1d()
     vn = VarNet(case["pde"], layer_width=(8,), disc_num=12)
-    assert vn.n_shards == 4  # the mesh spans BOTH processes' devices
+    assert vn.n_shards == 2 * nproc  # the mesh spans ALL processes' devices
     res = vn.train(epoch_num=3, weight=(1.0, 10.0), save_freq=3,
                    verbose=False)
     print(f"DIST_OK {{pid}} {{res.losses[-1]['loss']:.6e}}", flush=True)
@@ -50,11 +51,7 @@ _CHILD = textwrap.dedent(
 ).format(repo=REPO)
 
 
-@pytest.mark.skipif(
-    os.environ.get("VARNET_SKIP_DIST") == "1",
-    reason="explicitly disabled via VARNET_SKIP_DIST",
-)
-def test_two_process_distributed_train_step(tmp_path):
+def _run_distributed(tmp_path, nproc, timeout=300):
     import socket
 
     script = tmp_path / "child.py"
@@ -66,16 +63,16 @@ def test_two_process_distributed_train_step(tmp_path):
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(pid), port],
+            [sys.executable, str(script), str(pid), port, str(nproc)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=str(tmp_path),
         )
-        for pid in range(2)
+        for pid in range(nproc)
     ]
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -84,9 +81,29 @@ def test_two_process_distributed_train_step(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"child {pid} failed:\n{out[-2000:]}"
         assert f"DIST_OK {pid}" in out, out[-2000:]
-    # Both processes must agree on the loss (same global reduction).
-    losses = [o.split("DIST_OK")[-1].split()[1] for o in outs]
-    assert losses[0] == losses[1], losses
+    # All processes must agree on the loss (same global reduction).
+    losses = {o.split("DIST_OK")[-1].split()[1] for o in outs}
+    assert len(losses) == 1, losses
+
+
+@pytest.mark.skipif(
+    os.environ.get("VARNET_SKIP_DIST") == "1",
+    reason="explicitly disabled via VARNET_SKIP_DIST",
+)
+def test_two_process_distributed_train_step(tmp_path):
+    _run_distributed(tmp_path, nproc=2)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("VARNET_SKIP_DIST") == "1",
+    reason="explicitly disabled via VARNET_SKIP_DIST",
+)
+def test_four_process_distributed_train_step(tmp_path):
+    """4 processes x 2 devices = 8 global (VERDICT r3 item 10) — the
+    coordinator/mesh/psum path at a process count where pairwise
+    rendezvous shortcuts would break."""
+    _run_distributed(tmp_path, nproc=4, timeout=600)
 
 
 def test_sharding_padding_waste_bounded():

@@ -78,13 +78,66 @@ def test_precond_segmented_matches_fused():
     np.testing.assert_allclose(seg.flat, fused.flat, rtol=1e-4, atol=1e-6)
 
 
+def test_leaf_reduce_diag_exact():
+    from varnet_tpu.train.gauss_newton import _leaf_reduce_diag
+
+    diag = jnp.asarray([1.0, 3.0, 10.0, 20.0, 30.0, 100.0])
+    segs = jnp.asarray([0, 0, 1, 1, 1, 2], jnp.int32)
+    out = np.asarray(_leaf_reduce_diag(diag, segs, 3))
+    np.testing.assert_allclose(out, [2.0, 2.0, 20.0, 20.0, 20.0, 100.0])
+
+
+def test_leaf_precond_beats_plain_on_blockwise_scales():
+    """Per-leaf trace preconditioning fixes BLOCK-constant curvature
+    disparity (the cross-layer case it exists for) as well as the
+    elementwise estimate does — without its per-element probe noise
+    (VERDICT r3 item 9: the noise was measured to degrade final rel-L2
+    on the real LM, lm_precond_tpu.json)."""
+    scales = [1.0, 1.0, 1.0, 1.0, 3e3, 3e3, 3e3, 3e3]
+    _, _, res = _linear_problem(scales)
+    segs = np.asarray([0, 0, 0, 0, 1, 1, 1, 1])
+    x0 = jnp.zeros(8)
+    state0 = LMState(flat=x0, lam=jnp.asarray(1e-8),
+                     loss=jnp.dot(res(x0), res(x0)))
+    plain = float(make_lm_step(res, cg_iters=10)(state0).loss)
+    leaf = float(make_lm_step(res, cg_iters=10, precond=32,
+                              leaf_segments=segs,
+                              precond_mode="leaf")(state0).loss)
+    assert leaf < 1e-6, f"leaf-preconditioned CG did not solve: {leaf}"
+    assert leaf < plain * 1e-2, f"no speedup: plain {plain}, leaf {leaf}"
+
+
+def test_leaf_mode_requires_segments():
+    import pytest
+
+    _, _, res = _linear_problem([1.0, 2.0, 3.0, 4.0])
+    with pytest.raises(ValueError):
+        make_lm_step(res, cg_iters=4, precond=8, precond_mode="leaf")
+
+
+def test_refine_lm_leaf_precond_end_to_end():
+    """The api default (precond_mode='leaf') builds leaf_segments from
+    theta and descends on a real problem."""
+    from varnet_tpu.api import VarNet
+    from varnet_tpu.problems.analytic import steady_ad_1d
+
+    case = steady_ad_1d()
+    vn = VarNet(case["pde"], layer_width=(10,), disc_num=12, n_devices=1)
+    vn.train(epoch_num=300, weight=(1.0, 10.0), verbose=False)
+    r = vn.refine_lm(steps=4, weight=(1.0, 10.0), cg_iters=15,
+                     save_freq=4, verbose=False, precond=8)
+    losses = [rec["loss"] for rec in r.losses]
+    assert np.isfinite(losses[-1])
+
+
 def _count_all_reduces(hlo):
     return len(re.findall(r"= \S* all-reduce\(", hlo)) + len(
         re.findall(r"= \S* all-reduce-start\(", hlo)
     )
 
 
-def _make_sharded_lm_parts(cg_iters=5, precond=0, cg_segment=0):
+def _make_sharded_lm_parts(cg_iters=5, precond=0, cg_segment=0,
+                           precond_mode="diag"):
     """tests.test_lm_multichip's harness, with the precond knob."""
     from jax.flatten_util import ravel_pytree
     from jax.sharding import PartitionSpec as P
@@ -122,9 +175,13 @@ def _make_sharded_lm_parts(cg_iters=5, precond=0, cg_segment=0):
                          react=per_node, mask=per_node)
     data = (quad, bc, ic, None)
     specs = (quad_spec, per_node, per_node, per_node)
+    leaf_sizes = [int(np.size(leaf))
+                  for leaf in jax.tree_util.tree_leaves(theta)]
+    segs = np.repeat(np.arange(len(leaf_sizes)), leaf_sizes)
     step = make_lm_step(closure, cg_iters=cg_iters, cg_segment=cg_segment,
                         mesh=mesh, data=data, data_specs=specs,
-                        precond=precond)
+                        precond=precond, leaf_segments=segs,
+                        precond_mode=precond_mode)
     state = LMState(flat=flat0, lam=jnp.asarray(1e-3), loss=jnp.asarray(1.0))
     return step, state, data
 
@@ -138,6 +195,21 @@ def test_precond_sharded_census_pinned():
     hlo = step.jitted.lower(state, data).compile().as_text()
     total = _count_all_reduces(hlo)
     assert total == 3, f"expected exactly 3 all-reduces, got {total}"
+
+
+def test_leaf_precond_sharded_census_and_descent():
+    """Leaf mode on the sharded path: the segment reduction happens
+    AFTER the packed init psum, so the 3-all-reduce census is unchanged,
+    and the step descends."""
+    step, state, data = _make_sharded_lm_parts(cg_iters=20, precond=8,
+                                               precond_mode="leaf")
+    hlo = step.jitted.lower(state, data).compile().as_text()
+    assert _count_all_reduces(hlo) == 3
+    out = state
+    for _ in range(3):
+        out = step(out)
+    assert jnp.isfinite(out.loss)
+    assert float(out.loss) < 7.0, f"no descent: {float(out.loss)}"
 
 
 def test_precond_sharded_descends():

@@ -1706,6 +1706,7 @@ class VarNet:
         max_retries: int = 0,
         retry_backoff: float = 30.0,
         precond: int = 0,
+        precond_mode: str = "leaf",
     ) -> TrainResult:
         """Levenberg-Marquardt refinement (matrix-free Gauss-Newton + CG).
 
@@ -1714,6 +1715,10 @@ class VarNet:
         ~precond/cg_iters of a step) and CG runs on the diagonally-scaled
         damped system — fewer CG iterations when curvature scales vary
         across layers (see train/gauss_newton.py; 8 is a good default).
+        precond_mode='leaf' (default) collapses the estimate to one
+        scalar per parameter leaf — the elementwise probe noise was
+        measured to DEGRADE final rel-L2 (lm_precond_tpu.json); 'diag'
+        keeps the legacy elementwise estimate for A/B.
 
         The final-decade tool: the variational loss is a nonlinear least
         squares, so GN curvature is available through one jvp + one vjp
@@ -1791,6 +1796,7 @@ class VarNet:
                     error_disc, error_times, st["lam"], target_error,
                     matmul_precision, st["k"], lm_folder, cg_segment,
                     step_offset=st["offset"], precond=precond,
+                    precond_mode=precond_mode,
                 )
 
         def on_fault(_attempt):
@@ -1846,6 +1852,7 @@ class VarNet:
         self, steps, weight, cg_iters, save_freq, verbose, error_disc,
         error_times, lam0, target_error, matmul_precision, k_chunks,
         folderpath, cg_segment, step_offset=0, precond=0,
+        precond_mode="leaf",
     ) -> TrainResult:
         from jax.flatten_util import ravel_pytree
 
@@ -1977,10 +1984,16 @@ class VarNet:
         data_specs = (quad_spec, per_node, per_node, per_node, per_node,
                       per_node)
 
+        # flat-index -> leaf-id map for the per-leaf preconditioner
+        # (matches ravel_pytree's leaf order)
+        leaf_sizes = [int(np.size(leaf))
+                      for leaf in jax.tree_util.tree_leaves(theta0)]
+        leaf_segments = np.repeat(np.arange(len(leaf_sizes)), leaf_sizes)
         lm_step = make_lm_step(
             closure, cg_iters=cg_iters, cg_segment=cg_segment,
             residual_jvp=closure_jvp, mesh=self.mesh, data=data,
             data_specs=data_specs, precond=precond,
+            leaf_segments=leaf_segments, precond_mode=precond_mode,
         )
         r0 = closure(flat0, data)
         state = LMState(

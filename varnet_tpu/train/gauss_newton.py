@@ -24,6 +24,7 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.mlp import make_input_scaling, mlp_apply, mlp_value_and_jac
 from ..ops.residual import weak_residual
@@ -229,6 +230,23 @@ def _diag_probe_est(pullback, n_r, n_probes, dtype, key):
     return jnp.maximum(diag, 1e-4 * jnp.mean(diag))
 
 
+def _leaf_reduce_diag(diag, leaf_segments, n_leaves):
+    """Collapse an elementwise diag(J^T J) estimate to per-LEAF means.
+
+    The round-3 A/B showed the ELEMENTWISE Hutchinson diagonal degrades
+    final rel-L2 (8.0e-3 vs 6.2e-3, lm_precond_tpu.json): per-element
+    probe noise perturbs the CG direction at small lam.  The disparity
+    the preconditioner exists to fix is CROSS-LAYER curvature scale, so
+    reduce to one scalar per parameter leaf: the same probes estimate a
+    per-leaf TRACE, whose relative variance shrinks with the leaf size
+    (averaging n_probes x leaf_dim squared entries), and within-leaf
+    directions are left untouched (VERDICT r3 item 9)."""
+    seg = jax.ops.segment_sum(diag, leaf_segments, num_segments=n_leaves)
+    cnt = jax.ops.segment_sum(jnp.ones_like(diag), leaf_segments,
+                              num_segments=n_leaves)
+    return (seg / jnp.maximum(cnt, 1.0))[leaf_segments]
+
+
 _PROBE_KEY_SEED = 7
 
 
@@ -243,6 +261,8 @@ def make_lm_step(
     data=None,
     data_specs=None,
     precond: int = 0,
+    leaf_segments=None,
+    precond_mode: str = "diag",
 ):
     """One Levenberg-Marquardt iteration on RAVELED parameters.
 
@@ -263,6 +283,14 @@ def make_lm_step(
     the probe cost is ~precond/cg_iters of a step.  0 = plain CG
     (default).
 
+    precond_mode: 'leaf' collapses the diagonal estimate to a
+    per-parameter-leaf mean (low-variance trace estimate; needs
+    ``leaf_segments``, an int array mapping each flat index to its leaf)
+    — the elementwise probe noise was measured to DEGRADE final rel-L2
+    (lm_precond_tpu.json, _leaf_reduce_diag).  'diag' (default at this
+    level; ``VarNet.refine_lm`` defaults to 'leaf') keeps the
+    elementwise estimate.
+
     cg_segment == 0: linearize + CG + accept fused into ONE jitted
     program — fastest, but a long program at large cg_iters can exceed
     device execution deadlines (observed ~2 min on the TPU tunnel).
@@ -282,14 +310,24 @@ def make_lm_step(
     ``data`` is the sharded pytree and ``data_specs`` its PartitionSpec
     tree; both must compute the PER-SHARD slice of the residual vector.
     """
+    if precond and precond_mode == "leaf" and leaf_segments is None:
+        raise ValueError(
+            "precond_mode='leaf' requires leaf_segments (flat-index -> "
+            "leaf-id map); pass precond_mode='diag' for the legacy "
+            "elementwise estimate"
+        )
     if mesh is not None:
         return _make_lm_step_sharded(
             residual_closure, cg_iters, lam_up, lam_down, cg_segment,
             residual_jvp, mesh, data, data_specs, precond,
+            leaf_segments, precond_mode,
         )
     if residual_jvp is None:
         residual_jvp = residual_closure
     n_probes = int(precond)
+    segs = (None if leaf_segments is None
+            else jnp.asarray(leaf_segments, jnp.int32))
+    n_leaves = 0 if segs is None else int(np.max(leaf_segments)) + 1
 
     def loss_of(flat):
         r = residual_closure(flat)
@@ -327,6 +365,8 @@ def make_lm_step(
             pullback, n_r, n_probes, dtype,
             jax.random.PRNGKey(_PROBE_KEY_SEED),
         )
+        if precond_mode == "leaf":
+            diag = _leaf_reduce_diag(diag, segs, n_leaves)
         return 1.0 / (diag + lam)
 
     def accept_impl(flat, lam, loss, delta):
@@ -388,7 +428,7 @@ def make_lm_step(
 
 def _make_lm_step_sharded(
     res, cg_iters, lam_up, lam_down, cg_segment, res_jvp, mesh, data,
-    data_specs, precond=0,
+    data_specs, precond=0, leaf_segments=None, precond_mode="diag",
 ):
     """shard_map LM step: per-shard linear algebra, packed psums (see
     make_lm_step docstring).  Collective census per iteration: 1 packed
@@ -408,6 +448,9 @@ def _make_lm_step_sharded(
     if res_jvp is None:
         res_jvp = res
     n_probes = int(precond)
+    segs = (None if leaf_segments is None
+            else jnp.asarray(leaf_segments, jnp.int32))
+    n_leaves = 0 if segs is None else int(np.max(leaf_segments)) + 1
     psum = functools.partial(jax.lax.psum, axis_name=DATA_AXIS)
     rep = P()
     state_spec = LMState(flat=rep, lam=rep, loss=rep)
@@ -457,6 +500,10 @@ def _make_lm_step_sharded(
         if n_probes:
             diag = packed[n:2 * n]
             diag = jnp.maximum(diag, 1e-4 * jnp.mean(diag))
+            if precond_mode == "leaf":
+                # reduce AFTER the cross-shard psum: the per-leaf trace
+                # estimate sees every shard's residual rows
+                diag = _leaf_reduce_diag(diag, segs, n_leaves)
             minv = 1.0 / (diag + lam)
         return packed[:n], packed[-1], minv, pullback
 
