@@ -45,6 +45,11 @@ def main():
     ap.add_argument("--lm-cg", type=int, default=200)
     ap.add_argument("--k-chunks", type=int, default=1)
     ap.add_argument("--modes", type=str, default="hard,penalty")
+    ap.add_argument("--order", type=int, default=1, choices=(1, 2),
+                    help="test-function order (2 = quadratic classes; "
+                         "the hard x order-2 composition is the VERDICT "
+                         "r3 item 4 A/B arm for the 2-D steady "
+                         "regression)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--resume", action="store_true",
                     help="resume Adam/LM from the per-mode case folder "
@@ -87,7 +92,8 @@ def main():
         vn = VarNet(
             case["pde"], layer_width=(args.width,) * args.layers,
             disc_num=args.disc, b_disc_num=max(args.disc, 24), n_devices=1,
-            hard_bc=hard,
+            hard_bc=hard, test_order=args.order,
+            **({"integ_p_num": 3} if args.order == 2 else {}),
             optimizer=OptimizerConfig(lr=2e-3, decay_rate=0.1,
                                       decay_steps=max(args.epochs // 4, 1)),
             **vn_kw,
@@ -96,14 +102,14 @@ def main():
                        save_freq=max(args.epochs // 6, 1), verbose=True,
                        error_disc=err_disc, error_times=5,
                        matmul_precision="highest",
-                       folderpath=f"{args.folder}_{args.case}_{mode}",
+                       folderpath=f"{args.folder}_{args.case}_{mode}_o{args.order}",
                        resume=args.resume, max_retries=2)
         r = vn.refine_lm(steps=args.lm_steps, weight=w,
                          cg_iters=args.lm_cg,
                          save_freq=max(args.lm_steps // 6, 1), verbose=True,
                          error_disc=err_disc, error_times=5,
                          k_chunks=args.k_chunks, matmul_precision="highest",
-                         folderpath=f"{args.folder}_{args.case}_{mode}",
+                         folderpath=f"{args.folder}_{args.case}_{mode}_o{args.order}",
                          resume=args.resume, max_retries=2)
         finite = ([e for e in res.errors if e == e]
                   + [e for e in r.errors if e == e])
@@ -126,6 +132,7 @@ def main():
                                             else "")),
             "network": f"({args.width},)x{args.layers}",
             "epochs": args.epochs,
+            "order": args.order,
             "lm": f"{args.lm_steps} iters cg={args.lm_cg}",
             "platform": jax.devices()[0].platform,
             "best_rel_l2": best,

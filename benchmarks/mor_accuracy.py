@@ -83,8 +83,11 @@ def run_1d(args):
 def run_2d(args):
     from varnet_tpu.problems.analytic import mor_steady_ad_2d
 
-    vels = [0.5, 1.0, 1.5, 2.0]
-    holdout = [0.75, 1.25, 1.75]
+    vels = [float(v) for v in args.samples_2d.split(",")]
+    # Held-out mu: midpoints of consecutive training samples — the
+    # worst-case interpolation points of THIS run's grid, so the
+    # n_mu sweep (VERDICT r3 item 5) compares like with like.
+    holdout = [0.5 * (a + b) for a, b in zip(vels[:-1], vels[1:])]
     case = mor_steady_ad_2d(kappa=0.25, vels=tuple(vels))
     vn = VarNet(case["pde"], layer_width=(args.width,) * 3, disc_num=32,
                 b_disc_num=32,
@@ -122,8 +125,13 @@ def main():
     ap.add_argument("--lm-cg", type=int, default=100)
     ap.add_argument("--only", choices=["1d", "2d"], default=None)
     ap.add_argument("--samples-1d", type=str, default="0.5,1.0,1.5,2.0")
+    ap.add_argument("--samples-2d", type=str, default="0.5,1.0,1.5,2.0")
     ap.add_argument("--key", type=str, default="mor_1d_peclet",
                     help="result key for the 1d run (e.g. mor_1d_peclet_dense)")
+    ap.add_argument("--key-2d", type=str, default="mor_2d_boundary_layer")
+    ap.add_argument("--resume", action="store_true",
+                    help="accepted for run_resumable.sh compatibility; "
+                         "runs restart (per-run wall is bounded)")
     args = ap.parse_args()
 
     out = {}
@@ -131,9 +139,8 @@ def main():
         out[args.key] = run_1d(args)
         print(json.dumps({args.key: out[args.key]}), flush=True)
     if args.only in (None, "2d"):
-        out["mor_2d_boundary_layer"] = run_2d(args)
-        print(json.dumps({"mor_2d_boundary_layer": out["mor_2d_boundary_layer"]}),
-              flush=True)
+        out[args.key_2d] = run_2d(args)
+        print(json.dumps({args.key_2d: out[args.key_2d]}), flush=True)
     RESULTS.mkdir(exist_ok=True)
     existing = {}
     p = RESULTS / "mor_accuracy.json"
