@@ -30,9 +30,15 @@ from pathlib import Path
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# 8 shard threads on ONE physical core: arrival skew at the packed psum
+# can exceed XLA-CPU's default 40 s rendezvous TERMINATION timeout during
+# the first post-compile execution (observed: n=8 killed with
+# "Termination timeout ... of 40 seconds exceeded").  Slow is fine here;
+# dying is not.
+if "collective_call_terminate" not in _flags:
+    _flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 

@@ -14,9 +14,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# 8 shard threads share ONE physical core: arrival skew at a collective
+# can exceed XLA-CPU's default 40 s rendezvous TERMINATION timeout on the
+# first post-compile execution of a big step (measured: the weak-scaling
+# n=8 run was hard-killed mid-psum).  Slow tests are fine; killed ones
+# are not.
+if "collective_call_terminate" not in _flags:
+    _flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = _flags
 
 # The axon sitecustomize (TPU-tunnel images) calls register(), which
 # force-sets jax_platforms="axon,cpu" at interpreter start — AFTER env vars
