@@ -5,6 +5,8 @@ case, and a small end-to-end train.  Every layer above geometry is
 dimension-generic, so these tests exercise the SAME assembly/loss/trainer
 code paths as 1-D/2-D."""
 
+import pytest
+
 import numpy as np
 
 from varnet_tpu.api import VarNet
@@ -88,6 +90,7 @@ def test_3d_bc_values_zero_on_all_faces():
     assert fixed.static.n_bc == 6 * 9
 
 
+@pytest.mark.slow
 def test_3d_sharded_matches_single_device():
     """3-D data sharding over the 8-device mesh reproduces the 1-device
     loss history (short run: the 1-core test box hits XLA CPU rendezvous
@@ -112,6 +115,7 @@ def test_3d_sharded_matches_single_device():
     np.testing.assert_allclose(l8, l1, rtol=3e-2)
 
 
+@pytest.mark.slow
 def test_3d_end_to_end_train():
     """The 3-D manufactured solution trains to a clearly-converged rel-L2
     through Adam + LM (measured at this budget: ~3.4e-2 in ~70 s on one

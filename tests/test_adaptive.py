@@ -145,6 +145,7 @@ def test_train_adaptive_schedule(tmp_path):
 
 
 @pytest.mark.e2e
+@pytest.mark.slow
 def test_adaptive_beats_uniform_continuation():
     # under-resolved boundary layer (width kappa/v = 0.02 vs h = 0.125):
     # refining the flagged layer hats beats spending the same extra

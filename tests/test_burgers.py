@@ -108,6 +108,7 @@ def test_burgers_steady_trains_to_front():
     assert rel < 0.05, rel
 
 
+@pytest.mark.slow
 def test_burgers_lm_path():
     """refine_lm's residual vector includes the nonlinear term: sum(r^2)
     must equal the train loss at the same theta, and a few LM iterations

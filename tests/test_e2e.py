@@ -21,6 +21,7 @@ from varnet_tpu.train.optim import OptimizerConfig
 
 
 @pytest.mark.e2e
+@pytest.mark.slow
 def test_e2e_1d_steady_converges():
     case = steady_ad_1d(kappa=0.1)
     vn = VarNet(
@@ -36,6 +37,7 @@ def test_e2e_1d_steady_converges():
 
 
 @pytest.mark.e2e
+@pytest.mark.slow
 def test_e2e_1d_transient_converges():
     case = transient_ad_1d(kappa=0.05)
     vn = VarNet(
@@ -50,6 +52,7 @@ def test_e2e_1d_transient_converges():
 
 
 @pytest.mark.e2e
+@pytest.mark.slow
 def test_e2e_lshape_manufactured_converges():
     """Non-convex domain + non-trivial per-edge Dirichlet data converge
     toward the manufactured solution (the round-1 L-shape had no
@@ -67,6 +70,7 @@ def test_e2e_lshape_manufactured_converges():
 
 
 @pytest.mark.e2e
+@pytest.mark.slow
 def test_e2e_2d_steady_converges():
     case = steady_ad_2d(kappa=0.1)
     vn = VarNet(

@@ -31,6 +31,7 @@ def _fresh(n_devices=8, **kw):
                   n_devices=n_devices, **kw), case
 
 
+@pytest.mark.slow
 def test_identical_members_stay_identical():
     vn, _ = _fresh()
     theta0 = vn._init_theta(jax.random.PRNGKey(0))
@@ -43,6 +44,7 @@ def test_identical_members_stay_identical():
         np.testing.assert_allclose(errs, [errs[0]] * 3, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_ensemble_matches_sequential_runs():
     vn, _ = _fresh()
     inits = [vn._init_theta(jax.random.PRNGKey(s)) for s in (3, 4)]
@@ -61,6 +63,7 @@ def test_ensemble_matches_sequential_runs():
     np.testing.assert_allclose(r.member_losses[-1], seq_losses, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_selection_and_downstream_flows():
     vn, case = _fresh()
     r = vn.train_ensemble(epoch_num=120, n_members=3, weight=(1.0, 10.0),
@@ -178,6 +181,7 @@ def test_ensemble_with_fourier_features():
     assert all(np.isfinite(v) for v in r.member_losses[-1])
 
 
+@pytest.mark.slow
 def test_ensemble_fused_path_matches_xla():
     """The sequential lax.map fused-kernel ensemble path (the TPU hot
     path — the vmapped XLA path OOMs at bench meshes) matches the

@@ -29,6 +29,7 @@ def test_entry_compiles_and_runs():
     assert jax.numpy.isfinite(out), out
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_small():
     """The full shard_map train + LM dry run on a 2-device mesh (the
     8-device variant is the driver's job; 2 keeps the 1-core suite

@@ -141,6 +141,7 @@ def test_mor_exactness_mu_dependent_data():
             np.testing.assert_allclose(u, g, atol=5e-6)
 
 
+@pytest.mark.slow
 def test_mor_hard_bc_trains():
     """Hard BC x MOR end-to-end on the HOMOGENEOUS parametric family
     (no data leakage — g = 0): BC rows report exactly 0, training + LM
@@ -181,6 +182,7 @@ def test_flux_segment_unconstrained():
     np.testing.assert_allclose(hb.dist(np.array([[0.0]])), 0.0, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_mixed_hard_dirichlet_penalty_neumann_trains():
     """Mixed problem (config: steady_ad_1d_neumann): the Dirichlet end is
     exact by ansatz, the Neumann end trains as a penalty on the
@@ -276,6 +278,7 @@ def test_evaluate_grad_consistent_with_fd():
 # end-to-end training
 
 
+@pytest.mark.slow
 def test_train_1d_steady_hard_bc():
     """Hard-constrained training on config 1: no BC rows in the loss
     (reported exactly 0.0) and Adam + LM converges.  The pe = 10
@@ -294,6 +297,7 @@ def test_train_1d_steady_hard_bc():
     assert min(res.errors[-1], r.errors[-1]) < 1e-2
 
 
+@pytest.mark.slow
 def test_train_1d_transient_hard_bc_beats_north_star():
     """Transient 1-D (config 2): hard mode reaches < 1e-3 in a budget
     where penalty training sits at ~6e-2 (measured A/B) — the headline
@@ -503,6 +507,7 @@ def test_order2_hard_bc_trains_and_stays_exact():
     np.testing.assert_allclose(u, g, atol=5e-6)
 
 
+@pytest.mark.slow
 def test_burgers_hard_bc_trains_to_front():
     """Composition: nonlinear advection x hard imposition.  The bilinear
     u (b.grad u) term must see the TRANSFORMED solution u = G + tau D net
@@ -582,6 +587,7 @@ def test_exactness_random_theta_transient_3d():
     np.testing.assert_allclose(u0, case["pde"].eval_ic(xs), atol=5e-6)
 
 
+@pytest.mark.slow
 def test_train_transient_3d_hard_bc():
     """Hard-constrained training runs end-to-end (Adam + one LM step) on
     the 3-D transient case: BC and IC loss rows both report exactly 0.0

@@ -101,6 +101,7 @@ def test_hard_fused_matches_reference(name, case_fn, td, react, disc, kw,
 
 @pytest.mark.parametrize("name,case_fn,td,react,disc,kw,tile,g,order",
                          CASES[:4], ids=[c[0] for c in CASES[:4]])
+@pytest.mark.slow
 def test_hard_fused_param_grads(name, case_fn, td, react, disc, kw, tile,
                                 g, order):
     _, _, st, quad, hq, _, params, scale, shift = _setup(

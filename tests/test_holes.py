@@ -7,6 +7,8 @@ normals, the keystone residual-of-analytic test, hard-BC exactness on the
 obstacle wall, and the prism (extruded duct-with-a-rod) composition.
 """
 
+import pytest
+
 import numpy as np
 
 from varnet_tpu.api import VarNet
@@ -82,6 +84,7 @@ def test_analytic_solution_residual_converges_with_hole():
     assert maxr[1] < 5e-2, maxr
 
 
+@pytest.mark.slow
 def test_obstacle_end_to_end_train():
     case = obstacle_manufactured_2d()
     vn = VarNet(case["pde"], layer_width=(20, 20), disc_num=16,

@@ -107,6 +107,7 @@ def test_mor_assembly_and_training():
 
 
 @pytest.mark.e2e
+@pytest.mark.slow
 def test_mor_holdout_mu_generalizes():
     """The amortized network interpolates to a held-out mu between the
     training samples (the MOR claim — SURVEY.md §0 item 1).  CPU budget:

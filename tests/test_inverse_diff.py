@@ -72,6 +72,7 @@ def test_diff_fn_loss_matches_fixed_kappa():
                                r2.losses[0]["loss_int"], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_inverse_diffusivity_recovery():
     """Joint {net, kappa} training from a WRONG initial kappa recovers
     the true coefficient from 25 interior observations, and LM keeps
@@ -98,6 +99,7 @@ def _vel_scalar(phi, x, t):
     return jnp.broadcast_to(phi[0], (x.shape[0], 1))
 
 
+@pytest.mark.slow
 def test_inverse_velocity_recovery():
     """Inverse FLOW identification (the reference paper's mass-transport
     setting): joint {net, v} training from a wrong initial velocity

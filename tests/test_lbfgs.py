@@ -2,10 +2,13 @@
 1-D steady problem in a few hundred iterations (the Adam-then-LBFGS
 pattern that unlocks <1e-3 targets — DESIGN.md / BASELINE.md)."""
 
+import pytest
+
 from varnet_tpu.api import VarNet
 from varnet_tpu.problems.analytic import steady_ad_1d
 
 
+@pytest.mark.slow
 def test_lm_reaches_superfine_error():
     """Levenberg-Marquardt (matrix-free GN+CG) must crush the final error
     decade: ~1e-4 rel-L2 from a lightly-Adam-trained start in ~40 iters."""
@@ -18,6 +21,7 @@ def test_lm_reaches_superfine_error():
     assert r.losses[-1]["loss"] < 1e-5
 
 
+@pytest.mark.slow
 def test_lbfgs_reaches_fine_error():
     case = steady_ad_1d(kappa=0.1)
     vn = VarNet(case["pde"], layer_width=(16, 16), disc_num=30, n_devices=1)

@@ -34,6 +34,7 @@ def _lm_losses(n_devices, steps=3):
     return [rec["loss"] for rec in r.losses], vn
 
 
+@pytest.mark.slow
 def test_lm_sharded_matches_single_device():
     """refine_lm on the 8-device mesh reproduces the 1-device trajectory
     (same seed, same data; only the reduction order differs)."""
@@ -107,6 +108,7 @@ def test_lm_step_collective_count_pinned():
     assert total == 3, f"expected exactly 3 all-reduces, got {total}"
 
 
+@pytest.mark.slow
 def test_lbfgs_sharded_matches_single_device():
     """refine_lbfgs on the 8-device mesh reproduces the 1-device result."""
     def run(n_devices):

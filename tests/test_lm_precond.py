@@ -14,6 +14,8 @@ Invariants:
     (same damped-GN system, both solved).
 """
 
+import pytest
+
 import re
 
 import jax
@@ -197,6 +199,7 @@ def test_precond_sharded_census_pinned():
     assert total == 3, f"expected exactly 3 all-reduces, got {total}"
 
 
+@pytest.mark.slow
 def test_leaf_precond_sharded_census_and_descent():
     """Leaf mode on the sharded path: the segment reduction happens
     AFTER the packed init psum, so the 3-all-reduce census is unchanged,
@@ -212,6 +215,7 @@ def test_leaf_precond_sharded_census_and_descent():
     assert float(out.loss) < 7.0, f"no descent: {float(out.loss)}"
 
 
+@pytest.mark.slow
 def test_precond_sharded_descends():
     """The preconditioned sharded LM makes progress on a real problem.
     (No equal-budget comparison against plain CG here: far from the
@@ -229,6 +233,7 @@ def test_precond_sharded_descends():
     assert float(out.loss) < 7.0, f"no descent: {float(out.loss)}"
 
 
+@pytest.mark.slow
 def test_segmented_sharded_both_variants_descend():
     """The segmented sharded path (the production flagship LM recipe
     uses cg_segment=40) runs and descends with and without precond —

@@ -64,6 +64,7 @@ def test_value_and_jac_f32_sane():
     np.testing.assert_allclose(j1, j2, rtol=2e-2, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_parameter_gradients_through_jacobian(x64):
     """grad wrt params of an objective using (u, du) must match autodiff of
     the same objective built on the auto path."""

@@ -85,6 +85,7 @@ def test_dirichlet_only_has_no_flux_data():
     assert fd.neu is None and fd.static.n_neu == 0
 
 
+@pytest.mark.slow
 def test_neumann_1d_end_to_end_adam_and_lm():
     """Manufactured 1-D mixed problem converges through BOTH optimizers
     (measured: Adam 6.4e-3 at 2000 epochs, LM 3.0e-5 after 30 iters)."""

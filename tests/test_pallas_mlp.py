@@ -61,6 +61,7 @@ def test_padding_odd_point_count():
 
 
 @pytest.mark.parametrize("activation", ["tanh", "sigmoid", "sin"])
+@pytest.mark.slow
 def test_param_grads_match_auto(activation):
     """The custom-VJP backward kernel must reproduce autodiff parameter
     gradients of a loss that touches BOTH u and du (like the weak form)."""
@@ -212,6 +213,7 @@ def test_vjp_tiler_caps_wide_highdim_shapes_only():
     assert _vjp_budget(96, 4) == 7 * 1024 * 1024
 
 
+@pytest.mark.slow
 def test_lm_rides_jvp_kernel_pair():
     """End-to-end: make_lm_step with the (VJP, JVP) kernel-closure pair
     reduces the loss exactly like the XLA-only pair on a tiny problem."""
@@ -253,6 +255,7 @@ def test_lm_rides_jvp_kernel_pair():
     np.testing.assert_allclose(loss_kernel, loss_xla, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_param_grads_with_scaling_multitile():
     n_in = 2
     params = init_mlp(jax.random.PRNGKey(0), n_in, (16, 16))
@@ -301,6 +304,7 @@ def test_ff_jvp_kernel_matches_auto():
     np.testing.assert_allclose(dout, dout_ref, rtol=2e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_lm_rides_ff_jvp_kernel_pair():
     """make_lm_step with the Fourier (VJP, JVP) kernel-closure pair matches
     the XLA-only FF pair on a tiny least-squares problem."""

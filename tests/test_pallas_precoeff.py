@@ -97,6 +97,7 @@ def test_precoeff_param_grads(name, case_fn, td, react, disc, kw, tile, g):
         np.testing.assert_allclose(lk["b"], lr["b"], rtol=5e-4, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_precoeff_order2_matches_reference():
     """The headline property: per-node [K, nQ] tables (order-2 test
     space) run through the SAME precoeff kernel."""
@@ -198,6 +199,7 @@ def test_order2_without_precoeff_rejected():
         )
 
 
+@pytest.mark.slow
 def test_train_step_precoeff_prepared_matches(tmp_path):
     """shard_map train step with stacked per-shard precoeff layouts
     reproduces the unprepared trajectory — for BOTH test orders (order 2
@@ -283,6 +285,7 @@ def test_train_step_precoeff_prepared_matches(tmp_path):
         assert with_prep[-1] < with_prep[0], f"order {order} not training"
 
 
+@pytest.mark.slow
 def test_sublane_pad_exact_and_grads():
     """sublane_pad zero-pads hidden widths to 8-multiples (width 20 ->
     24, admitting aligned G=5): values and parameter gradients must be
@@ -455,6 +458,7 @@ def test_batched_train_step_precoeff_per_node_in_graph():
     assert l_fused[-1] < l_fused[0]
 
 
+@pytest.mark.slow
 def test_precoeff_mor_order2_combo():
     """MOR (parametric mu inputs) x order-2 per-node tables through the
     precoeff kernel — the combination the order-2 auto-selection newly
@@ -494,6 +498,7 @@ def test_precoeff_mor_order2_combo():
         np.testing.assert_allclose(lk["b"], lr["b"], rtol=5e-4, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_train_order2_auto_fused_matches_xla():
     """END-TO-END VarNet.train with the order-2 AUTO-selected precoeff
     kernel (interpret-wrapped hook, the test_ensemble forcing pattern)

@@ -121,6 +121,7 @@ def test_fused_residual_param_grads(name, case_fn, td, react, disc, kw, tile,
 @pytest.mark.parametrize("g", [2, 3, 4])
 @pytest.mark.parametrize("name,case_fn,td,react,disc,kw,tile", CASES,
                          ids=[c[0] for c in CASES])
+@pytest.mark.slow
 def test_qblocked_residual_matches_reference(name, case_fn, td, react, disc,
                                              kw, tile, g):
     """The q-blocked directional kernel (G quadrature points per program,
@@ -310,6 +311,7 @@ def test_qblocked_deep_and_sin():
 
 @pytest.mark.parametrize("directional", [True, False],
                          ids=["directional", "jacobian"])
+@pytest.mark.slow
 def test_fused_residual_mor_matches_reference(directional):
     """Parametric (MOR) problems are fused-kernel eligible (VERDICT r2
     next #5): the mu coordinate rows get a zero contraction direction, so
@@ -389,6 +391,7 @@ def test_varnet_trains_with_fused_residual():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_fused_residual_3d_transient():
     """3-D TRANSIENT through the directional kernel (n_in = 4, nQ = 256):
     one combined value + parameter-gradient check vs the compositional
@@ -582,6 +585,7 @@ def test_varnet_trains_with_fourier_fused_residual():
 # fixed source ZEROED and the loss adds the -s N w term XLA-side.
 
 
+@pytest.mark.slow
 def test_fused_loss_with_source_fn_matches_general():
     """make_loss_fn(fused + source_fn) == make_loss_fn(general + source_fn):
     loss values and gradients w.r.t. BOTH the net and the source params."""
@@ -705,6 +709,7 @@ def test_fused_residual_fourier_mor_matches_reference():
     ("burgers1dt", None, True, 8, dict(t_disc_num=6), 21),
     ("burgers2dt", None, True, 6, dict(t_disc_num=4, b_disc_num=4), 25),
 ], ids=["burgers1d", "burgers1dt", "burgers2dt"])
+@pytest.mark.slow
 def test_fused_residual_nl_matches_reference(name, case_fn, td, disc, kw,
                                              tile):
     """Nonlinear advection in the jacobian-panel fused kernel (forward

@@ -4,11 +4,14 @@ exercised with a stand-in step); these pin the Python half's contracts:
 lock lifecycle, idempotent release, and the no-step fast path.
 """
 
+import pytest
+
 import os
 
 import varnet_tpu.utils.preempt as pre
 
 
+@pytest.mark.slow
 def test_no_step_is_noop_but_holds_lock(tmp_path, monkeypatch):
     lock = tmp_path / "bench.lock"
     pidfile = tmp_path / "step.pid"
@@ -39,6 +42,7 @@ def test_dead_pid_skips_kill_wait(tmp_path, monkeypatch):
     release()
 
 
+@pytest.mark.slow
 def test_garbage_pidfile_tolerated(tmp_path, monkeypatch):
     lock = tmp_path / "bench.lock"
     pidfile = tmp_path / "step.pid"

@@ -7,6 +7,8 @@ wall/cap boundary bookkeeping, and the same keystone residual-of-analytic
 test every other domain passes (SURVEY.md §4).
 """
 
+import pytest
+
 import numpy as np
 
 from varnet_tpu.api import VarNet
@@ -96,6 +98,7 @@ def test_analytic_solution_residual_converges_prism():
     assert maxr[1] < 5e-2, maxr
 
 
+@pytest.mark.slow
 def test_prism_end_to_end_train():
     """Short Adam + LM on the L-duct manufactured case converges well
     below the untrained scale (relL2 ~1 at init).  The case is
@@ -112,6 +115,7 @@ def test_prism_end_to_end_train():
     assert min(res.errors + r.errors) < 1e-1, (res.errors, r.errors)
 
 
+@pytest.mark.slow
 def test_prism_hard_bc_exactness_and_train():
     """Hard BC on the L-duct: a random network reproduces the Dirichlet
     data exactly on every wall and cap (wall ADFs are the polygon's

@@ -184,6 +184,7 @@ def test_order2_sharded_matches_single_device():
     np.testing.assert_allclose(run(4), run(1), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_order2_batched_and_chunked_paths():
     """batch_num > 1 (scan carries per-node tables) and refine_lm with
     k_chunks > 1 (chunked tables in the GN residual) both run and
@@ -242,6 +243,7 @@ def test_order2_batched_sharded_matches_single_device():
     np.testing.assert_allclose(run(4), run(1), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_order2_beats_order1_floor_e2e():
     """The headline: at disc=10 the order-1 invisible-error floor is
     ~0.21 h^2 = 2.1e-3 (measured, BASELINE.md); the order-2 run must

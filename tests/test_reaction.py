@@ -1,6 +1,8 @@
 """Advection-diffusion-REACTION extension: weak residual of the analytic
 solution vanishes through the full pipeline, and training converges."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -39,6 +41,7 @@ def test_residual_of_analytic_with_reaction_vanishes():
     assert np.abs(np.asarray(r_wrong) / float(np.sum(q.w))).max() > 1e-1
 
 
+@pytest.mark.slow
 def test_reaction_training_converges():
     case = steady_adr_1d(kappa=0.1, vel=1.0, react=2.0)
     vn = VarNet(case["pde"], layer_width=(16, 16), disc_num=24, n_devices=2)
