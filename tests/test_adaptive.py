@@ -57,6 +57,7 @@ def test_refine_counts_exact_1d():
     )
 
 
+@pytest.mark.slow
 def test_residuals_match_loss_int():
     from varnet_tpu.train.loss import make_loss_fn
 
@@ -106,6 +107,7 @@ def test_refine_guards():
     assert info["n_added"] == 0 and fx is fixed1
 
 
+@pytest.mark.slow
 def test_refined_training_runs_sharded():
     # mixed-scale quad trains under the 8-virtual-device mesh (per-node
     # tables shard; pad_quad pads the enlarged K to the shard multiple)
@@ -120,6 +122,7 @@ def test_refined_training_runs_sharded():
     assert np.isfinite(res.losses[-1]["loss"])
 
 
+@pytest.mark.slow
 def test_train_adaptive_schedule(tmp_path):
     case = steady_ad_1d(kappa=0.05)
     vn = VarNet(case["pde"], layer_width=(12, 12), disc_num=10,

@@ -29,6 +29,7 @@ def test_smooth_fit_passes():
     assert r["probe_mesh"] != r["train_mesh"]
 
 
+@pytest.mark.slow
 def test_aliased_fit_is_flagged():
     # high-capacity Fourier net vs a 4-element test mesh: Adam zeroes
     # the residual AT the coarse quadrature points while oscillating

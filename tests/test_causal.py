@@ -64,6 +64,7 @@ def test_train_causal_rejects_colliding_train_kwargs():
                          train_kwargs={key: val}, verbose=False)
 
 
+@pytest.mark.slow
 def test_train_causal_resume(tmp_path):
     """Cross-process curriculum restart (SURVEY.md §5.3): a completed
     stage is restored and skipped, a partially-trained stage trains only

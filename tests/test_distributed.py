@@ -90,6 +90,7 @@ def _run_distributed(tmp_path, nproc, timeout=300):
     os.environ.get("VARNET_SKIP_DIST") == "1",
     reason="explicitly disabled via VARNET_SKIP_DIST",
 )
+@pytest.mark.slow
 def test_two_process_distributed_train_step(tmp_path):
     _run_distributed(tmp_path, nproc=2)
 

@@ -57,6 +57,7 @@ def test_transient_classification():
     assert not is_transient_device_error(ValueError("UNAVAILABLE"))
 
 
+@pytest.mark.slow
 def test_lm_retry_resumes_from_checkpoint(tmp_path, monkeypatch):
     """First attempt does 2 real LM iters then faults; the retry must
     resume at global step 2 with doubled k_chunks and continue to 4."""

@@ -1,5 +1,7 @@
 """Fourier-feature embedding path: jacobian correctness + training."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,6 +17,7 @@ from varnet_tpu.models.mlp import (
 from varnet_tpu.problems.analytic import steady_ad_2d
 
 
+@pytest.mark.slow
 def test_ff_jacobian_matches_autodiff():
     key = jax.random.PRNGKey(0)
     n_in, n_feat = 3, 8

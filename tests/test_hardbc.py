@@ -328,6 +328,7 @@ def test_train_transient_sharded_equivalence():
     np.testing.assert_allclose(losses[8], losses[1], rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_lm_loss_matches_train_loss():
     """The LM residual vector reproduces the training loss in hard mode
     (sum r^2 == loss with unit weights), pinning the two paths to one
@@ -430,6 +431,7 @@ def test_adaptive_refinement_with_hard_bc():
         np.testing.assert_allclose(vn.evaluate(pts), 0.0, atol=5e-6)
 
 
+@pytest.mark.slow
 def test_batched_hard_bc_matches_single_device():
     """batch_num > 1 composes with hard_bc: the transform tables scan
     with the quad mini-batches ([B, Kb, ...] — trainer body), and the
@@ -450,6 +452,7 @@ def test_batched_hard_bc_matches_single_device():
     np.testing.assert_allclose(run(4), run(1), rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_batched_partition_device_count_invariant():
     """Mini-batch MEMBERSHIP no longer depends on n_devices (VERDICT r3
     item 6): K = 45 tests is NOT divisible by batch_num * n_shards for

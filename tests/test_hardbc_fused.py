@@ -166,6 +166,7 @@ def test_hard_requires_precoeff():
         )
 
 
+@pytest.mark.slow
 def test_hard_fused_loss_wiring():
     """make_loss_fn(hard_mode=True, fused_residual=precoeff kernel) ==
     the value+jac hard path: total loss AND parameter gradients agree,

@@ -93,6 +93,7 @@ def _count_all_reduces(hlo):
     )
 
 
+@pytest.mark.slow
 def test_lm_step_collective_count_pinned():
     """The compiled sharded LM step has EXACTLY 3 all-reduce ops: the
     packed init (b ++ loss), the one inside the CG while-body, and the

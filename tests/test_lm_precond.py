@@ -117,6 +117,7 @@ def test_leaf_mode_requires_segments():
         make_lm_step(res, cg_iters=4, precond=8, precond_mode="leaf")
 
 
+@pytest.mark.slow
 def test_refine_lm_leaf_precond_end_to_end():
     """The api default (precond_mode='leaf') builds leaf_segments from
     theta and descends on a real problem."""
@@ -188,6 +189,7 @@ def _make_sharded_lm_parts(cg_iters=5, precond=0, cg_segment=0,
     return step, state, data
 
 
+@pytest.mark.slow
 def test_precond_sharded_census_pinned():
     """precond probes ride the packed init psum: still exactly 3
     all-reduces per LM step."""
@@ -262,6 +264,7 @@ def test_segmented_exact_iteration_count():
     np.testing.assert_allclose(seg.flat, fused.flat, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_segmented_sharded_exact_iteration_count():
     """Same non-divisible-budget exactness on the sharded LM path (its
     remainder segment is a separately-compiled shard_map)."""

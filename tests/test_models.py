@@ -29,6 +29,7 @@ def x64():
 
 @pytest.mark.parametrize("activation", ["tanh", "sigmoid"])
 @pytest.mark.parametrize("scaled", [False, True])
+@pytest.mark.slow
 def test_value_and_jac_matches_autodiff(activation, scaled, x64):
     key = jax.random.PRNGKey(0)
     n_in = 3

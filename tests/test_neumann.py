@@ -98,6 +98,7 @@ def test_neumann_1d_end_to_end_adam_and_lm():
     assert r.best_error() < 1e-3, r.best_error()
 
 
+@pytest.mark.slow
 def test_neumann_2d_sharded_matches_single_device():
     """Flux rows shard over the data axis like the other penalty points:
     first-step loss identical (f32 order), trajectory within the Adam
@@ -173,6 +174,7 @@ def test_flux_residual_of_exact_transient():
     assert r.losses[-1]["loss"] < r.losses[0]["loss"]
 
 
+@pytest.mark.slow
 def test_robin_keystone_and_e2e():
     """RobinBC (alpha u + kappa du/dn = g): assembled alpha lands in
     FluxData, the keystone residual of the exact solution vanishes, and

@@ -97,6 +97,7 @@ def test_ff_kernel_matches_jnp_path():
     np.testing.assert_allclose(du, du_ref, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_ff_kernel_param_grads():
     from varnet_tpu.models.mlp import ff_value_and_jac, make_fourier_features
     from varnet_tpu.ops.pallas_mlp import pallas_ff_value_and_jac
@@ -120,6 +121,7 @@ def test_ff_kernel_param_grads():
 
 
 @pytest.mark.parametrize("activation", ["tanh", "sigmoid", "sin"])
+@pytest.mark.slow
 def test_jvp_kernel_matches_auto(activation):
     """The custom-JVP twin (Levenberg-Marquardt's J v path) must reproduce
     jax.jvp of the stock matmul-chain path w.r.t. params."""

@@ -70,6 +70,7 @@ def test_precoeff_matches_reference(name, case_fn, td, react, disc, kw,
 
 @pytest.mark.parametrize("name,case_fn,td,react,disc,kw,tile,g", CASES,
                          ids=[c[0] for c in CASES])
+@pytest.mark.slow
 def test_precoeff_param_grads(name, case_fn, td, react, disc, kw, tile, g):
     case = case_fn()
     fd = build_fixed_data(case["pde"], disc, **kw)
@@ -400,6 +401,7 @@ def test_api_gating_order2_autoselects_precoeff():
     assert vn_nl._fused_residual_hook(None) is None
 
 
+@pytest.mark.slow
 def test_batched_train_step_precoeff_per_node_in_graph():
     """batch_num > 1 with the IN-GRAPH precoeff fused kernel and per-node
     (order-2) tables — the path the order-2 auto-selection takes when

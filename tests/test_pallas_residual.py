@@ -89,6 +89,7 @@ def test_fused_residual_matches_reference(name, case_fn, td, react, disc, kw,
                          ids=["directional", "jacobian"])
 @pytest.mark.parametrize("name,case_fn,td,react,disc,kw,tile", CASES,
                          ids=[c[0] for c in CASES])
+@pytest.mark.slow
 def test_fused_residual_param_grads(name, case_fn, td, react, disc, kw, tile,
                                     directional):
     case = case_fn()
@@ -165,6 +166,7 @@ def test_qblocked_residual_matches_reference(name, case_fn, td, react, disc,
 
 
 @pytest.mark.parametrize("g", [1, 2])
+@pytest.mark.slow
 def test_prepared_layout_matches_ingraph(g):
     """prepare_residual_layout (host NumPy) must reproduce the in-graph
     transform exactly: same residual AND same gradients through the
@@ -212,6 +214,7 @@ def test_prepared_layout_matches_ingraph(g):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_train_step_with_prepared_matches(tmp_path):
     """End-to-end: the shard_map train step with the prepared layout
     threaded (stacked per-shard) reproduces the unprepared trajectory."""
@@ -654,6 +657,7 @@ def test_varnet_source_fn_hook_selected():
     assert vn._fused_residual_hook(None) is not None
 
 
+@pytest.mark.slow
 def test_fused_residual_fourier_mor_matches_reference():
     """Composition pin: Fourier embedding x parametric (MOR) inputs — the
     embedding spans ALL inputs (x and mu), the contraction direction is
@@ -800,6 +804,7 @@ def test_varnet_nl_hot_path_gating():
     assert vn_ff._fused_residual_hook("highest") is None
 
 
+@pytest.mark.slow
 def test_varnet_trains_with_fused_nl_residual():
     """End-to-end Burgers through the fused jacobian-panel nl kernel in
     the real train step (interpret mode on CPU)."""

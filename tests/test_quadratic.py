@@ -98,6 +98,7 @@ def _residual_of_function(fixed, grad_fn, dt_fn=None):
     # 3-D x order-2 composition: 2^3 tensor-product classes on the box
     (steady_ad_3d, (4, 8), None),
 ])
+@pytest.mark.slow
 def test_exact_solution_residual_converges_order2(case_fn, disc, tdisc):
     """Keystone (SURVEY.md §4): the weak residual of the analytic
     solution through the ORDER-2 pipeline vanishes under refinement —
@@ -168,6 +169,7 @@ def test_order2_loss_matches_numpy_reference():
                                rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_order2_sharded_matches_single_device():
     """Order-2 per-node tables shard over the data axis: the 4-device
     loss history equals the 1-device one (the existing sharding-

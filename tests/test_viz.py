@@ -5,6 +5,8 @@ Reference equivalent: ``ContourPlot.py`` + ``VarNet.simRes`` (SURVEY.md
 applied) — rendering itself is matplotlib's problem.
 """
 
+import pytest
+
 import os
 import shutil
 import tempfile
@@ -40,6 +42,7 @@ def test_con_plot_writes_file():
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_sim_res_1d_steady_and_transient():
     tmp = tempfile.mkdtemp()
     try:
