@@ -60,6 +60,16 @@ def test_flagship_r3_theta_best(flagship_vn):
     assert err < 1.4e-4, f"flagship r3 eval regression: rel-L2 {err:.3e}"
 
 
+def test_flagship_r4_theta_best(flagship_vn):
+    """Round-4 fine-mesh LM push (queue18 push_w48_d96: 30 LM iters
+    cg=400 at disc 96/tdisc 56 from the 1.081e-4 theta): rel-L2
+    1.0442e-4 (benchmarks/results/flagship_push.json)."""
+    path = os.path.join(RESULTS, "flagship_theta_1.0e-04.npz")
+    theta = _load_theta(path)
+    err = flagship_vn.compute_error(theta, disc=96, n_times=7)
+    assert err < 1.25e-4, f"flagship r4 eval regression: rel-L2 {err:.3e}"
+
+
 def test_flagship_intermediate_theta_consistent(flagship_vn):
     """The first-LM-phase parameters score at their recorded 8.3e-4."""
     path = os.path.join(RESULTS, "flagship_theta_8.3e-4.npz")
