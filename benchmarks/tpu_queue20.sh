@@ -38,6 +38,23 @@ step obstacle_refine 16000 benchmarks/run_resumable.sh 5000 3 \
   --disc 80 --tdisc 40 --width 48 --layers 2 --rounds 2 --frac 0.15 \
   --cont-epochs 4000 --lm-steps 15 --lm-cg 150 --k-chunks 8
 
+# capacity x density TOGETHER (round-4 addition after obstacle_dense
+# landed 39.8%: the d80/t40 mesh removed the aliasing — the int loss is
+# honest at 8.9e-3 — but (48,)x2 UNDERFITS the rod-corner transient; the
+# ff128/w96 capacity that aliased at d(40,20) gets the dense operator
+# here.  residual_adequacy can audit the result post-hoc.)
+step obstacle_ff_dense 16000 benchmarks/run_resumable.sh 5000 3 \
+  python -u benchmarks/obstacle_validation.py --hard-bc --disc 80 \
+  --tdisc 40 --width 96 --layers 3 --ff 128 --ff-scale 0.5,2.0 \
+  --epochs 16000 --lm-steps 20 --lm-cg 150 --k-chunks 16 \
+  --folder /tmp/obstacle_ff_dense
+
+step tt_cold 6000 benchmarks/run_resumable.sh 2800 2 \
+  python -u benchmarks/time_to_target.py
+
+step tt_warm 6000 benchmarks/run_resumable.sh 2800 2 \
+  python -u benchmarks/time_to_target.py --warm
+
 step hardbc_2d_lm60 10000 benchmarks/run_resumable.sh 3500 3 \
   python -u benchmarks/hardbc_tpu.py --case 2d --disc 48 --width 48 \
   --layers 2 --epochs 8000 --lm-steps 60 --lm-cg 200 --k-chunks 2 \
@@ -47,12 +64,6 @@ step hardbc_2d_o2 10000 benchmarks/run_resumable.sh 3500 3 \
   python -u benchmarks/hardbc_tpu.py --case 2d --disc 48 --width 48 \
   --layers 2 --epochs 8000 --lm-steps 30 --lm-cg 200 --k-chunks 4 \
   --order 2 --modes hard --folder /tmp/hardbc_q20
-
-step tt_cold 6000 benchmarks/run_resumable.sh 2800 2 \
-  python -u benchmarks/time_to_target.py
-
-step tt_warm 6000 benchmarks/run_resumable.sh 2800 2 \
-  python -u benchmarks/time_to_target.py --warm
 
 step lm_precond_ab 8000 benchmarks/run_resumable.sh 3500 2 \
   python -u benchmarks/lm_precond_probe.py --tpu --disc 48 --tdisc 32 \
