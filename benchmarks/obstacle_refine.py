@@ -63,6 +63,10 @@ def main():
                          "--from-folder (refined shapes are not "
                          "checkpoint-compatible across rounds)")
     ap.add_argument("--folder", type=str, default="/tmp/obstacle_refine")
+    ap.add_argument("--ff", type=int, default=0,
+                    help="Fourier features (match the --from-folder "
+                         "run's net, e.g. queue20 obstacle_ff_dense)")
+    ap.add_argument("--ff-scale", type=str, default="0.5,2.0")
     args = ap.parse_args()
 
     import jax
@@ -87,10 +91,14 @@ def main():
           f"{args.fdm_nt} in {time.perf_counter() - t_fdm:.1f}s",
           flush=True)
 
+    ff_kw = (dict(fourier_features=args.ff, input_scaling=False,
+                  fourier_scale=[float(s) for s in
+                                 args.ff_scale.split(",")])
+             if args.ff else {})
     vn = VarNet(pde, layer_width=(args.width,) * args.layers,
                 disc_num=(args.disc, args.disc // 2),
                 t_disc_num=args.tdisc, b_disc_num=max(args.disc, 32),
-                n_devices=1, hard_bc=True,
+                n_devices=1, hard_bc=True, **ff_kw,
                 optimizer=OptimizerConfig(lr=2e-3, decay_rate=0.1,
                                           decay_steps=max(args.epochs // 4,
                                                           1)))
@@ -156,7 +164,8 @@ def main():
         "mesh": f"disc=({args.disc},{args.disc // 2}) tdisc={args.tdisc} "
                 f"-> n_test={vn.static.n_test} ({args.rounds} rounds "
                 f"frac={args.frac})",
-        "network": f"({args.width},)x{args.layers}",
+        "network": (f"({args.width},)x{args.layers}"
+                    + (f" ff{args.ff}({args.ff_scale})" if args.ff else "")),
         "warm_start": args.from_folder or f"fresh {args.epochs} epochs",
         "lm_per_round": f"{args.lm_steps} iters cg={args.lm_cg}",
         "fdm": f"{args.fdm_nx}x{args.fdm_nx // 2}x{args.fdm_nt}",

@@ -54,9 +54,16 @@ from varnet_tpu.problems.analytic import transient_ad_2d  # noqa: E402
 RESULTS = Path(__file__).parent / "results"
 
 # per-shard interior size held ~constant: disc scales with sqrt(n) in x
-# and the time axis with the remaining factor, so n_test ~ n_devices
-MESHES = {1: (16, 10), 2: (16, 20), 4: (32, 20), 8: (32, 40)}
-EPOCHS = 300
+# and the time axis with the remaining factor, so n_test ~ n_devices.
+# Base work sized so the n=8 TOTAL (~5k classes) stays at the scale the
+# 1-core virtual mesh demonstrably executes: an 8-participant rendezvous
+# with larger per-shard programs (measured at 16k and 36k total classes)
+# starves past even a 1200 s termination timeout (only 4-7 of 8 thunks
+# ever arrive) — 8 shard programs sharing ONE physical core's executor,
+# an artifact of the virtual mesh, not of the sharding design (the same
+# step at these sizes is the suite's everyday 8-device workload).
+MESHES = {1: (8, 6), 2: (8, 12), 4: (16, 12), 8: (16, 24)}
+EPOCHS = 600
 WARMUP = 50
 
 
@@ -89,6 +96,10 @@ def main():
         }
         print(f"[weak] n={n} disc={disc}x{tdisc} n_test="
               f"{vn.static.n_test}: {sps:.1f} steps/s", flush=True)
+        # write incrementally: a late-n rendezvous failure on the shared
+        # core must not lose the completed rows
+        (RESULTS / "weak_scaling.json").write_text(
+            json.dumps({"partial": True, "rows": rows}, indent=2))
     n_test1 = rows["1"]["n_test"]
     for n, row in rows.items():
         work = row["n_test"] / n_test1
