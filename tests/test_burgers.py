@@ -251,6 +251,7 @@ def test_burgers_2d_front_residual_converges():
     assert maxr[1] < 5e-2, maxr
 
 
+@pytest.mark.slow
 def test_burgers_sharded_matches_single_device():
     """Nonlinear-path data sharding over the 8-device mesh reproduces the
     1-device loss (the nl term is pointwise-local, so the single packed

@@ -26,6 +26,7 @@ def _make_pde(t_end):
                  t_interval=(0.0, float(t_end)), bcs=0.0, ic=0.0)
 
 
+@pytest.mark.slow
 def test_train_causal_windows():
     vn, stages = train_causal(
         _make_pde, windows=(0.5, 1.0), epoch_num=150, weight=(1.0, 10.0, 10.0),
@@ -107,6 +108,7 @@ def test_train_causal_resume(tmp_path):
             kw, train_kwargs=dict(save_freq=50, resume=True)))
 
 
+@pytest.mark.slow
 def test_train_causal_with_hard_bc():
     """Curriculum x exact-imposition composition: every stage's VarNet
     builds its own window transform (tau scales per window, so the warm

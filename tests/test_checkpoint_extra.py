@@ -1,5 +1,7 @@
 """Checkpoint pruning, chunked evaluation, and resume-state semantics."""
 
+import pytest
+
 import os
 import shutil
 import tempfile
@@ -11,6 +13,7 @@ from varnet_tpu.problems.analytic import steady_ad_1d
 from varnet_tpu.train.checkpoint import list_checkpoint_steps
 
 
+@pytest.mark.slow
 def test_checkpoint_pruning_keeps_latest_three():
     tmp = tempfile.mkdtemp()
     try:

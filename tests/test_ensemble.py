@@ -86,6 +86,7 @@ def test_selection_and_downstream_flows():
     assert np.isfinite(lm.losses[-1]["loss"])
 
 
+@pytest.mark.slow
 def test_evaluate_ensemble_bands():
     vn, _ = _fresh()
     vn.train_ensemble(epoch_num=40, n_members=3, weight=(1.0, 10.0),

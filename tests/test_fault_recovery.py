@@ -106,6 +106,7 @@ def test_lm_nontransient_propagates(tmp_path, monkeypatch):
     assert seen["n"] == 1  # no retries burned on a program error
 
 
+@pytest.mark.slow
 def test_lm_cross_process_resume(tmp_path):
     """resume=True picks up theta + lam from the newest checkpoint and
     runs only the remaining iterations (global step semantics)."""

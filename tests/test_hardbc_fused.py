@@ -86,6 +86,7 @@ CASES = [
 
 @pytest.mark.parametrize("name,case_fn,td,react,disc,kw,tile,g,order",
                          CASES, ids=[c[0] for c in CASES])
+@pytest.mark.slow
 def test_hard_fused_matches_reference(name, case_fn, td, react, disc, kw,
                                       tile, g, order):
     _, _, st, quad, hq, _, params, scale, shift = _setup(

@@ -274,6 +274,7 @@ def test_param_grads_with_scaling_multitile():
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_ff_jvp_kernel_matches_auto():
     """The Fourier custom-JVP twin (LM's J v path for FF trial nets) must
     reproduce jax.jvp of the XLA ff_value_and_jac path w.r.t. params."""

@@ -51,6 +51,7 @@ CASES = [
 
 @pytest.mark.parametrize("name,case_fn,td,react,disc,kw,tile,g", CASES,
                          ids=[c[0] for c in CASES])
+@pytest.mark.slow
 def test_precoeff_matches_reference(name, case_fn, td, react, disc, kw,
                                     tile, g):
     case = case_fn()

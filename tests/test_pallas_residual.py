@@ -480,6 +480,7 @@ def test_fused_residual_fourier_matches_reference(multiscale):
     np.testing.assert_allclose(r, r_ref, rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_fused_residual_fourier_param_grads():
     b, bt, params, quad, st, scale, shift = _ff_case()
 
