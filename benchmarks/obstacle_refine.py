@@ -63,6 +63,12 @@ def main():
                          "--from-folder (refined shapes are not "
                          "checkpoint-compatible across rounds)")
     ap.add_argument("--folder", type=str, default="/tmp/obstacle_refine")
+    ap.add_argument("--adequacy", action="store_true",
+                    help="run residual_adequacy(refine=2) per round "
+                         "(EXPENSIVE on the refined space: ~45 min of "
+                         "host-side probe-table assembly at d80/t40 x "
+                         "2 rounds — measured to blow the resumable "
+                         "attempt budget; default off)")
     ap.add_argument("--ff", type=int, default=0,
                     help="Fourier features (match the --from-folder "
                          "run's net, e.g. queue20 obstacle_ff_dense)")
@@ -150,13 +156,15 @@ def main():
                          verbose=True, k_chunks=args.k_chunks,
                          matmul_precision="highest", max_retries=2)
         rel, per_time = score()
-        adeq = vn.residual_adequacy(refine=2)
+        adeq = (vn.residual_adequacy(refine=2) if args.adequacy
+                else None)
         rounds.append({"round": rd, "n_test": info["n_test"],
                        "n_added": info["n_added"], "rel_l2": rel,
-                       "adequacy_ratio": adeq["ratio"]})
-        print(f"[refine] round {rd}: n_test {info['n_test']} "
-              f"rel-L2 {rel:.4e} adequacy {adeq['ratio']:.1f}",
-              flush=True)
+                       "adequacy_ratio": adeq["ratio"] if adeq else None})
+        msg = f"[refine] round {rd}: n_test {info['n_test']} rel-L2 {rel:.4e}"
+        if adeq:
+            msg += f" adequacy {adeq['ratio']:.1f}"
+        print(msg, flush=True)
 
     rel, per_time = score()
     row = {
