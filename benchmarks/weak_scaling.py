@@ -3,8 +3,7 @@ r3 item 10).
 
 Fixed PER-SHARD work (the flagship-shaped 2-D transient interior), mesh
 grown 1 -> 2 -> 4 -> 8 virtual devices: records steps/s and the weak-
-scaling efficiency eta(n) = t(1) / t(n) (ideal 1.0 — same wall per step
-as the problem and mesh grow together).
+scaling efficiency relative to the 1-core serial limit.
 
 HONEST CAVEAT (recorded in the JSON): this is an
 ``xla_force_host_platform_device_count`` CPU mesh on ONE physical core —
@@ -12,10 +11,19 @@ the collectives are memcpy-level and all "devices" share the core, so
 eta measures the sharding/collective OVERHEAD structure of the train
 step (one packed psum — tests/test_single_collective.py), not ICI
 bandwidth.  Real multi-chip hardware is not available in this
-environment; the number to watch is that eta stays near the serial
-limit 1/n x constant — i.e. total wall grows ~linearly with total work
-and no super-linear collective/dispatch overhead appears as the mesh
-widens.
+environment; the number to watch is eta_serial = t(1) x work_ratio /
+t(n) ~ 1 — i.e. total wall grows ~linearly with total work and no
+super-linear collective/dispatch overhead appears as the mesh widens.
+
+MEASURED LIMIT of the virtual mesh (round 4): a SUSTAINED n=8 training
+run deadlocks the 8-participant rendezvous on this box at every size
+tried (36k, 16k, 5k, even 2.3k total classes; with async dispatch off;
+with the termination timeout raised to 1200 s — only 4-7 of 8 thunks
+ever arrive before the executor starves).  Short n=8 programs are the
+suite's everyday workload (sharding-equivalence tests, the driver's
+dryrun_multichip(8)) and pass; the 650-launch timing loop does not.
+Each n therefore runs in its OWN subprocess: a crashed row is recorded
+as "deadlocked" instead of losing the table.
 
 Run (CPU, ~minutes): python benchmarks/weak_scaling.py
 Writes benchmarks/results/weak_scaling.json.
@@ -23,93 +31,99 @@ Writes benchmarks/results/weak_scaling.json.
 
 import json
 import os
+import subprocess
 import sys
-import time
 from pathlib import Path
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
-# 8 shard threads on ONE physical core: arrival skew at the packed psum
-# can exceed XLA-CPU's default 40 s rendezvous TERMINATION timeout during
-# the first post-compile execution (observed: n=8 killed with
-# "Termination timeout ... of 40 seconds exceeded").  Slow is fine here;
-# dying is not.
-if "collective_call_terminate" not in _flags:
-    _flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=1200")
-os.environ["XLA_FLAGS"] = _flags
+RESULTS = Path(__file__).resolve().parent / "results"
 
-import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
-
-import numpy as np  # noqa: E402
-
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-
-from varnet_tpu.api import VarNet  # noqa: E402
-from varnet_tpu.problems.analytic import transient_ad_2d  # noqa: E402
-
-RESULTS = Path(__file__).parent / "results"
-
-# per-shard interior size held ~constant: disc scales with sqrt(n) in x
-# and the time axis with the remaining factor, so n_test ~ n_devices.
-# Base work sized so the n=8 TOTAL (~5k classes) stays at the scale the
-# 1-core virtual mesh demonstrably executes: an 8-participant rendezvous
-# with larger per-shard programs (measured at 16k and 36k total classes)
-# starves past even a 1200 s termination timeout (only 4-7 of 8 thunks
-# ever arrive) — 8 shard programs sharing ONE physical core's executor,
-# an artifact of the virtual mesh, not of the sharding design (the same
-# step at these sizes is the suite's everyday 8-device workload).
-MESHES = {1: (8, 6), 2: (8, 12), 4: (16, 12), 8: (16, 24)}
+# per-shard interior size held ~constant (disc scales with sqrt(n) in x,
+# the time axis covers the remaining factor, so n_test ~ n_devices)
+MESHES = {1: (8, 6), 2: (8, 12), 4: (16, 12), 8: (8, 48)}
 EPOCHS = 600
 WARMUP = 50
 
 
-def main():
+def run_single(n: int) -> None:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        _flags = (_flags +
+                  " --xla_force_host_platform_device_count=8").strip()
+    if "collective_call_terminate" not in _flags:
+        _flags += " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    os.environ["XLA_FLAGS"] = _flags
+    # one step in flight at a time: less rendezvous pressure AND the
+    # honest timing regime for a steps/s table
+    os.environ["JAX_CPU_ENABLE_ASYNC_DISPATCH"] = "false"
+
+    import time
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from varnet_tpu.api import VarNet
+    from varnet_tpu.problems.analytic import transient_ad_2d
+
+    disc, tdisc = MESHES[n]
     case = transient_ad_2d()
+    vn = VarNet(case["pde"], layer_width=(32, 32), disc_num=disc,
+                t_disc_num=tdisc, b_disc_num=disc, n_devices=n, seed=0)
+    vn.train(epoch_num=WARMUP, weight=(1.0, 10.0, 10.0),
+             save_freq=WARMUP, verbose=False)  # warm the jit cache
+    t0 = time.perf_counter()
+    vn.train(epoch_num=EPOCHS, weight=(1.0, 10.0, 10.0),
+             save_freq=EPOCHS, verbose=False)
+    wall = time.perf_counter() - t0
+    row = {"disc": disc, "tdisc": tdisc, "n_test": int(vn.static.n_test),
+           "steps_per_s": EPOCHS / wall, "wall_s": wall}
+    print("ROW " + json.dumps(row), flush=True)
+
+
+def main() -> None:
     rows = {}
-    t1 = None
-    for n, (disc, tdisc) in MESHES.items():
-        vn = VarNet(case["pde"], layer_width=(32, 32), disc_num=disc,
-                    t_disc_num=tdisc, b_disc_num=disc, n_devices=n, seed=0)
-        # warm the jit cache, then time steady-state epochs
-        vn.train(epoch_num=WARMUP, weight=(1.0, 10.0, 10.0),
-                 save_freq=WARMUP, verbose=False)
-        t0 = time.perf_counter()
-        vn.train(epoch_num=EPOCHS, weight=(1.0, 10.0, 10.0),
-                 save_freq=EPOCHS, verbose=False)
-        wall = time.perf_counter() - t0
-        sps = EPOCHS / wall
-        if n == 1:
-            t1 = wall
-        rows[str(n)] = {
-            "disc": disc, "tdisc": tdisc, "n_test": vn.static.n_test,
-            "steps_per_s": sps, "wall_s": wall,
-            # ideal weak scaling on REAL hardware: eta = t(1)/t(n) = 1.
-            # On the shared-core virtual mesh the serial limit is
-            # t(n) ~ n x t(1) (all shards execute on one core), so we
-            # also record eta_serial = (t(1) * work_ratio) / t(n): ~1
-            # means no overhead beyond the arithmetic itself.
-            "eta_vs_t1": t1 / wall,
-        }
-        print(f"[weak] n={n} disc={disc}x{tdisc} n_test="
-              f"{vn.static.n_test}: {sps:.1f} steps/s", flush=True)
-        # write incrementally: a late-n rendezvous failure on the shared
-        # core must not lose the completed rows
+    for n in MESHES:
+        p = subprocess.run([sys.executable, "-u", __file__, "--single",
+                            str(n)], capture_output=True, text=True,
+                           timeout=2400)
+        row = None
+        for line in p.stdout.splitlines():
+            if line.startswith("ROW "):
+                row = json.loads(line[4:])
+        if row is None:
+            row = {"disc": MESHES[n][0], "tdisc": MESHES[n][1],
+                   "deadlocked": True, "rc": p.returncode}
+            print(f"[weak] n={n}: DEADLOCKED (rc={p.returncode})",
+                  flush=True)
+        else:
+            print(f"[weak] n={n} disc={row['disc']}x{row['tdisc']} "
+                  f"n_test={row['n_test']}: {row['steps_per_s']:.1f} "
+                  f"steps/s", flush=True)
+        rows[str(n)] = row
         (RESULTS / "weak_scaling.json").write_text(
             json.dumps({"partial": True, "rows": rows}, indent=2))
-    n_test1 = rows["1"]["n_test"]
-    for n, row in rows.items():
-        work = row["n_test"] / n_test1
-        row["eta_serial"] = (t1 * work) / row["wall_s"]
+
+    ok = {n: r for n, r in rows.items() if "n_test" in r}
+    if "1" in ok:
+        t1, n1 = ok["1"]["wall_s"], ok["1"]["n_test"]
+        for n, r in ok.items():
+            work = r["n_test"] / n1
+            r["eta_vs_t1"] = t1 / r["wall_s"]
+            # serial limit on the shared core: t(n) ~ work x t(1); ~1
+            # means the widened mesh adds no collective/dispatch
+            # overhead beyond the arithmetic itself
+            r["eta_serial"] = (t1 * work) / r["wall_s"]
     out = {
         "caveat": "virtual CPU mesh on one physical core, NOT ICI: "
                   "eta_serial ~ 1 means the widened mesh adds no "
                   "collective/dispatch overhead beyond the arithmetic; "
-                  "eta_vs_t1 is the raw t(1)/t(n)",
+                  "eta_vs_t1 is the raw t(1)/t(n); a 'deadlocked' row "
+                  "is the shared-core executor starving an 8-way "
+                  "rendezvous over a sustained launch loop (short "
+                  "8-device programs pass daily in the test suite)",
         "network": "(32,32)", "epochs": EPOCHS,
+        "dispatch": "synchronous",
         "rows": rows,
     }
     RESULTS.mkdir(exist_ok=True)
@@ -118,4 +132,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--single":
+        run_single(int(sys.argv[2]))
+    else:
+        main()
