@@ -44,7 +44,21 @@ def main():
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--frac", type=float, default=0.15)
     ap.add_argument("--cont-epochs", type=int, default=4000,
-                    help="continuation Adam per refinement round")
+                    help="continuation Adam per refinement round "
+                         "(0 = straight to LM, the safest warm-start "
+                         "continuation)")
+    ap.add_argument("--cont-lr", type=float, default=2e-4,
+                    help="Adam LR for WARM-STARTED continuation.  The "
+                         "round-4 queue20 run used the ctor default "
+                         "2e-3 and blew the converged 39.8%% iterate "
+                         "out of its basin within 1000 epochs (int "
+                         "loss 4.8e-3 -> 2.5e-2, final rel-L2 93%%); "
+                         "fresh runs (no --from-folder) keep 2e-3")
+    ap.add_argument("--skip-polish", action="store_true",
+                    help="skip the round-0 continuation at the CURRENT "
+                         "test space (round 0 is how a coarse-mesh "
+                         "theta gets polished against a denser "
+                         "operator before any refine_tests round)")
     ap.add_argument("--lm-steps", type=int, default=15)
     ap.add_argument("--lm-cg", type=int, default=150)
     ap.add_argument("--k-chunks", type=int, default=8)
@@ -101,13 +115,24 @@ def main():
                   fourier_scale=[float(s) for s in
                                  args.ff_scale.split(",")])
              if args.ff else {})
-    vn = VarNet(pde, layer_width=(args.width,) * args.layers,
-                disc_num=(args.disc, args.disc // 2),
-                t_disc_num=args.tdisc, b_disc_num=max(args.disc, 32),
-                n_devices=1, hard_bc=True, **ff_kw,
-                optimizer=OptimizerConfig(lr=2e-3, decay_rate=0.1,
-                                          decay_steps=max(args.epochs // 4,
-                                                          1)))
+
+    # resumable re-runs continue from our OWN round-0 checkpoints when
+    # they exist (the from-folder source is one polish behind by then)
+    if args.resume and (Path(args.folder) / "r0").exists():
+        args.from_folder = f"{args.folder}/r0"
+
+    def build(warm: bool):
+        lr = args.cont_lr if warm else 2e-3
+        horizon = (max(args.cont_epochs, 1) if warm else args.epochs)
+        return VarNet(pde, layer_width=(args.width,) * args.layers,
+                      disc_num=(args.disc, args.disc // 2),
+                      t_disc_num=args.tdisc, b_disc_num=max(args.disc, 32),
+                      n_devices=1, hard_bc=True, **ff_kw,
+                      optimizer=OptimizerConfig(
+                          lr=lr, decay_rate=0.1,
+                          decay_steps=max(horizon // 4, 1)))
+
+    vn = build(warm=bool(args.from_folder))
 
     def score():
         num = den = 0.0
@@ -135,6 +160,7 @@ def main():
         except Exception as e:  # missing/incompatible: fall through
             print(f"[refine] warm start failed ({e}); fresh Adam",
                   flush=True)
+            vn = build(warm=False)
     if not loaded:
         vn.train(epoch_num=args.epochs, weight=None, verbose=True,
                  save_freq=max(args.epochs // 6, 1),
@@ -144,29 +170,77 @@ def main():
     base_rel, _ = score()
     print(f"[refine] start rel-L2 {base_rel:.4e}", flush=True)
 
-    rounds = []
-    for rd in range(1, args.rounds + 1):
-        info = vn.refine_tests(frac=args.frac, factor=2)
-        vn.train(epoch_num=args.cont_epochs, weight=None, verbose=True,
-                 save_freq=max(args.cont_epochs // 4, 1),
-                 matmul_precision="highest", max_retries=2)
+    def continuation(rd):
+        """Adam (at the low warm-start LR) + LM at the current space."""
+        fp = f"{args.folder}/r{rd}"
+        if args.cont_epochs:
+            vn.train(epoch_num=args.cont_epochs, weight=None, verbose=True,
+                     save_freq=max(args.cont_epochs // 4, 1),
+                     matmul_precision="highest", folderpath=fp,
+                     max_retries=2)
         if args.lm_steps:
             vn.refine_lm(steps=args.lm_steps, weight=None,
-                         cg_iters=args.lm_cg, save_freq=args.lm_steps,
+                         cg_iters=args.lm_cg,
+                         save_freq=max(args.lm_steps // 5, 1),
                          verbose=True, k_chunks=args.k_chunks,
-                         matmul_precision="highest", max_retries=2)
+                         matmul_precision="highest", folderpath=fp,
+                         max_retries=2)
+
+    rounds = []
+
+    def record(rd, info=None):
         rel, per_time = score()
         adeq = (vn.residual_adequacy(refine=2) if args.adequacy
                 else None)
-        rounds.append({"round": rd, "n_test": info["n_test"],
-                       "n_added": info["n_added"], "rel_l2": rel,
+        rounds.append({"round": rd,
+                       "n_test": (info or {}).get("n_test",
+                                                  vn.static.n_test),
+                       "n_added": (info or {}).get("n_added", 0),
+                       "rel_l2": rel,
                        "adequacy_ratio": adeq["ratio"] if adeq else None})
-        msg = f"[refine] round {rd}: n_test {info['n_test']} rel-L2 {rel:.4e}"
+        msg = (f"[refine] round {rd}: n_test {rounds[-1]['n_test']} "
+               f"rel-L2 {rel:.4e}")
         if adeq:
             msg += f" adequacy {adeq['ratio']:.1f}"
         print(msg, flush=True)
+        return rel, per_time
+
+    rel, per_time = base_rel, {}
+    if loaded and not args.skip_polish:
+        # round 0: continuation at the CURRENT space — for a coarse-mesh
+        # warm start against a denser operator this IS the experiment
+        continuation(0)
+        rel, per_time = record(0)
+    for rd in range(1, args.rounds + 1):
+        info = vn.refine_tests(frac=args.frac, factor=2)
+        continuation(rd)
+        rel, per_time = record(rd, info)
 
     rel, per_time = score()
+
+    # dual-oracle scoring (VERDICT r4 item 6): the 320x160x800 field's
+    # own est. error is ~0.5% (oracle_convergence.py Richardson) — for
+    # any result below 5% also record the score against the
+    # 640x320x1600 field (est. err ~0.2%) so sub-3% claims aren't
+    # oracle-limited.
+    rel640 = None
+    if rel == rel and rel < 0.05 and args.fdm_nx < 640:
+        t_fdm = time.perf_counter()
+        ref640 = solve_ad_fdm_2d(pde, nx=640, ny=320, nt=1600,
+                                 sample_times=sample_times)
+        m640 = pde.domain.in_domain(ref640["x"])
+        num = den = 0.0
+        for s, ts in enumerate(sample_times):
+            if ts <= 0.0:
+                continue
+            ue = ref640["u"][s][m640]
+            up = vn.evaluate(ref640["x"][m640], t=np.full(m640.sum(), ts))
+            num += float(np.sum((up - ue) ** 2))
+            den += float(np.sum(ue**2))
+        rel640 = float(np.sqrt(num / max(den, 1e-30)))
+        print(f"[refine] 640x320x1600 oracle rel-L2 {rel640:.4e} "
+              f"(solve {time.perf_counter() - t_fdm:.1f}s)", flush=True)
+
     row = {
         "mode": "hard+refine",
         "mesh": f"disc=({args.disc},{args.disc // 2}) tdisc={args.tdisc} "
@@ -180,6 +254,9 @@ def main():
         "platform": jax.devices()[0].platform,
         "start_rel_l2": base_rel,
         "overall_rel_l2": rel if rel == rel else None,
+        "oracle640_rel_l2": rel640,
+        "cont_lr": args.cont_lr if loaded else None,
+        "cont_epochs": args.cont_epochs,
         "per_time": {k: (v if v == v else None)
                      for k, v in per_time.items()},
         "rounds": rounds,

@@ -131,3 +131,44 @@ def test_train_causal_with_hard_bc():
                                atol=5e-6)
     np.testing.assert_allclose(vn.evaluate(x, t=np.zeros(20)), 0.0,
                                atol=5e-6)
+
+
+def test_stage_transfer_preserves_field_exactly():
+    """hard-BC tau = (t - t0)/(T - t0) rescales by w_prev/w_next when the
+    window grows; scaling the net's OUTPUT layer by w_next/w_prev makes
+    the warm-started field match the previous stage exactly on the
+    overlap (benchmarks/obstacle_causal.py rides this via the
+    train_causal(stage_transfer=) hook)."""
+    from varnet_tpu.api import VarNet
+
+    kw = dict(layer_width=(10,), disc_num=10, b_disc_num=4, n_devices=1,
+              hard_bc=True, input_scaling=False)
+    vn1 = VarNet(_make_pde(0.5), t_disc_num=4, **kw)
+    vn1.train(epoch_num=40, weight=(1.0, 10.0, 10.0), verbose=False)
+
+    def transfer(theta, wp, wn):
+        s = wn / wp
+        net = list(theta)
+        net[-1] = {"w": net[-1]["w"] * s, "b": net[-1]["b"] * s}
+        return net
+
+    vn2 = VarNet(_make_pde(1.0), t_disc_num=8, **kw)
+    vn2.theta = transfer(vn1.theta, 0.5, 1.0)
+    x = np.linspace(0.05, 0.95, 20)[:, None]
+    t = np.full(20, 0.3)
+    np.testing.assert_allclose(vn2.evaluate(x, t=t), vn1.evaluate(x, t=t),
+                               atol=1e-7)
+
+    # and train_causal threads the hook through the curriculum
+    calls = []
+
+    def rec_transfer(theta, wp, wn):
+        calls.append((wp, wn))
+        return transfer(theta, wp, wn)
+
+    vn3, stages = train_causal(
+        _make_pde, windows=(0.5, 1.0), epoch_num=40,
+        weight=(1.0, 10.0, 10.0), t_disc_full=8,
+        varnet_kwargs=kw, stage_transfer=rec_transfer, verbose=False)
+    assert calls == [(0.5, 1.0)]
+    assert np.isfinite(vn3.evaluate(x, t=t)).all()

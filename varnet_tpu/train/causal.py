@@ -39,6 +39,7 @@ def train_causal(
     train_kwargs: Optional[Dict[str, Any]] = None,
     folderpath: Optional[str] = None,
     stage_hook: Optional[Callable] = None,
+    stage_transfer: Optional[Callable] = None,
     verbose: bool = True,
     resume: bool = False,
 ):
@@ -65,6 +66,14 @@ def train_causal(
         after each stage; its return value is merged into that stage's
         record (e.g. a plume-amplitude check — see
         benchmarks/contaminant_causal.py).
+      stage_transfer: optional ``stage_transfer(theta, w_prev, w_next)
+        -> theta`` applied to the warm-start iterate when the window
+        grows.  Needed when the trial ansatz itself depends on the
+        window: with ``hard_bc`` the time gate is tau = (t - t0)/(T -
+        t0), so extending T rescales tau by w_prev/w_next uniformly —
+        scaling the net's OUTPUT layer by w_next/w_prev makes the
+        warm-started field exactly match the previous stage on the
+        overlap (see benchmarks/obstacle_causal.py).
       verbose: per-stage progress lines.
       resume: continue a dead run from its per-stage checkpoints
         (requires ``folderpath``; SURVEY.md §5.3).  Stages whose folder
@@ -118,12 +127,16 @@ def train_causal(
     theta = None
     stages: List[Dict[str, Any]] = []
     vn = None
+    w_prev = None
     for w in windows:
         pde = make_pde(w)
         vn = VarNet(pde, t_disc_num=max(4, int(round(t_disc_full * w))),
                     **vkw)
         if theta is not None:
+            if stage_transfer is not None and w_prev is not None:
+                theta = stage_transfer(theta, w_prev, w)
             vn.theta = theta
+        w_prev = w
         tkw.setdefault("save_freq", max(epoch_num // 2, 1))
         if folderpath is not None:
             tkw["folderpath"] = f"{folderpath}_w{w:g}"
