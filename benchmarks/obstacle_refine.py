@@ -77,12 +77,15 @@ def main():
                          "--from-folder (refined shapes are not "
                          "checkpoint-compatible across rounds)")
     ap.add_argument("--folder", type=str, default="/tmp/obstacle_refine")
-    ap.add_argument("--adequacy", action="store_true",
-                    help="run residual_adequacy(refine=2) per round "
-                         "(EXPENSIVE on the refined space: ~45 min of "
-                         "host-side probe-table assembly at d80/t40 x "
-                         "2 rounds — measured to blow the resumable "
-                         "attempt budget; default off)")
+    ap.add_argument("--no-adequacy", action="store_true",
+                    help="skip the per-round residual_adequacy audit")
+    ap.add_argument("--adequacy-probe-n", type=int, default=16384,
+                    help="probe subsample size for the per-round audit "
+                         "(default ON since the subsampled probe landed "
+                         "— the FULL probe cost ~45 min of host-side "
+                         "table assembly on the refined space and had "
+                         "forced the audit to opt-in in round 4; "
+                         "0 = full probe)")
     ap.add_argument("--ff", type=int, default=0,
                     help="Fourier features (match the --from-folder "
                          "run's net, e.g. queue20 obstacle_ff_dense)")
@@ -190,8 +193,8 @@ def main():
 
     def record(rd, info=None):
         rel, per_time = score()
-        adeq = (vn.residual_adequacy(refine=2) if args.adequacy
-                else None)
+        adeq = (None if args.no_adequacy else vn.residual_adequacy(
+            refine=2, probe_n=args.adequacy_probe_n or None))
         rounds.append({"round": rd,
                        "n_test": (info or {}).get("n_test",
                                                   vn.static.n_test),

@@ -61,6 +61,11 @@ for ((i = 1; i <= attempts; i++)); do
         if (( now - ts <= 3600 )); then
             echo "[run_resumable] bench lock appeared post-launch; yielding" >&2
             kill -TERM "$pid" 2>/dev/null
+            # ADVICE r4: a child mid-XLA-compile can sit on SIGTERM for
+            # minutes while bench (which saw no pidfile) opens the chip
+            # — the exact two-process collision this yield prevents.
+            # Escalate like preempt.py does.
+            ( sleep 20; kill -KILL "$pid" 2>/dev/null ) &
         fi
     fi
     wait "$pid"

@@ -126,7 +126,12 @@ def main():
             print("[time_to_target] NOT overwriting warm row "
                   "(existing record is better)")
         else:
-            print("[time_to_target] no cold record yet; run cold first")
+            # no cold record (deleted, or steps reordered): keep the
+            # measured warm result in a fresh skeleton instead of
+            # dropping a whole TPU run on the floor (ADVICE r4)
+            main_path.write_text(json.dumps({"warm": out}, indent=2))
+            print("[time_to_target] no cold record yet; wrote warm-only "
+                  "skeleton")
     else:
         if prev is not None and "warm" in prev:
             out["warm"] = prev["warm"]  # carry the warm row forward

@@ -84,9 +84,21 @@ def run_single(n: int) -> None:
 def main() -> None:
     rows = {}
     for n in MESHES:
-        p = subprocess.run([sys.executable, "-u", __file__, "--single",
-                            str(n)], capture_output=True, text=True,
-                           timeout=2400)
+        try:
+            p = subprocess.run([sys.executable, "-u", __file__, "--single",
+                                str(n)], capture_output=True, text=True,
+                               timeout=2400)
+        except subprocess.TimeoutExpired:
+            # ADVICE r4: a child hung past the outer timeout must land as
+            # a recorded deadlock row, not crash main() and lose the
+            # table (the in-child 1200 s XLA terminate usually fires
+            # first; this is the backstop)
+            rows[str(n)] = {"disc": MESHES[n][0], "tdisc": MESHES[n][1],
+                            "deadlocked": True, "rc": None}
+            print(f"[weak] n={n}: DEADLOCKED (outer timeout)", flush=True)
+            (RESULTS / "weak_scaling.json").write_text(
+                json.dumps({"partial": True, "rows": rows}, indent=2))
+            continue
         row = None
         for line in p.stdout.splitlines():
             if line.startswith("ROW "):

@@ -63,3 +63,41 @@ def test_density_consistency_with_loss():
     assert np.isfinite(loss_int)
     a = vn.residual_adequacy(verbose=False)
     assert a["train_rms"] == pytest.approx(np.sqrt(loss_int), rel=1e-6)
+
+
+def test_probe_subsample_matches_full_probe():
+    """probe_n caps the probe's host-side assembly (the full probe cost
+    ~45 min on the refined obstacle space, VERDICT r4 item 3); the
+    subsampled RMS must sit within sampling noise of the full probe and
+    reach the same verdict."""
+    case = analytic.transient_ad_1d()
+    vn = VarNet(case["pde"], layer_width=(16,), disc_num=24,
+                t_disc_num=16, n_devices=1)
+    vn.train(epoch_num=200, weight=(1.0, 10.0, 10.0), verbose=False)
+    full = vn.residual_adequacy(verbose=False)
+    sub = vn.residual_adequacy(probe_n=256, verbose=False)
+    # full probe: (2*24-1)*(2*16-1) = 1457 classes; subsample 256
+    assert sub["probe_n"] == 256
+    assert "n_test=256" in sub["probe_mesh"]
+    assert sub["flagged"] == full["flagged"]
+    assert sub["probe_rms"] == pytest.approx(full["probe_rms"], rel=0.35)
+    # deterministic in the seed, different across seeds
+    again = vn.residual_adequacy(probe_n=256, verbose=False)
+    assert again["probe_rms"] == sub["probe_rms"]
+    other = vn.residual_adequacy(probe_n=256, probe_seed=7, verbose=False)
+    assert other["probe_rms"] != sub["probe_rms"]
+    assert other["probe_rms"] == pytest.approx(full["probe_rms"], rel=0.35)
+
+
+def test_probe_subsample_order2():
+    """order-2 probes subsample across the concatenated per-node classes
+    (tables stay aligned with coords)."""
+    case = analytic.steady_ad_1d()
+    vn = VarNet(case["pde"], layer_width=(12,), disc_num=24,
+                n_devices=1, test_order=2)
+    vn.train(epoch_num=100, weight=(1.0, 10.0), verbose=False)
+    full = vn.residual_adequacy(verbose=False)
+    sub = vn.residual_adequacy(probe_n=32, verbose=False)
+    assert "n_test=32" in sub["probe_mesh"]
+    assert sub["flagged"] == full["flagged"]
+    assert sub["probe_rms"] == pytest.approx(full["probe_rms"], rel=0.5)

@@ -398,10 +398,13 @@ class VarNet:
         None when hard_bc is off.  One place so train/refine_lm/
         refine_lbfgs agree.
 
-        ``batch_num > 1``: the quad tables are built at the UNBATCHED
-        padded coords, then reshaped to the same [B, Kb, ...] mini-batch
-        layout as the quad itself (the trainer scans them together);
-        obs/flux tables stay full-batch like their penalty rows.
+        ``batch_num > 1``: the quad tables are built at the BATCHED-
+        then-flattened coords — the callers batch the quad first
+        (device-count-invariant partition: batch split, THEN per-batch
+        shard padding) and flatten [B, Kb, ...] -> [B*Kb, ...] before
+        handing coords here, so the kb tables built from them reshape
+        back to the same [B, Kb, ...] mini-batch layout the trainer
+        scans; obs/flux tables stay full-batch like their penalty rows.
 
         ``hq``: optionally the already-computed quad-coord tables (the
         train path shares one host f64 build between this payload and
@@ -1390,6 +1393,8 @@ class VarNet:
     def residual_adequacy(self, theta=None, refine: int = 2,
                           integ_p_num: Optional[int] = None,
                           threshold: float = 10.0, chunk: int = 16384,
+                          probe_n: Optional[int] = None,
+                          probe_seed: int = 0,
                           matmul_precision: Optional[str] = None,
                           verbose: bool = True) -> dict:
         """Guard against residual-consistent WRONG solutions (VERDICT r3
@@ -1410,6 +1415,16 @@ class VarNet:
         ``flagged`` (ratio > threshold), plus the probe mesh spec.  A
         one-shot host-side diagnostic (XLA value+jac path) — not part of
         any train step.
+
+        ``probe_n`` caps the probe at a uniform random subset of that
+        many test classes (deterministic in ``probe_seed``).  The RMS
+        ratio needs thousands of classes, not millions: the full probe's
+        host-side table assembly cost ~45 min on the refined ~300k-class
+        obstacle space (which forced the per-round audit to opt-in,
+        round 4), while a 16k-class subsample is seconds-to-minutes at
+        an RMS within sampling noise of the full probe (pinned in
+        tests/test_adequacy.py and calibrated on the obstacle thetas in
+        benchmarks/adequacy_check.py).
         """
         f = int(refine)
         if f < 2:
@@ -1425,6 +1440,7 @@ class VarNet:
             t_disc_num=probe_t,
             integ_p_num=int(integ_p_num or self.integ_p_num),
             pad_multiple=1, test_order=self.test_order,
+            max_test=probe_n, subsample_seed=probe_seed,
         )
         r_train = self.test_residuals(theta, chunk=chunk,
                                       matmul_precision=matmul_precision)
@@ -1444,6 +1460,7 @@ class VarNet:
                           f"n_test={self.static.n_test}",
             "probe_mesh": f"disc={probe_disc} tdisc={probe_t} "
                           f"n_test={probe_fixed.static.n_test}",
+            "probe_n": probe_n,
         }
         if verbose:
             state = ("FLAGGED: probe residual >> train residual — the "

@@ -226,6 +226,8 @@ def build_fixed_data(
     integ_p_num: int = 2,
     pad_multiple: int = 1,
     test_order: int = 1,
+    max_test: Optional[int] = None,
+    subsample_seed: int = 0,
 ) -> FixedData:
     """Assemble all device constants for a problem + discretization.
 
@@ -240,6 +242,16 @@ def build_fixed_data(
                  O(h^3) on the same mesh — fem/element.py).  Order 2
                  stores per-node [K, nQ] test tables because nodes belong
                  to different vertex/bubble classes.
+    max_test:    keep only a uniform random subset of this many test-
+                 function centres (deterministic in ``subsample_seed``).
+                 For DIAGNOSTIC meshes only (``residual_adequacy``
+                 probes: the RMS residual density needs thousands of
+                 classes, not millions — VERDICT r4 item 3); a TRAINING
+                 mesh subsampled this way would leave parts of the
+                 domain untested.  Applied before any MOR pairing, so
+                 with MOR every mu sample still pairs with the same
+                 subset.
+    subsample_seed: RNG seed for ``max_test``.
     """
     d = pde.dim
     td = pde.time_dependent
@@ -266,6 +278,11 @@ def build_fixed_data(
         centers = centers_x
 
     if test_order == 1:
+        if max_test is not None and centers.shape[0] > int(max_test):
+            rng = np.random.default_rng(subsample_seed)
+            idx = rng.choice(centers.shape[0], int(max_test),
+                             replace=False)
+            centers = centers[np.sort(idx)]
         hq = HatQuadrature.build(h_full, integ_p_num)
         coords = centers[:, None, :] + hq.offsets[None, :, :]  # [K, nQ, D]
         n_tbl, dn_tbl, w_tbl = hq.N, hq.dN[:, :d], hq.w
@@ -309,6 +326,15 @@ def build_fixed_data(
         n_tbl = np.ascontiguousarray(np.concatenate(n_list, axis=0))
         dn_tbl = np.ascontiguousarray(np.concatenate(dn_list, axis=0))
         w_tbl = np.ascontiguousarray(np.concatenate(w_list, axis=0))
+        if max_test is not None and coords.shape[0] > int(max_test):
+            # subsample across the concatenated classes (keeps the class
+            # mix proportional in expectation) BEFORE the coefficient
+            # evals and MOR tiling below
+            rng = np.random.default_rng(subsample_seed)
+            idx = np.sort(rng.choice(coords.shape[0], int(max_test),
+                                     replace=False))
+            coords, n_tbl = coords[idx], n_tbl[idx]
+            dn_tbl, w_tbl = dn_tbl[idx], w_tbl[idx]
     k_real, nq = coords.shape[0], coords.shape[1]
 
     # ---- MOR pairing (parametric inputs appended to network coords) ----

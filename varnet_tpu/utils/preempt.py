@@ -62,8 +62,11 @@ def preempt_queue_step(wait_s: float = 180.0, verbose: bool = True):
     # launching + publishing its pid, so an attempt launched in that
     # window appears here a moment after we took the lock (TOCTOU fix —
     # ADVICE r3; run_resumable also re-checks the lock on its side).
+    # 3 s covers the actual race (run_resumable writes its pidfile within
+    # milliseconds of passing the lock check); the original 10 s poll
+    # delayed EVERY bench start even with no queue running (ADVICE r4).
     pid = None
-    deadline0 = time.time() + 10.0
+    deadline0 = time.time() + 3.0
     while pid is None and time.time() < deadline0:
         try:
             with open(PIDFILE) as f:
