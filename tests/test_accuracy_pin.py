@@ -149,6 +149,7 @@ def test_inverse_source_theta_beats_targets():
     assert s_err < 1.2e-2, f"source regression: {s_err:.3e}"
 
 
+@pytest.mark.slow
 def test_contaminant_causal_theta_pinned():
     """The ORIGINAL kappa=0.01/sigma=0.06 contaminant solution (causal
     growing-window + multi-scale FF + LM polish, round 3): re-score the

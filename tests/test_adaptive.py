@@ -177,6 +177,7 @@ def test_adaptive_beats_uniform_continuation():
     assert rb.errors[-1] < 0.9 * ra.errors[-1]
 
 
+@pytest.mark.slow
 def test_refine_transient_spacetime():
     # transient case: hats are space-time; refinement halves BOTH the
     # spatial and the temporal spacing of the flagged rows

@@ -65,6 +65,7 @@ def test_density_consistency_with_loss():
     assert a["train_rms"] == pytest.approx(np.sqrt(loss_int), rel=1e-6)
 
 
+@pytest.mark.slow
 def test_probe_subsample_matches_full_probe():
     """probe_n caps the probe's host-side assembly (the full probe cost
     ~45 min on the refined obstacle space, VERDICT r4 item 3); the

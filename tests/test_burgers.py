@@ -161,6 +161,7 @@ def test_burgers_adaptive_compose():
     assert r1.losses[-1]["loss"] < r0.losses[0]["loss"]
 
 
+@pytest.mark.slow
 def test_burgers_causal_compose():
     """Composition with the causal growing-window curriculum: the
     traveling front trains window-by-window through the SAME nonlinear

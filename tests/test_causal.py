@@ -133,6 +133,7 @@ def test_train_causal_with_hard_bc():
                                atol=5e-6)
 
 
+@pytest.mark.slow
 def test_stage_transfer_preserves_field_exactly():
     """hard-BC tau = (t - t0)/(T - t0) rescales by w_prev/w_next when the
     window grows; scaling the net's OUTPUT layer by w_next/w_prev makes

@@ -107,6 +107,7 @@ def test_evaluate_ensemble_bands():
         vn2.evaluate_ensemble(x)
 
 
+@pytest.mark.slow
 def test_ensemble_persistence_roundtrip(tmp_path):
     """Stacked member pytrees ride the existing theta npz helpers, so an
     ensemble persists/reloads with no new IO machinery."""

@@ -41,6 +41,7 @@ CASES = [
 ]
 
 
+@pytest.mark.slow
 def test_fused_residual_sin_activation():
     case = transient_ad_2d()
     fd = build_fixed_data(case["pde"], 8, t_disc_num=4, b_disc_num=4)

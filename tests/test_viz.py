@@ -63,6 +63,7 @@ def test_sim_res_1d_steady_and_transient():
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_sim_res_2d_steady_with_exact():
     tmp = tempfile.mkdtemp()
     try:
@@ -77,6 +78,7 @@ def test_sim_res_2d_steady_with_exact():
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_sim_res_3d_slices_with_exact():
     from varnet_tpu.problems.analytic import steady_ad_3d
 
