@@ -83,6 +83,9 @@ def main():
                          "--ff > 0)")
     ap.add_argument("--fdm-nx", type=int, default=160)
     ap.add_argument("--fdm-nt", type=int, default=400)
+    ap.add_argument("--adequacy-probe-n", type=int, default=16384,
+                    help="post-run residual_adequacy(refine=2) probe "
+                         "subsample (0 = skip the audit)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--folder", type=str, default="/tmp/obstacle_val")
@@ -152,6 +155,34 @@ def main():
         den += float(np.sum(ue**2))
     overall = float(np.sqrt(num / max(den, 1e-30)))
 
+    # post-run adequacy audit (the ff128 coarse arm was a residual-
+    # consistent WRONG solution at ratio 48.6 — this catches that
+    # failure mode in-line now that the subsampled probe is cheap)
+    adeq = None
+    if args.adequacy_probe_n:
+        adeq = vn.residual_adequacy(refine=2,
+                                    probe_n=args.adequacy_probe_n)
+
+    # dual-oracle (VERDICT r4 item 6): sub-5% results also score against
+    # the 640x320x1600 field (est. err ~0.2% vs ~0.5% at 320) so sub-3%
+    # claims aren't oracle-limited
+    rel640 = None
+    if overall == overall and overall < 0.05 and args.fdm_nx < 640:
+        ref640 = solve_ad_fdm_2d(pde, nx=640, ny=320, nt=1600,
+                                 sample_times=sample_times)
+        m640 = pde.domain.in_domain(ref640["x"])
+        num = den = 0.0
+        for s, ts in enumerate(sample_times):
+            if ts <= 0.0:
+                continue
+            ue = ref640["u"][s][m640]
+            up = vn.evaluate(ref640["x"][m640], t=np.full(m640.sum(), ts))
+            num += float(np.sum((up - ue) ** 2))
+            den += float(np.sum(ue**2))
+        rel640 = float(np.sqrt(num / max(den, 1e-30)))
+        print(f"[obstacle] 640x320x1600 oracle rel-L2 {rel640:.4e}",
+              flush=True)
+
     # None (JSON null), not NaN: a diverged/truncated run must not write a
     # bare NaN literal that breaks the next json.loads of the results file.
     def _num(v):
@@ -168,6 +199,8 @@ def main():
         "fdm": f"{args.fdm_nx}x{args.fdm_nx // 2}x{args.fdm_nt}",
         "platform": jax.devices()[0].platform,
         "overall_rel_l2": _num(overall),
+        "oracle640_rel_l2": rel640,
+        "adequacy_ratio": _num(adeq["ratio"]) if adeq else None,
         "per_time": {k: _num(v) for k, v in per_time.items()},
         "wall_s": wall,
     }
