@@ -57,3 +57,32 @@ def test_solved_contaminant_theta_passes():
     vn.theta = load_theta_npz(p)
     r = vn.residual_adequacy(refine=2, verbose=False)
     assert not r["flagged"]
+
+
+def test_calibration_scale_separates_failure_modes():
+    """The guard's measured scale is monotone in the failure mode
+    (round 5, adequacy_check.json): 1.8 = honest underfit (w48 dense,
+    39.8% but residual large EVERYWHERE -> passes), 15.4 = marginal
+    aliasing (w96 on the coarse operator, the capacity-paradox
+    explanation), 48.5 = full aliasing.  Scored with the subsampled
+    probe (probe_n) — the affordable mode this pin also regression-
+    tests at scale."""
+    from varnet_tpu.api import VarNet
+    from varnet_tpu.utils.io import load_theta_npz
+    from benchmarks.obstacle_validation import build_pde
+
+    pd = _require("theta_obstacle_dense_UNDERFIT.npz")
+    vd = VarNet(build_pde(), layer_width=(48, 48), disc_num=(80, 40),
+                t_disc_num=40, b_disc_num=80, n_devices=1, hard_bc=True)
+    vd.theta = load_theta_npz(pd)
+    rd = vd.residual_adequacy(refine=2, probe_n=8192, verbose=False)
+    assert not rd["flagged"], rd["ratio"]
+    assert rd["ratio"] < 4.0
+
+    pw = _require("theta_obstacle_w96_UNDERFIT.npz")
+    vw = VarNet(build_pde(), layer_width=(96,) * 3, disc_num=(40, 20),
+                t_disc_num=24, b_disc_num=40, n_devices=1, hard_bc=True)
+    vw.theta = load_theta_npz(pw)
+    rw = vw.residual_adequacy(refine=2, probe_n=8192, verbose=False)
+    assert rw["flagged"], rw["ratio"]
+    assert 4.0 < rw["ratio"] < 40.0
