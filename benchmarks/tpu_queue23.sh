@@ -19,11 +19,13 @@ step() {  # step NAME TIMEOUT CMD...
   echo "=== $name rc=$rc $(date -u) ==="
 }
 
-# 1. finish the hot hand: +150 LM iters from the it-100 checkpoints,
-#    single WIDE attempt so the score always lands
+# 1. finish the hot hand: +150 LM iters from the newest dense-LM
+#    checkpoints, single WIDE attempt so the score always lands
+W1=/tmp/obstacle_lmcont2/r0
+[ -d "$W1/lm" ] || W1=/tmp/obstacle_lmcont/r0
 step obstacle_lmcont2 5200 benchmarks/run_resumable.sh 5000 2 \
   python -u benchmarks/obstacle_refine.py \
-  --from-folder /tmp/obstacle_lmcont/r0 \
+  --from-folder "$W1" \
   --disc 80 --tdisc 40 --width 48 --layers 2 --rounds 0 \
   --cont-epochs 0 --lm-steps 150 --lm-cg 200 --k-chunks 8 \
   --folder /tmp/obstacle_lmcont2
