@@ -119,6 +119,11 @@ def main():
 
     enable_compilation_cache()
     ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend BEFORE jax init (the "
+                         "axon sitecustomize ignores JAX_PLATFORMS; an "
+                         "un-forced run on a wedged tunnel hangs at "
+                         "device init)")
     ap.add_argument("--epochs", type=int, default=30000)
     ap.add_argument("--width", type=int, default=32)
     ap.add_argument("--lm-steps", type=int, default=20)
@@ -133,6 +138,11 @@ def main():
                     help="accepted for run_resumable.sh compatibility; "
                          "runs restart (per-run wall is bounded)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     out = {}
     if args.only in (None, "1d"):
