@@ -27,7 +27,7 @@ step obstacle_lmcont2 5200 benchmarks/run_resumable.sh 5000 2 \
   python -u benchmarks/obstacle_refine.py \
   --from-folder "$W1" \
   --disc 80 --tdisc 40 --width 48 --layers 2 --rounds 0 \
-  --cont-epochs 0 --lm-steps 150 --lm-cg 200 --k-chunks 8 \
+  --cont-epochs 0 --lm-steps 60 --lm-cg 200 --k-chunks 8 \
   --folder /tmp/obstacle_lmcont2
 
 # 2-4. the r3 closures (VERDICT item 2)
