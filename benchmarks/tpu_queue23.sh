@@ -19,18 +19,7 @@ step() {  # step NAME TIMEOUT CMD...
   echo "=== $name rc=$rc $(date -u) ==="
 }
 
-# 1. finish the hot hand: +150 LM iters from the newest dense-LM
-#    checkpoints, single WIDE attempt so the score always lands
-W1=/tmp/obstacle_lmcont2/r0
-[ -d "$W1/lm" ] || W1=/tmp/obstacle_lmcont/r0
-step obstacle_lmcont2 5200 benchmarks/run_resumable.sh 5000 2 \
-  python -u benchmarks/obstacle_refine.py \
-  --from-folder "$W1" \
-  --disc 80 --tdisc 40 --width 48 --layers 2 --rounds 0 \
-  --cont-epochs 0 --lm-steps 60 --lm-cg 200 --k-chunks 8 \
-  --folder /tmp/obstacle_lmcont2
-
-# 2-4. the r3 closures (VERDICT item 2)
+# 1-3. the r3 closures FIRST (certain, binary-checkable)
 step tt_cold 6000 benchmarks/run_resumable.sh 2800 2 \
   python -u benchmarks/time_to_target.py
 
@@ -41,6 +30,17 @@ step lm_precond_ab 8000 benchmarks/run_resumable.sh 3500 2 \
   python -u benchmarks/lm_precond_probe.py --tpu --disc 48 --tdisc 32 \
   --width 32 --epochs 8000 --lm-steps 8 --cg-iters 100 --k-chunks 4 \
   --out benchmarks/results/lm_precond_tpu.json
+
+# 4b. the hot hand (its 9.91% row is already banked via the CPU rescore): +150 LM iters from the newest dense-LM
+#    checkpoints, single WIDE attempt so the score always lands
+W1=/tmp/obstacle_lmcont2/r0
+[ -d "$W1/lm" ] || W1=/tmp/obstacle_lmcont/r0
+step obstacle_lmcont2 5200 benchmarks/run_resumable.sh 5000 2 \
+  python -u benchmarks/obstacle_refine.py \
+  --from-folder "$W1" \
+  --disc 80 --tdisc 40 --width 48 --layers 2 --rounds 0 \
+  --cont-epochs 0 --lm-steps 60 --lm-cg 200 --k-chunks 8 \
+  --folder /tmp/obstacle_lmcont2
 
 # 5. the untried curriculum lever (coarse mesh, cheap)
 step obstacle_causal 9000 benchmarks/run_resumable.sh 4200 2 \
