@@ -48,14 +48,44 @@ NO_FUSED = os.environ.get("BENCH_NO_FUSED", "0") == "1"
 
 
 def main():
-    # ONE chip on this machine: if a benchmark queue step holds it,
-    # preempt cooperatively (SIGTERM its published pid + hold the bench
-    # lock) — the step resumes from checkpoints after we exit
-    # (varnet_tpu/utils/preempt.py, benchmarks/run_resumable.sh).
-    # Must happen before the first jax device touch.
+    # Fail FAST and legibly when the TPU tunnel is wedged (measured
+    # round 5: the axon device can stop answering and a client then
+    # futex-waits forever — an un-guarded bench would hang instead of
+    # reporting).  The probe runs in a subprocess so its hang cannot
+    # wedge THIS process.
+    import subprocess
+
+    # Preempt any queue step FIRST (host-side SIGTERM + bench lock —
+    # varnet_tpu/utils/preempt.py); probing while a step holds the chip
+    # would block and misread "busy" as "wedged".  The atexit hook
+    # releases the lock if we exit on probe failure.
     from varnet_tpu.utils.preempt import preempt_queue_step
 
     preempt_queue_step()
+
+    probe_ok = True
+    if os.environ.get("BENCH_SKIP_PROBE", "0") != "1":
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; x = jax.numpy.ones((128, 128));"
+                 "assert jax.devices()[0].platform == 'axon';"
+                 "print(float(jax.device_get((x @ x).sum())))"],
+                capture_output=True, timeout=240,
+            )
+            probe_ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            probe_ok = False
+    if not probe_ok:
+        print(json.dumps({
+            "metric": "quad_evals_per_sec", "value": 0.0,
+            "unit": "quad-point residual evals/s/chip",
+            "vs_baseline": 0.0,
+            "error": "TPU tunnel unreachable (240 s probe failed; "
+                     "wedge documented in CLAUDE.md round-5 notes). "
+                     "Last measured: 1.565e9 = 5142x (BENCH_r04).",
+        }))
+        return
 
     import jax
     import jax.numpy as jnp
